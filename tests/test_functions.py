@@ -1,0 +1,132 @@
+"""Unit tests for the Catalyst expression library (SURVEY §2.8)."""
+
+from __future__ import annotations
+
+import datetime as dt
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+
+from pdf_table_extractor_spark.functions import money, dates, textops, windows
+
+
+def test_money_paren_sign(spark):
+    df = spark.createDataFrame(
+        [("PAGAMENTO 1.234,56 (+)",), ("TARIFA 10,00 (-)",), ("no money here",)],
+        ["line"],
+    )
+    out = df.select(money.extract_money_paren_sign(F.col("line")).alias("v")).collect()
+    assert [r.v for r in out] == [Decimal("1234.56"), Decimal("-10.00"), None]
+
+
+def test_money_cd(spark):
+    df = spark.createDataFrame([("SAQUE 1.000,00 D",), ("DEP 2,50 C",)], ["line"])
+    out = df.select(money.extract_money_cd(F.col("line")).alias("v")).collect()
+    assert [r.v for r in out] == [Decimal("-1000.00"), Decimal("2.50")]
+
+    df2 = spark.createDataFrame([("123,45D",), ("9,99C",), ("77,00 C",)], ["line"])
+    out2 = df2.select(
+        money.extract_money_cd(F.col("line"), at_eol=True, spaced=False).alias("v")
+    ).collect()
+    assert [r.v for r in out2] == [Decimal("-123.45"), Decimal("9.99"), None]
+
+
+def test_money_rs_and_trailing(spark):
+    df = spark.createDataFrame(
+        [("Pix -R$ 150,00",), ("Compra R$ 1.234,56",)], ["line"]
+    )
+    out = df.select(money.extract_money_rs(F.col("line")).alias("v")).collect()
+    assert [r.v for r in out] == [Decimal("-150.00"), Decimal("1234.56")]
+
+    df2 = spark.createDataFrame([("1.234,56-",), ("10,00",)], ["line"])
+    out2 = df2.select(
+        money.extract_money_trailing_hyphen(F.col("line")).alias("v")
+    ).collect()
+    assert [r.v for r in out2] == [Decimal("-1234.56"), Decimal("10.00")]
+
+
+def test_fix_hyphen(spark):
+    df = spark.createDataFrame([("1.123,45-",), ("10,00",)], ["v"])
+    out = df.select(money.fix_hyphen(F.col("v")).alias("v")).collect()
+    assert [r.v for r in out] == ["-1123,45", "10,00"]
+
+
+def test_sign_by_keywords(spark):
+    df = spark.createDataFrame(
+        [("BOLETO PAGO", Decimal("10.00")), ("DEPOSITO", Decimal("10.00"))],
+        ["desc", "v"],
+    )
+    out = df.select(
+        money.sign_by_keywords(F.col("v"), F.col("desc"), ["boleto", "pix enviado"]).alias("v")
+    ).collect()
+    assert [r.v for r in out] == [Decimal("-10.00"), Decimal("10.00")]
+
+
+def test_coalesce_to_date(spark):
+    df = spark.createDataFrame(
+        [("15/03/2024",), ("2024-03-15",), ("15.03.2024",), ("00/13/2024",)], ["d"]
+    )
+    out = df.select(dates.coalesce_to_date(F.col("d")).alias("d")).collect()
+    expected = dt.date(2024, 3, 15)
+    assert [r.d for r in out] == [expected, expected, expected, None]
+
+
+def test_month_name_map(spark):
+    df = spark.createDataFrame([("Janeiro",), ("dezembro",), ("nope",)], ["m"])
+    out = df.select(dates.month_name_pt_to_number(F.col("m")).alias("n")).collect()
+    assert [r.n for r in out] == [1, 12, None]
+
+
+def test_textops(spark):
+    df = spark.createDataFrame([("  a   b\tc ",)], ["t"])
+    assert df.select(textops.squeeze_ws(F.col("t")).alias("t")).first().t == "a b c"
+    df2 = spark.createDataFrame([("\"it's\"",)], ["t"])
+    assert df2.select(textops.strip_quotes(F.col("t")).alias("t")).first().t == "its"
+    df3 = spark.createDataFrame([("ab 12/12 cd 12/12",)], ["t"])
+    assert (
+        df3.select(
+            textops.remove_first_occurrence(F.col("t"), r"\d{2}/\d{2}").alias("t")
+        ).first().t
+        == "ab  cd 12/12"
+    )
+
+
+def test_skip_word_filter(spark):
+    df = spark.createDataFrame([("SALDO ANTERIOR",), ("pix recebido",)], ["t"])
+    out = df.filter(textops.skip_word_filter(F.col("t"), ["saldo", "total"])).collect()
+    assert [r.t for r in out] == ["pix recebido"]
+
+
+def test_ffill_bfill_segment(spark):
+    rows = [("u", 0, "2024-01-01"), ("u", 1, None), ("u", 2, None), ("u", 3, "2024-01-05"), ("u", 4, None)]
+    df = spark.createDataFrame(rows, ["url", "line_no", "d"])
+    out = (
+        df.withColumn("f", windows.ffill(F.col("d"), ["url"], "line_no"))
+        .withColumn("b", windows.bfill(F.col("d"), ["url"], "line_no"))
+        .orderBy("line_no")
+        .collect()
+    )
+    assert [r.f for r in out] == ["2024-01-01"] * 3 + ["2024-01-05"] * 2
+    assert [r.b for r in out] == ["2024-01-01"] + ["2024-01-05"] * 3 + [None]
+
+    seg = df.withColumn(
+        "s", windows.segment_id(F.col("d").isNotNull(), ["url"], "line_no")
+    ).orderBy("line_no").collect()
+    assert [r.s for r in seg] == [1, 1, 1, 2, 2]
+
+
+def test_section_gate(spark):
+    rows = [("u", i, t) for i, t in enumerate(["junk", "START", "a", "b", "STOP", "junk"])]
+    df = spark.createDataFrame(rows, ["url", "line_no", "t"])
+    kept = (
+        df.withColumn(
+            "keep",
+            windows.section_gate(
+                F.col("t") == "START", F.col("t") == "STOP", ["url"], "line_no"
+            ),
+        )
+        .filter("keep")
+        .orderBy("line_no")
+        .collect()
+    )
+    assert [r.t for r in kept] == ["a", "b"]
