@@ -1,0 +1,701 @@
+"""Driver-contract queries: one per operator in SURVEY.md §2.
+
+Each entry is a pair (spark_fn, duckdb_sql) exercising the same operator
+semantics on the read-only testdata tables. The Spark side uses the engine's
+expression library where one exists so the contract actually covers the
+production code paths. Column names are aliased identically on both sides
+(the driver's compare sorts columns by name before hashing).
+
+Float-valued aggregates are rounded on BOTH sides to dodge binary-float
+formatting drift between engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pdf_table_extractor_spark.functions import money, dates, textops, windows
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, SparkQuery] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def contract(name: str, sql: str | None):
+    """Register a (spark, duckdb) contract pair."""
+
+    def deco(fn: SparkQuery) -> SparkQuery:
+        _QUERIES[name] = fn
+        if sql is not None:
+            _ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def queries() -> dict[str, SparkQuery]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+# ---------------------------------------------------------------------------
+# §2.1 scans / §2.2 projections & filters
+# ---------------------------------------------------------------------------
+
+@contract(
+    "q_scan_project",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + pushed-down filter (file-dialog source → table scan,
+    Conversor.py:202; column projection conversor_caixa.py:323-324)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@contract(
+    "q_filter_rlike",
+    r"""
+    SELECT doc_id, text FROM documents
+    WHERE NOT regexp_matches(text, 'error|null|fail')
+      AND n_chars > 0
+    """,
+)
+def q_filter_rlike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-word row filter (conversor_bbmod1.py:46-49 `padrao_ignorar`)."""
+    d = load(spark, sf_dir, "documents")
+    return d.filter(
+        textops.skip_word_filter(F.col("text"), ["error", "null", "fail"])
+        & (F.col("n_chars") > 0)
+    ).select("doc_id", "text")
+
+
+@contract(
+    "q_offset_limit",
+    """
+    WITH lines AS (
+      SELECT l_orderkey, l_linenumber
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber FROM lines WHERE l_linenumber >= 3
+    """,
+)
+def q_offset_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-lines drop `lines[5:]` (conversor_bradesco.py:36-40) —
+    positional offset as a filter on the per-doc line number."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_linenumber") >= 3)
+        .select("l_orderkey", "l_linenumber")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+@contract(
+    "q_join_inner",
+    """
+    SELECT c.c_custkey, c.c_name, ROUND(SUM(o.o_totalprice), 2) AS total_spent,
+           COUNT(*) AS n_orders
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join + agg (pipeline joins extracted vs golden,
+    SURVEY §2.3)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@contract(
+    "q_join_anti",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — the checkpoint-resume primitive
+    (`pages.join(done_urls, 'url', 'left_anti')`, SURVEY §2.3)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@contract(
+    "q_broadcast_join",
+    """
+    SELECT n.n_name, r.r_name, COUNT(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+)
+def q_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast small dims onto the fact side (header-info cross-replication
+    `add_infos`, conversor_itau.py:119-123, generalized to dim joins)."""
+    c = load(spark, sf_dir, "customer")
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    r = F.broadcast(load(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+# ---------------------------------------------------------------------------
+
+@contract(
+    "q_agg_count",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counts/sums per group (success/error tallies conversor_bbmod1.py:154-174
+    generalized) — TPC-H Q1-shaped, partial-agg friendly."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@contract(
+    "q_groupby_round",
+    """
+    SELECT ROUND(value, 0) AS bucket, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY ROUND(value, 0)
+    """,
+)
+def q_groupby_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group by rounded key — the y-coordinate line-clustering aggregation
+    (conversor_banestes.py:41-44 `round(word['top'], 0)`)."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy(F.round("value", 0).alias("bucket")).agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+
+
+@contract(
+    "q_doc_scalar",
+    r"""
+    SELECT e.event_id, e.user_id, u.first_error_ts
+    FROM events e
+    JOIN (
+      SELECT user_id, MIN(ts) AS first_error_ts
+      FROM events WHERE event_type = 'error' GROUP BY user_id
+    ) u USING (user_id)
+    """,
+)
+def q_doc_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level scalar broadcast to rows (year sniff conversor_c6.py:38-44):
+    per-partition scalar via window, joined back row-wise."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    out = e.withColumn(
+        "first_error_ts",
+        F.min(F.when(F.col("event_type") == "error", F.col("ts"))).over(w),
+    )
+    return out.filter(F.col("first_error_ts").isNotNull()).select(
+        "event_id", "user_id", "first_error_ts"
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 windows
+# ---------------------------------------------------------------------------
+
+@contract(
+    "q_ffill_window",
+    """
+    WITH lines AS (
+      SELECT doc_id, NULLIF(lang, 'xx') AS lang_raw, doc_id % 7 AS grp
+      FROM documents
+    ), tagged AS (
+      SELECT doc_id, grp, CASE WHEN doc_id % 3 = 0 THEN lang_raw END AS v
+      FROM lines
+    )
+    SELECT doc_id, grp,
+           LAST_VALUE(v IGNORE NULLS) OVER (
+             PARTITION BY grp ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+    FROM tagged
+    """,
+)
+def q_ffill_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill via last(ignorenulls) window — date carry
+    (conversor_bradesco.py:142-164 et al.)."""
+    d = load(spark, sf_dir, "documents")
+    tagged = d.select(
+        "doc_id",
+        (F.col("doc_id") % 7).alias("grp"),
+        F.when(F.col("doc_id") % 3 == 0, F.nullif(F.col("lang"), F.lit("xx"))).alias("v"),
+    )
+    return tagged.select(
+        "doc_id",
+        "grp",
+        windows.ffill(F.col("v"), ["grp"], "doc_id").alias("filled"),
+    )
+
+
+@contract(
+    "q_bfill_window",
+    """
+    WITH tagged AS (
+      SELECT doc_id, doc_id % 7 AS grp,
+             CASE WHEN doc_id % 3 = 0 THEN source END AS v
+      FROM documents
+    )
+    SELECT doc_id, grp,
+           FIRST_VALUE(v IGNORE NULLS) OVER (
+             PARTITION BY grp ORDER BY doc_id
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS filled
+    FROM tagged
+    """,
+)
+def q_bfill_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward-fill via first(ignorenulls) (conversor_itau.py:154-167)."""
+    d = load(spark, sf_dir, "documents")
+    tagged = d.select(
+        "doc_id",
+        (F.col("doc_id") % 7).alias("grp"),
+        F.when(F.col("doc_id") % 3 == 0, F.col("source")).alias("v"),
+    )
+    return tagged.select(
+        "doc_id",
+        "grp",
+        windows.bfill(F.col("v"), ["grp"], "doc_id").alias("filled"),
+    )
+
+
+@contract(
+    "q_lead_lag",
+    """
+    SELECT event_id, user_id,
+           LEAD(event_type, 1) OVER w AS next_type,
+           LEAD(event_type, 2) OVER w AS next2_type,
+           LAG(event_type, 1) OVER w AS prev_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    """,
+)
+def q_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag lookahead — 3-line block marking (conversor_bradesco.py:52-74)
+    and ≤2-line lookahead concat (conversor_santander.py:50-73)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lead("event_type", 1).over(w).alias("next_type"),
+        F.lead("event_type", 2).over(w).alias("next2_type"),
+        F.lag("event_type", 1).over(w).alias("prev_type"),
+    )
+
+
+@contract(
+    "q_session_segment",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ), seg AS (
+      SELECT user_id, event_id, value,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS session_value
+    FROM seg GROUP BY user_id, session_id
+    """,
+)
+def q_session_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-sum segmentation (buffer-until-value record assembly,
+    conversor_bbmod1.py:64-103) as gap-based sessionization on events."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    # Microsecond precision on both sides (cast('long') would truncate to
+    # seconds and disagree with DuckDB's exact interval comparison).
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731 — parquet reads TIMESTAMP_NTZ; session tz is UTC so the cast is lossless
+    is_start = prev_ts.isNull() | (us(F.col("ts")) - us(prev_ts) > 1_800_000_000)
+    seg = e.withColumn(
+        "session_id",
+        F.sum(is_start.cast("bigint")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return seg.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+@contract(
+    "q_row_number",
+    """
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+    FROM documents
+    QUALIFY rk <= 5
+    """,
+)
+def q_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number (our deterministic line_no assigner) + per-group top-k."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "source", "rk")
+    )
+
+
+@contract(
+    "q_section_gate",
+    """
+    WITH flags AS (
+      SELECT user_id, event_id, event_type,
+        MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) OVER (
+          PARTITION BY user_id ORDER BY event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS started,
+        MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER (
+          PARTITION BY user_id ORDER BY event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS stopped
+      FROM events
+    )
+    SELECT user_id, event_id, event_type FROM flags
+    WHERE started = 1 AND stopped = 0
+      AND event_type NOT IN ('signup', 'purchase')
+    """,
+)
+def q_section_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Start/stop marker gating (conversor_santander.py:84,96-113) on the
+    events table: rows after first 'signup' and before first 'purchase'."""
+    e = load(spark, sf_dir, "events")
+    gated = e.withColumn(
+        "keep",
+        windows.section_gate(
+            F.col("event_type") == "signup",
+            F.col("event_type") == "purchase",
+            ["user_id"],
+            "event_id",
+        ),
+    )
+    return gated.filter("keep").select("user_id", "event_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# §2.6 sorts / limits  &  §2.7 set ops
+# ---------------------------------------------------------------------------
+
+@contract(
+    "q_sort",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def q_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (TakeOrderedAndProject — no full sort at scale)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@contract(
+    "q_union",
+    """
+    SELECT * FROM (
+      SELECT c_custkey AS key, c_name AS name FROM customer
+      UNION ALL
+      SELECT s_suppkey AS key, s_name AS name FROM supplier
+    )
+    """,
+)
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName (pd.concat of per-page tables, conversor_itau.py:111)."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"), F.col("c_name").alias("name")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("key"), F.col("s_name").alias("name")
+    )
+    return c.unionByName(s)
+
+
+@contract(
+    "q_distinct",
+    """
+    SELECT DISTINCT o_custkey, o_orderstatus FROM orders
+    """,
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates (conversor_c6.py:94, conversor_santander.py:149)."""
+    return load(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus").distinct()
+
+
+# ---------------------------------------------------------------------------
+# §2.8 scalar functions
+# ---------------------------------------------------------------------------
+
+@contract(
+    "q_regex_extract",
+    r"""
+    SELECT event_id,
+           regexp_extract(props, '"k":\s*(\d+)', 1) AS k_str
+    FROM events
+    WHERE regexp_matches(props, '"k":\s*(\d+)')
+    """,
+)
+def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract (money/date/doc-number pulls, SURVEY §2.8)."""
+    e = load(spark, sf_dir, "events")
+    pat = r'"k":\s*(\d+)'
+    return (
+        e.filter(F.col("props").rlike(pat))
+        .select("event_id", F.regexp_extract("props", pat, 1).alias("k_str"))
+    )
+
+
+@contract(
+    "q_regex_replace",
+    r"""
+    SELECT doc_id,
+           trim(regexp_replace(text, '\s+', ' ', 'g')) AS squeezed
+    FROM documents
+    """,
+)
+def q_regex_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace squeeze / OFX decimal pre-fix shape (conversor_ofx.py:39)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", textops.squeeze_ws(F.col("text")).alias("squeezed"))
+
+
+@contract(
+    "q_locale_number",
+    """
+    WITH cents_t AS (
+      SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), brl AS (
+      SELECT o_orderkey,
+             replace(format('{:,}', cents // 100), ',', '.')
+               || ',' || lpad(CAST(cents % 100 AS VARCHAR), 2, '0') AS br_text
+      FROM cents_t
+    )
+    SELECT o_orderkey, br_text,
+           ROUND(CAST(replace(replace(br_text, '.', ''), ',', '.') AS DOUBLE), 2) AS parsed
+    FROM brl
+    """,
+)
+def q_locale_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BR-locale round trip: render o_totalprice as '1.234,56' (built from
+    integer cents so both engines produce identical bytes) then parse it back
+    with the engine's normalizer (conversor_bbmod1.py:26-33)."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    df = o.select("o_orderkey", cents.alias("cents"))
+    br_text = F.concat(
+        F.translate(F.format_number((F.col("cents") - F.col("cents") % 100) / 100, 0), ",", "."),
+        F.lit(","),
+        F.lpad((F.col("cents") % 100).cast("string"), 2, "0"),
+    )
+    df = df.select("o_orderkey", br_text.alias("br_text"))
+    return df.select(
+        "o_orderkey",
+        "br_text",
+        F.round(money.br_money_to_decimal(F.col("br_text")).cast("double"), 2).alias(
+            "parsed"
+        ),
+    )
+
+
+@contract(
+    "q_sign_keywords",
+    """
+    SELECT doc_id,
+           CASE WHEN regexp_matches(lower(text), 'error|slow')
+                THEN -ABS(CAST(n_chars AS DOUBLE))
+                ELSE CAST(n_chars AS DOUBLE) END AS signed_chars
+    FROM documents
+    """,
+)
+def q_sign_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debit-keyword sign inference (conversor_banestes.py:73-75)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        money.sign_by_keywords(
+            F.col("n_chars").cast("double"), F.col("text"), ["error", "slow"]
+        ).alias("signed_chars"),
+    )
+
+
+@contract(
+    "q_date_parse",
+    """
+    WITH rendered AS (
+      SELECT o_orderkey,
+             CASE o_orderkey % 3
+               WHEN 0 THEN strftime(o_orderdate, '%d/%m/%Y')
+               WHEN 1 THEN strftime(o_orderdate, '%Y-%m-%d')
+               ELSE strftime(o_orderdate, '%d.%m.%Y') END AS dtext,
+             CAST(o_orderdate AS DATE) AS expected
+      FROM orders
+    )
+    SELECT o_orderkey, dtext, expected,
+           CAST(CASE
+             WHEN dtext LIKE '%/%' THEN strptime(dtext, '%d/%m/%Y')
+             WHEN dtext LIKE '%-%' THEN strptime(dtext, '%Y-%m-%d')
+             ELSE strptime(dtext, '%d.%m.%Y') END AS DATE) AS parsed
+    FROM rendered
+    """,
+)
+def q_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-format date coalesce (conversor_caixa.py:46-95): render dates in
+    3 formats, parse them all back with one coalesce cascade."""
+    o = load(spark, sf_dir, "orders")
+    dtext = (
+        F.when(F.col("o_orderkey") % 3 == 0, F.date_format("o_orderdate", "dd/MM/yyyy"))
+        .when(F.col("o_orderkey") % 3 == 1, F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .otherwise(F.date_format("o_orderdate", "dd.MM.yyyy"))
+    )
+    df = o.select(
+        "o_orderkey", dtext.alias("dtext"), F.col("o_orderdate").cast("date").alias("expected")
+    )
+    return df.withColumn("parsed", dates.coalesce_to_date(F.col("dtext")))
+
+
+@contract(
+    "q_map_lookup",
+    """
+    SELECT doc_id, lang,
+           CASE lang WHEN 'en' THEN 1 WHEN 'pt' THEN 2 WHEN 'es' THEN 3
+                     WHEN 'de' THEN 4 ELSE NULL END AS lang_code
+    FROM documents
+    """,
+)
+def q_map_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-map literal lookup (pt month-name map, conversor_inter.py:21-25)."""
+    d = load(spark, sf_dir, "documents")
+    m = F.create_map(
+        F.lit("en"), F.lit(1), F.lit("pt"), F.lit(2), F.lit("es"), F.lit(3), F.lit("de"), F.lit(4)
+    )
+    return d.select("doc_id", "lang", F.element_at(m, F.col("lang")).alias("lang_code"))
+
+
+@contract(
+    "q_array_ops",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS parts
+      FROM documents
+    )
+    SELECT doc_id,
+           len(parts) AS n_tokens,
+           parts[1] AS first_tok,
+           parts[-1] AS last_tok,
+           array_to_string(parts[-3:], ' ') AS last3
+    FROM toks
+    """,
+)
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token split & slice (`parts[0]`, `parts[-3:]`,
+    conversor_bradesco.py:201-213, conversor_cef.py:27-32)."""
+    d = load(spark, sf_dir, "documents")
+    parts = F.split(textops.squeeze_ws(F.col("text")), " ")
+    return d.select(
+        "doc_id",
+        F.size(parts).alias("n_tokens"),
+        F.element_at(parts, 1).alias("first_tok"),
+        F.element_at(parts, -1).alias("last_tok"),
+        F.array_join(F.slice(parts, -3, 3), " ").alias("last3"),
+    )
+
+
+@contract(
+    "q_split_explode",
+    r"""
+    WITH parts AS (
+      SELECT doc_id, unnest(string_split(text, '.')) AS sentence,
+             generate_subscripts(string_split(text, '.'), 1) AS pos
+      FROM documents
+    )
+    SELECT doc_id, pos, trim(sentence) AS sentence
+    FROM parts WHERE trim(sentence) <> ''
+    """,
+)
+def q_split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split + posexplode (block split `\\n(?=\\d{2}/\\d{2})`,
+    conversor_sicoobmod2.py:38)."""
+    d = load(spark, sf_dir, "documents")
+    exploded = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), r"\.")).alias("pos0", "sentence")
+    )
+    return (
+        exploded.select(
+            "doc_id", (F.col("pos0") + 1).alias("pos"), F.trim("sentence").alias("sentence")
+        )
+        .filter(F.col("sentence") != "")
+    )
