@@ -139,14 +139,18 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_anti",
     """
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+    )
     """,
 )
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-anti join — the checkpoint-resume primitive
-    (`pages.join(done_urls, 'url', 'left_anti')`, SURVEY §2.3)."""
+    (`pages.join(done_urls, 'url', 'left_anti')`, SURVEY §2.3). Restricted to
+    'F' orders so the result is non-empty (every customer has some order)."""
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
