@@ -1,0 +1,69 @@
+"""Line extraction: text-layer split and layout-aware line assembly.
+
+Two producers of the ``lines`` relation (D2 in SURVEY §1.1):
+
+- `text_lines`: the `page.extract_text().split('\\n')` path every text
+  profile uses (conversor_bradesco.py:23-26 et al.) — posexplode with a
+  deterministic in-doc `line_no` (never monotonically_increasing_id, which
+  breaks retry determinism).
+- `layout_lines`: the positioned-word path (conversor_banestes.py:40-57) —
+  y-cluster words into lines (`round(top)` buckets), x-sort within a line,
+  and concatenate per configured x-zone. Pure builtins: groupBy +
+  sort_array(collect_list(struct)) + higher-order array functions — no
+  Python in the hot path at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pdf_table_extractor_spark.operators.blocks import parse_blocks
+
+
+def text_lines(pages: DataFrame) -> DataFrame:
+    """pages(url, text, ...) → (url, line_no, line); line_no is 0-based."""
+    return pages.select(
+        "url", F.posexplode(F.split(F.col("text"), "\n")).alias("line_no", "line")
+    )
+
+
+def layout_lines(pages: DataFrame) -> DataFrame:
+    """pages(url, html) → one row per visual line with per-zone text.
+
+    Default zones mirror conversor_banestes.py:30-32,51-57:
+      date_txt: x0 < 75 (joined with ''), desc_txt: 75 ≤ x0 ≤ 480 (joined
+      with ' '), value_txt: x0 > 480 (joined with '').
+
+    Output: (url, page_no, y, date_txt, desc_txt, value_txt).
+    """
+    words = (
+        pages.select("url", F.explode(parse_blocks("html")).alias("b"))
+        .filter(F.col("b.kind") == "word")
+        .select(
+            "url",
+            F.col("b.page_no").alias("page_no"),
+            # Spark round() is HALF_UP while the reference's Python round()
+            # is banker's; fixture tops keep fractional parts away from .5
+            # so both agree (documented divergence).
+            F.round(F.col("b.top"), 0).alias("y"),
+            F.col("b.x0").alias("x0"),
+            F.col("b.text").alias("text"),
+        )
+    )
+    ws = F.array_sort(F.collect_list(F.struct("x0", "text")))
+    agg = words.groupBy("url", "page_no", "y").agg(ws.alias("ws"))
+
+    def zone(cond, sep):
+        return F.array_join(
+            F.transform(F.filter(F.col("ws"), cond), lambda w: w["text"]), sep
+        )
+
+    return agg.select(
+        "url",
+        "page_no",
+        "y",
+        F.trim(zone(lambda w: w["x0"] < 75, "")).alias("date_txt"),
+        F.trim(zone(lambda w: (w["x0"] >= 75) & (w["x0"] <= 480), " ")).alias("desc_txt"),
+        F.trim(zone(lambda w: w["x0"] > 480, "")).alias("value_txt"),
+    )

@@ -1,0 +1,79 @@
+"""The extraction job DAG (SURVEY §3.4): pages → salted partitions →
+per-profile builders → byte serializer → extracted table.
+
+Shuffle budget: ONE explicit exchange per profile branch — the url
+repartition. Hash-partitioning on the full url is the north rule's
+"salt-partition on url-hash": Common-Crawl pages cluster by host, and
+hashing the complete url (not the host) spreads each host's pages across
+all partitions. Because every downstream key set contains `url`
+(groupBy(url,page_no,y), Window.partitionBy(url), groupBy(url) for the
+serializer), Catalyst's EnsureRequirements inserts no further exchange —
+asserted in tests/test_plan.py. AQE skew-join/coalesce stays on as backstop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pdf_table_extractor_spark.operators.serialize import (
+    serialize,
+    serialize_with_empties,
+)
+from pdf_table_extractor_spark.ship import ensure_shipped
+from pdf_table_extractor_spark.plans.profiles import PROFILES, Profile
+
+# url shape: https://host000.example/<profile>/<doc_id>
+PROFILE_FROM_URL = r"^[a-z]+://[^/]+/([A-Za-z0-9_-]+)/"
+
+
+def profile_of(url: Column) -> Column:
+    return F.regexp_extract(url, PROFILE_FROM_URL, 1)
+
+
+def salt_repartition(pages: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Explicit skew-breaking stage: hash-distribute whole documents by url."""
+    if num_partitions:
+        return pages.repartition(num_partitions, F.col("url"))
+    return pages.repartition(F.col("url"))
+
+
+def extract(
+    pages: DataFrame,
+    profiles: dict[str, Profile] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) → (url, profile, n_rows, csv).
+
+    Documents whose url maps to no known profile (noise slice) pass through
+    unextracted: profile='', n_rows=0, csv NULL.
+    """
+    profiles = profiles or PROFILES
+    ensure_shipped(pages.sparkSession)
+    pages = pages.withColumn("profile", profile_of(F.col("url")))
+    pages = salt_repartition(pages, num_partitions)
+
+    outs: list[DataFrame] = []
+    for name, prof in profiles.items():
+        sub = pages.filter(F.col("profile") == name)
+        recs = prof.build(sub)
+        if prof.emit_empty:
+            out = serialize_with_empties(recs, sub.select("url"), name, prof.sink)
+        else:
+            out = serialize(recs, name, prof.sink)
+        outs.append(out)
+
+    known = F.lit(list(profiles.keys()))
+    passthrough = (
+        pages.filter(~F.array_contains(known, F.col("profile")))
+        .select(
+            "url",
+            F.lit("").alias("profile"),
+            F.lit(0).alias("n_rows"),
+            F.lit(None).cast("binary").alias("csv"),
+        )
+    )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result.unionByName(passthrough)

@@ -1,0 +1,251 @@
+"""Deterministic synthetic page corpus (FIXTURES.md §1-2).
+
+Generates the ``pages`` table ``(url, warc_ts, html:binary, text, lang)``
+with per-profile bank-statement layouts encoded in the text layer (and, for
+layout profiles, positioned words in the block-markup ``html``). Everything
+is seeded per (seed, profile, doc_id) — the same doc_id always produces the
+same bytes, on any worker, in any order — which is what makes golden tests,
+checkpoint-resume tests, and two-parallelism bench runs comparable.
+
+Scale path: `synth_spark` fans generation out over executors with
+`mapInPandas`, so building the bench corpus is itself a distributed job.
+Host names are Zipf-skewed (FIXTURES.md: s=1.3 over 50 hosts) so host-level
+skew is real and the url-hash salt stage is observable.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pdf_table_extractor_spark.markup import Ruling, Word, render
+
+EPOCH = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+
+# Deterministic vocabulary. Debit keywords match the reference's lists
+# (conversor_banestes.py:73 — 'Pix Enviado', 'Pagamento', 'Tarifa', 'Cesta').
+DESC_CREDIT = [
+    "Pix Recebido Loja Azul", "Deposito Online", "TED Recebida Cliente",
+    "Credito Vendas", "Rendimento Poupanca", "Estorno Compra",
+]
+DESC_DEBIT = [
+    "Pix Enviado Mercado Verde", "Pagamento Boleto Energia", "Tarifa Manutencao",
+    "Cesta Servicos Mensal", "Pagamento Fornecedor; Lote 2",
+]
+NOISE_LINES = [
+    "Extrato gerado eletronicamente", "Central de atendimento 0800 000 000",
+    "Ouvidoria das 9h as 18h", "Pagina de informacoes gerais",
+]
+PT_MONTH_NAMES = [
+    "Janeiro", "Fevereiro", "Março", "Abril", "Maio", "Junho",
+    "Julho", "Agosto", "Setembro", "Outubro", "Novembro", "Dezembro",
+]
+
+
+def _br_amount(rng: random.Random, lo: int = 100, hi: int = 900_000) -> str:
+    """Random money text '1.234,56' (US-format f-string with swapped seps)."""
+    cents = rng.randrange(lo, hi)
+    us = f"{cents / 100:,.2f}"
+    return us.replace(",", "@").replace(".", ",").replace("@", ".")
+
+
+def _host(rng: random.Random, n_hosts: int = 50, s: float = 1.3) -> int:
+    """Zipf-skewed host index."""
+    weights = [1.0 / (i + 1) ** s for i in range(n_hosts)]
+    return rng.choices(range(n_hosts), weights=weights, k=1)[0]
+
+
+# ---------------------------------------------------------------------------
+# Per-profile document generators.
+# Each returns (lines, words, rulings, pages): `lines` is the flat text
+# layer; `words`/`rulings` only for layout profiles (else a trivial layout
+# is synthesized so `html` is always well-formed markup).
+# ---------------------------------------------------------------------------
+
+def gen_banestes(rng: random.Random):
+    """Positional layout (conversor_banestes.py): date zone x<75, value zone
+    x>480, description between; day-only dates carried forward; 'Lançamento'
+    header rows skipped; value text concatenated from zone words."""
+    words: list[Word] = []
+    lines: list[str] = []
+    n_pages = rng.randint(1, 3)
+    for page_no in range(1, n_pages + 1):
+        top = 40.0
+        # header row lands in the desc zone → exercises the skip branch
+        words += [
+            Word(page_no, 20, 45, top + 0.1, top + 9, "Data"),
+            Word(page_no, 120, 190, top + 0.2, top + 9, "Lançamento"),
+            Word(page_no, 500, 540, top + 0.1, top + 9, "Valor"),
+        ]
+        lines.append("Data Lançamento Valor")
+        top += 12.0
+        for _ in range(rng.randint(4, 40)):
+            kind = rng.random()
+            line_words: list[Word] = []
+            if kind < 0.18:
+                # bare day marker — sets the carried day, emits no row
+                day = f"{rng.randint(1, 28):02d}"
+                line_words.append(Word(page_no, 25, 40, top + 0.1, top + 9, day))
+            else:
+                if rng.random() < 0.55:
+                    day = f"{rng.randint(1, 28):02d}"
+                    line_words.append(Word(page_no, 25, 40, top + 0.1, top + 9, day))
+                debit = rng.random() < 0.4
+                desc = rng.choice(DESC_DEBIT if debit else DESC_CREDIT)
+                x = 90.0
+                for tok in desc.split(" "):
+                    line_words.append(
+                        Word(page_no, x + rng.uniform(-1.0, 1.0), x + 8 * len(tok), top + 0.2, top + 9, tok)
+                    )
+                    x += 8 * len(tok) + 5
+                if rng.random() < 0.9:
+                    amt = _br_amount(rng)
+                    line_words.append(Word(page_no, 500, 500 + 6 * len(amt), top + 0.1, top + 9, amt))
+            words += line_words
+            lines.append(" ".join(w.text for w in sorted(line_words, key=lambda w: w.x0)))
+            top += 12.0
+    return lines, words, [], [(i, 595, 842) for i in range(1, n_pages + 1)]
+
+
+def gen_pagbank(rng: random.Random):
+    """Whole-doc regex profile (conversor_pagbank.py:38): dated lines with an
+    R$ value, noise lines interleaved."""
+    lines: list[str] = []
+    for _ in range(rng.randint(8, 60)):
+        if rng.random() < 0.25:
+            lines.append(rng.choice(NOISE_LINES))
+        else:
+            d = f"{rng.randint(1, 28):02d}/{rng.randint(1, 12):02d}/{rng.choice([2023, 2024])}"
+            desc = rng.choice(DESC_CREDIT + DESC_DEBIT).replace(";", "")
+            sign = "-" if rng.random() < 0.3 else ""
+            rs = rng.choice(["R$ ", "R$", "$ "])
+            lines.append(f"{d} {desc} {sign}{rs}{_br_amount(rng)}")
+    return lines, None, [], None
+
+
+def gen_cef(rng: random.Random):
+    """Token-split profile (conversor_cef.py:24-32): first token = date,
+    last = value, middle = description."""
+    lines: list[str] = []
+    for _ in range(rng.randint(6, 50)):
+        r = rng.random()
+        if r < 0.2:
+            lines.append(rng.choice(NOISE_LINES))
+        elif r < 0.27:
+            # date mid-line: reference still takes token[0] as Data
+            d = f"{rng.randint(1, 28):02d}/{rng.randint(1, 12):02d}/2024"
+            lines.append(f"SALDO EM {d} {_br_amount(rng)}")
+        else:
+            d = f"{rng.randint(1, 28):02d}/{rng.randint(1, 12):02d}/{rng.choice([2023, 2024])}"
+            desc = rng.choice(DESC_CREDIT + DESC_DEBIT).replace(";", "")
+            sign = rng.choice(["", "-"])
+            lines.append(f"{d} {desc} {sign}{_br_amount(rng)}")
+    return lines, None, [], None
+
+
+def gen_inter(rng: random.Random):
+    """Month-name date headers + R$ value lines (conversor_inter.py)."""
+    lines: list[str] = []
+    year = rng.choice([2023, 2024])
+    for _ in range(rng.randint(3, 12)):
+        day = rng.randint(1, 28)
+        month = rng.choice(PT_MONTH_NAMES)
+        lines.append(f"{day} de {month} de {year}")
+        for _ in range(rng.randint(0, 6)):
+            if rng.random() < 0.2:
+                lines.append(rng.choice(NOISE_LINES))
+            else:
+                desc = rng.choice(DESC_CREDIT + DESC_DEBIT).replace(";", "")
+                if rng.random() < 0.15:
+                    desc = f'"{desc}"'
+                sign = "-" if rng.random() < 0.35 else ""
+                lines.append(f"{desc} {sign}R$ {_br_amount(rng)}")
+    return lines, None, [], None
+
+
+GENERATORS = {
+    "banestes": gen_banestes,
+    "pagbank": gen_pagbank,
+    "cef": gen_cef,
+    "inter": gen_inter,
+}
+
+NOISE_LANGS = ["en", "es", "de"]
+
+
+def _trivial_layout(lines: list[str]) -> tuple[list[Word], list]:
+    """Lay text lines out as one word-per-line markup (50 lines/page)."""
+    words = []
+    for i, line in enumerate(lines):
+        page_no = i // 50 + 1
+        top = 40.0 + (i % 50) * 15.0
+        words.append(Word(page_no, 50, 50 + 6 * len(line), top, top + 10, line))
+    return words, []
+
+
+def make_doc(profile: str, doc_id: int, seed: int = 42) -> dict:
+    """One deterministic document row for the pages table."""
+    rng = random.Random(f"{seed}:{profile}:{doc_id}")
+    host = _host(rng)
+    url = f"https://host{host:03d}.example/{profile}/{doc_id:06d}"
+    ts = EPOCH + dt.timedelta(seconds=137 * doc_id)
+    if profile == "noise":
+        lang = rng.choice(NOISE_LANGS)
+        lines = [f"generic {lang} web page content line {i}" for i in range(rng.randint(3, 30))]
+        words, rulings, pages = *_trivial_layout(lines), None
+    else:
+        lang = "pt"
+        lines, words, rulings, pages = GENERATORS[profile](rng)
+        if words is None:
+            words, rulings = _trivial_layout(lines)
+    if pages is None:
+        n_pages = max((w.page_no for w in words), default=1)
+        pages = [(i, 595, 842) for i in range(1, n_pages + 1)]
+    html = render(pages, words, rulings)
+    return {
+        "url": url,
+        "warc_ts": ts.replace(tzinfo=None),
+        "html": html,
+        "text": "\n".join(lines),
+        "lang": lang,
+    }
+
+
+def doc_plan(n_docs: int, profiles: list[str] | None = None, noise_frac: float = 0.1):
+    """Deterministic (profile, doc_id) assignment for doc_id in [0, n_docs)."""
+    profiles = profiles or list(GENERATORS)
+    for doc_id in range(n_docs):
+        if noise_frac > 0 and doc_id % max(1, round(1 / noise_frac)) == 0:
+            yield "noise", doc_id
+        else:
+            yield profiles[doc_id % len(profiles)], doc_id
+
+
+def synth_pandas(
+    n_docs: int, seed: int = 42, profiles: list[str] | None = None, noise_frac: float = 0.1
+) -> pd.DataFrame:
+    rows = [make_doc(p, i, seed) for p, i in doc_plan(n_docs, profiles, noise_frac)]
+    return pd.DataFrame(rows)
+
+
+PAGES_SCHEMA = "url string, warc_ts timestamp_ntz, html binary, text string, lang string"
+
+
+def synth_spark(spark, n_docs: int, seed: int = 42, profiles: list[str] | None = None,
+                noise_frac: float = 0.1, parallelism: int = 32):
+    """Distributed corpus generation: doc_ids → mapInPandas(generate)."""
+    plan = list(doc_plan(n_docs, profiles, noise_frac))
+    from pdf_table_extractor_spark.ship import ensure_shipped
+    ensure_shipped(spark)
+    plan_df = spark.createDataFrame(plan, "profile string, doc_id long").repartition(parallelism)
+
+    def generate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame(
+                [make_doc(p, int(i), seed) for p, i in zip(b["profile"], b["doc_id"])]
+            )
+
+    return plan_df.mapInPandas(generate, schema=PAGES_SCHEMA)
