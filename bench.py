@@ -1,0 +1,114 @@
+"""Benchmark runner (driver contract: prints ONE JSON line).
+
+Measures (a) the flagship extraction pipeline — documents/sec over a
+deterministic synthetic page corpus (the BASELINE.json target metric) — and
+(b) headline operator queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Protocol (BASELINE.md): a warm-up pass on a small slice first, then
+wall-clock over the action. The synthetic corpus is written once to /tmp
+and reused, so two-parallelism scaling runs (tools/bench_scaling.py) see
+identical input bytes.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   testdata dir            (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] parallelism    (default 32)
+  SPARK_GRAFT_BENCH_DOCS  corpus size          (default 20000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pdf_table_extractor_spark.session import build_spark  # noqa: E402
+
+HEADLINE = [
+    "q_agg_count",
+    "q_join_inner",
+    "q_broadcast_join",
+    "q_session_segment",
+    "q_ffill_window",
+    "q_locale_number",
+    "q_split_explode",
+    "q_sort",
+]
+
+
+def ensure_corpus(spark, n_docs: int) -> str:
+    from pdf_table_extractor_spark import synth
+
+    path = f"/tmp/bench_pages_{n_docs}"
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        synth.synth_spark(spark, n_docs, parallelism=64).write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_count(df) -> int:
+    """Force full execution; count() after a cache-free action chain."""
+    return df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+    spark = build_spark(
+        app_name="bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from pdf_table_extractor_spark import contracts
+    from pdf_table_extractor_spark.plans.extract import extract
+
+    corpus_path = ensure_corpus(spark, n_docs)
+
+    # ---- warm-up: small extraction + one query (JIT, codegen, Arrow init)
+    warm = spark.read.parquet(corpus_path).limit(500)
+    run_count(extract(warm, num_partitions=cpus))
+    qs = contracts.queries()
+    run_count(qs["q_agg_count"](spark, sf_dir))
+
+    # ---- flagship: extraction docs/sec
+    pages = spark.read.parquet(corpus_path)
+    t0 = time.perf_counter()
+    n_out = run_count(extract(pages, num_partitions=cpus * 2))
+    extract_sec = time.perf_counter() - t0
+    docs_per_sec = n_docs / extract_sec
+
+    # ---- headline operator queries
+    q_times: dict[str, float] = {}
+    total = extract_sec
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        run_count(qs[name](spark, sf_dir))
+        q_times[name] = round(time.perf_counter() - t0, 3)
+        total += q_times[name]
+
+    q_times["extract_pipeline"] = round(extract_sec, 3)
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": q_times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "extract_docs": n_docs,
+                "extract_docs_out": n_out,
+                "extract_docs_per_sec": round(docs_per_sec, 1),
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
