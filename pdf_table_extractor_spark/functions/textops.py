@@ -33,7 +33,13 @@ def remove_first_occurrence(col: Column, pat: str) -> Column:
     split at the first match and rejoin)."""
     # Find the first match text, then splice it out: before-match ++ after-match.
     m = F.regexp_extract(col, f"({pat})", 1)
-    idx = F.instr(col, m)  # 1-based position of the extracted literal
+    return remove_first_literal(col, m)
+
+
+def remove_first_literal(col: Column, literal: Column) -> Column:
+    """Remove the first occurrence of a per-row literal substring
+    (Python `str.replace(x, '', 1)`, e.g. conversor_sicoobmod2.py:56)."""
+    idx = F.instr(col, literal)  # 1-based position; 0 if absent/empty
     before = F.substr(col, F.lit(1), idx - 1)
-    after = F.substr(col, idx + F.length(m))
-    return F.when((m != "") & (idx > 0), F.concat(before, after)).otherwise(col)
+    after = F.substr(col, idx + F.length(literal))
+    return F.when((literal != "") & (idx > 0), F.concat(before, after)).otherwise(col)

@@ -20,7 +20,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from pdf_table_extractor_spark.functions import windows
+from pdf_table_extractor_spark.functions import textops, windows
 from pdf_table_extractor_spark.operators.lines import layout_lines, text_lines
 from pdf_table_extractor_spark.operators.serialize import Sink
 
@@ -49,7 +49,7 @@ def build_banestes(pages: DataFrame) -> DataFrame:
     )
     amount = F.regexp_replace(
         F.regexp_replace("value_txt", r"[^\d,\-]", ""), ",", "."
-    ).cast("double")
+    ).try_cast("double")
     is_debit = F.lit(False)
     for k in BANESTES_DEBIT_KEYWORDS:
         is_debit = is_debit | F.col("desc_txt").contains(k)
@@ -176,6 +176,276 @@ def build_inter(pages: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# bbmod1 — buffer-until-value record assembly (conversor_bbmod1.py:37-108)
+# via cumulative-sum segmentation + ordered-concat aggregation
+# ---------------------------------------------------------------------------
+
+BB1_START = r"^\d{2}/\d{2}/\d{2,4}"
+BB1_END = r"([\d\.,\s]+\(\s*[-+]\s*\))$"
+BB1_INNER = r"([\d\.,]+)\s*\(\s*([+-])\s*\)"
+BB1_SKIP = (
+    r"(?i)^(Lançamentos|Histórico|Saldo Anterior|Dia\s+Lote|Extrato de Conta Corrente"
+    r"|Cliente\s|Agência:|Total Aplicações|Informações Adicionais|SALDO"
+    r"|Informações Complementares)"
+)
+
+
+def _ordered_join(piece_struct: str = "line_no", piece: str = "piece") -> "F.Column":
+    """concat pieces in line order: array_join(sorted collect_list)."""
+    return F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(piece_struct, piece))),
+            lambda x: x[piece],
+        ),
+        " ",
+    )
+
+
+def build_bbmod1(pages: DataFrame) -> DataFrame:
+    lines = (
+        text_lines(pages)
+        .withColumn("line", F.trim("line"))
+        .filter((F.col("line") != "") & ~F.col("line").rlike(BB1_SKIP))
+    )
+    is_start = F.col("line").rlike(BB1_START)
+    lines = lines.withColumn("is_start", is_start).withColumn(
+        "seg", windows.segment_id(is_start, ["url"], "line_no")
+    ).filter(F.col("seg") >= 1)
+    # completion = first line in the segment carrying the '(±)' value at EOL;
+    # lines after it were consumed by the reset buffer → dropped.
+    is_end = F.col("line").rlike(BB1_END.rstrip("$") + "$")
+    wseg = Window.partitionBy("url", "seg")
+    lines = (
+        lines.withColumn("end_ln", F.min(F.when(is_end, F.col("line_no"))).over(wseg))
+        .filter(F.col("end_ln").isNotNull() & (F.col("line_no") <= F.col("end_ln")))
+    )
+    piece = F.when(
+        F.col("is_start"),
+        F.regexp_replace(
+            F.trim(F.regexp_replace("line", BB1_START, "")), r"^\s*\d+\s+[\d\w]+\s*", ""
+        ),
+    ).otherwise(F.col("line"))
+    recs = (
+        lines.withColumn("piece", piece)
+        .groupBy("url", "seg")
+        .agg(
+            F.max(F.when(F.col("is_start"), F.regexp_extract("line", BB1_START, 0))).alias("data"),
+            F.min("line_no").alias("rec_ln"),
+            _ordered_join().alias("joined"),
+        )
+    )
+    val_txt = F.regexp_extract("joined", BB1_END, 1)
+    num = F.regexp_extract(val_txt, BB1_INNER, 1)
+    sign = F.regexp_extract(val_txt, BB1_INNER, 2)
+    amount = F.trim(F.regexp_replace(F.translate(num, ".", ""), ",", ".")).try_cast("double")
+    valor = F.when(sign == "-", -amount).otherwise(amount)
+    desc = textops.squeeze_ws(F.regexp_replace("joined", BB1_END, ""))
+    return (
+        recs.withColumn("valor", F.coalesce(valor, F.lit(0.0)))
+        .withColumn("lancamento", desc)
+        .filter(F.col("valor") != 0.0)
+        .select("url", "rec_ln", "data", "lancamento", "valor")
+    )
+
+
+# ---------------------------------------------------------------------------
+# bbmod2 — dated-line-flush accumulation (conversor_bbmod2.py:24-73)
+# ---------------------------------------------------------------------------
+
+BB2_VALUE = r"([\d\.,]+\s[CD])"
+BB2_SKIP = r"(Lançamentos|Histórico|Saldo Anterior|SALDO|G336)"
+
+
+def build_bbmod2(pages: DataFrame) -> DataFrame:
+    lines = text_lines(pages)
+    is_start = F.col("line").rlike(BB1_START)
+    lines = (
+        lines.withColumn("is_start", is_start)
+        .withColumn("seg", windows.segment_id(is_start, ["url"], "line_no"))
+        .filter(F.col("seg") >= 1)
+        .filter(F.col("is_start") | ~F.col("line").rlike(BB2_SKIP))
+    )
+    date_tok = F.element_at(F.split("line", r"\s+"), 1)
+    values = F.regexp_extract_all("line", F.lit(BB2_VALUE), 1)
+    desc0 = F.trim(F.substr("line", F.length(date_tok) + 1))
+    desc0 = F.aggregate(
+        values, desc0, lambda acc, v: F.trim(F.replace(acc, v, F.lit("")))
+    )
+    piece = F.when(F.col("is_start"), desc0).otherwise(F.trim("line"))
+    recs = (
+        lines.withColumn("piece", piece)
+        .withColumn("date_tok", F.when(F.col("is_start"), date_tok))
+        .withColumn("vs", F.when(F.col("is_start") & (F.size(values) > 0), F.element_at(values, 1)))
+        .groupBy("url", "seg")
+        .agg(
+            F.max("date_tok").alias("data"),
+            F.max("vs").alias("vs"),
+            F.min("line_no").alias("rec_ln"),
+            _ordered_join().alias("joined"),
+        )
+    )
+    num = F.regexp_extract("vs", r"([\d\.,]+)\s*([CD])", 1)
+    cd = F.regexp_extract("vs", r"([\d\.,]+)\s*([CD])", 2)
+    amount = F.trim(F.regexp_replace(F.translate(num, ".", ""), ",", ".")).try_cast("double")
+    valor = F.coalesce(F.when(cd == "D", -amount).otherwise(amount), F.lit(0.0))
+    return (
+        recs.withColumn("valor", valor)
+        .withColumn("lancamento", textops.squeeze_ws(F.col("joined")))
+        .filter(~F.col("lancamento").contains("Saldo Anterior") & (F.col("valor") != 0.0))
+        .select("url", "rec_ln", "data", "lancamento", "valor")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sicoob1 — EOL C/D values with date carry (conversor_sicoobmod1.py:9-77)
+# ---------------------------------------------------------------------------
+
+SIC1_DATE = r"^(\d{2}/\d{2}/\d{4})"
+SIC1_VALUE = r"([\d\.,]+)([CD])$"
+
+
+def build_sicoob1(pages: DataFrame) -> DataFrame:
+    lines = text_lines(pages).filter(
+        ~F.col("line").contains("SALDO ANTERIOR")
+        & ~F.col("line").contains("SALDO DO DIA")
+        & ~F.col("line").contains("EXTRATO CONTA CORRENTE")
+    )
+    date_here = F.nullif(F.regexp_extract("line", SIC1_DATE, 1), F.lit(""))
+    lines = lines.withColumn("date_here", date_here).withColumn(
+        "data", windows.ffill(F.col("date_here"), ["url"], "line_no")
+    )
+    stripped = F.trim("line")
+    vstart = F.regexp_instr(stripped, F.lit(SIC1_VALUE))
+    has_value = F.col("line").rlike(SIC1_VALUE)
+    lanc = F.trim(F.substr(stripped, F.lit(1), vstart - 1))
+    lanc = F.when(
+        F.col("date_here").isNotNull(), F.trim(F.substr(lanc, F.length("date_here") + 1))
+    ).otherwise(lanc)
+    lanc = F.regexp_replace(lanc, r"^\S+\s", "")
+    body = F.translate(F.regexp_extract(stripped, SIC1_VALUE, 1), ".", "")
+    valor = F.when(
+        F.regexp_extract(stripped, SIC1_VALUE, 2) == "D", F.concat(F.lit("-"), body)
+    ).otherwise(body)
+    return (
+        lines.withColumn("lancamento", F.trim(lanc))
+        .withColumn("has_value", has_value)
+        .filter(F.col("has_value") & F.col("data").isNotNull() & (F.col("lancamento") != ""))
+        .select("url", "line_no", "data", "lancamento", valor.alias("valor"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# sicoob2 — section trims + block split before dd/mm (conversor_sicoobmod2.py)
+# ---------------------------------------------------------------------------
+
+SIC2_VALUE = r"(\d{1,3}(?:\.\d{3})*,\d{2}|\d+,\d{2}|\d+\.\d{2})\s*([CD])"
+
+
+def build_sicoob2(pages: DataFrame) -> DataFrame:
+    year = F.regexp_extract("text", r"PERÍODO: \d{2}/\d{2}/(\d{4})", 1)
+    year = F.when(year != "", year).otherwise(F.lit("1900"))
+    t = F.regexp_replace("text", r"(?s).*HISTÓRICO DE MOVIMENTAÇÃO\n", "")
+    t = F.regexp_replace(t, r"(?s)SALDO ANTERIOR.*?\n", "")
+    t = F.regexp_replace(t, r"(?s)\nRESUMO.*", "")
+    blocks = pages.select(
+        "url",
+        year.alias("year"),
+        F.posexplode(F.split(F.trim(t), r"\n(?=\d{2}/\d{2})")).alias("block_no", "block"),
+    )
+    flat = F.trim(F.regexp_replace(F.trim(F.regexp_replace("block", r"\n", " ")), r"\s{2,}", " "))
+    blocks = blocks.withColumn("flat", flat).filter(~F.col("flat").contains("SALDO DO DIA"))
+    has_val = F.col("flat").rlike(SIC2_VALUE)
+    has_date = F.col("flat").rlike(r"^\d{2}/\d{2}")
+    vfull = F.regexp_extract("flat", SIC2_VALUE, 0)
+    vnum = F.regexp_extract("flat", SIC2_VALUE, 1)
+    vcd = F.regexp_extract("flat", SIC2_VALUE, 2)
+    desc = F.trim(F.regexp_replace("flat", r"^\d{2}/\d{2}\s*", ""))
+    desc = F.trim(textops.remove_first_literal(desc, vfull))
+    desc = F.trim(F.regexp_replace(desc, r"\s{2,}", " "))
+    amount = F.regexp_replace(F.translate(vnum, ".", ""), ",", ".").try_cast("double")
+    valor = F.when(vcd == "D", -amount).otherwise(amount)
+    data = F.concat(F.regexp_extract("flat", r"^(\d{2}/\d{2})", 1), F.lit("/"), F.col("year"))
+    return (
+        blocks.filter(has_val & has_date)
+        .withColumn("lancamento", desc)
+        .filter(F.col("lancamento") != "")
+        .select("url", "block_no", data.alias("data"), "lancamento", valor.alias("valor"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# c6 — year sniff + dd/mm carry + EOL R$ values (conversor_c6.py)
+# ---------------------------------------------------------------------------
+
+C6_TXN = r"^(.*?)\s+(-?R\$\s?[\d\.,]+)$"
+
+
+def build_c6(pages: DataFrame) -> DataFrame:
+    year = F.coalesce(
+        F.nullif(F.regexp_extract("text", r"(?U)Período \d{1,2} de \w+ de (\d{4})", 1), F.lit("")),
+        F.nullif(F.regexp_extract("text", r"(?U)exportado no dia \d{1,2} de \w+ de (\d{4})", 1), F.lit("")),
+    )
+    pages = pages.withColumn("year", year).filter(F.col("year").isNotNull())
+    lines = pages.select(
+        "url", "year", F.posexplode(F.split(F.col("text"), "\n")).alias("line_no", "line")
+    ).withColumn("line", F.trim("line"))
+    lines = lines.filter(
+        (F.col("line") != "")
+        & ~F.col("line").contains("Saldo do dia")
+        & ~F.col("line").contains("Data Lançamento")
+    )
+    dm = F.regexp_extract("line", r"^(\d{2}/\d{2})", 1)
+    day = F.substring(dm, 1, 2).try_cast("int")
+    month = F.substring(dm, 4, 2).try_cast("int")
+    date_here = F.when(
+        (dm != "") & month.between(1, 12) & day.between(1, 31),
+        F.concat(dm, F.lit("/"), F.col("year")),
+    )
+    lines = lines.withColumn("data", windows.ffill(date_here, ["url"], "line_no"))
+    has_txn = F.col("line").rlike(C6_TXN)
+    desc = F.trim(F.regexp_replace(F.trim(F.regexp_extract("line", C6_TXN, 1)), r"^\d{2}/\d{2}\s*", ""))
+    val_txt = F.regexp_extract("line", C6_TXN, 2)
+    body = F.regexp_replace(F.regexp_replace(val_txt, r"[^\d,]", ""), ",", ".").try_cast("double")
+    amount = F.coalesce(body, F.lit(0.0))
+    amount = F.when(val_txt.contains("-"), -F.abs(amount)).otherwise(amount)
+    recs = (
+        lines.withColumn("has_txn", has_txn)
+        .withColumn("lancamento", desc)
+        .withColumn("valor", amount)
+        .filter(
+            F.col("has_txn")
+            & F.col("data").isNotNull()
+            & (F.col("lancamento") != "")
+            & (F.col("valor") != 0.0)
+        )
+    )
+    # drop_duplicates keep-first (conversor_c6.py:94): min line_no per key
+    return (
+        recs.groupBy("url", "data", "lancamento", "valor")
+        .agg(F.min("line_no").alias("rec_ln"))
+        .select("url", "rec_ln", "data", "lancamento", "valor")
+    )
+
+
+# ---------------------------------------------------------------------------
+# santander — sequential per-doc state machine (operators/statemachines.py)
+# ---------------------------------------------------------------------------
+
+def build_santander(pages: DataFrame) -> DataFrame:
+    from pdf_table_extractor_spark.operators.statemachines import santander_records
+
+    recs = pages.select("url", F.posexplode(santander_records("text")).alias("row_no", "r"))
+    return recs.select(
+        "url",
+        "row_no",
+        F.col("r.data").alias("data"),
+        F.col("r.lancamento").alias("lancamento"),
+        F.col("r.valor").alias("valor"),
+        F.col("r.documento").alias("documento"),
+    )
+
+
+# ---------------------------------------------------------------------------
 
 PROFILES: dict[str, Profile] = {
     "banestes": Profile(
@@ -215,5 +485,64 @@ PROFILES: dict[str, Profile] = {
             order_by=["line_no"],
         ),
         emit_empty=True,
+    ),
+    "bbmod1": Profile(
+        "bbmod1",
+        build_bbmod1,
+        Sink(
+            columns=["Data", "Lançamento", "Valor"],
+            source_cols=["data", "lancamento", "valor"],
+            order_by=["rec_ln"],
+            float_cols=["Valor"],
+        ),
+    ),
+    "bbmod2": Profile(
+        "bbmod2",
+        build_bbmod2,
+        Sink(
+            columns=["Data", "Lançamento", "Valor"],
+            source_cols=["data", "lancamento", "valor"],
+            order_by=["rec_ln"],
+            float_cols=["Valor"],
+        ),
+    ),
+    "sicoob1": Profile(
+        "sicoob1",
+        build_sicoob1,
+        Sink(
+            columns=["Data", "Lancamento", "Valor"],
+            source_cols=["data", "lancamento", "valor"],
+            order_by=["line_no"],
+        ),
+    ),
+    "sicoob2": Profile(
+        "sicoob2",
+        build_sicoob2,
+        Sink(
+            columns=["Data", "Lancamento", "Valor"],
+            source_cols=["data", "lancamento", "valor"],
+            order_by=["block_no"],
+            float_cols=["Valor"],
+        ),
+    ),
+    "c6": Profile(
+        "c6",
+        build_c6,
+        Sink(
+            columns=["Data", "Lançamento", "Valor"],
+            source_cols=["data", "lancamento", "valor"],
+            order_by=["rec_ln"],
+            float_cols=["Valor"],
+        ),
+    ),
+    "santander": Profile(
+        "santander",
+        build_santander,
+        Sink(
+            columns=["Data", "Lançamento", "Valor", "Documento"],
+            source_cols=["data", "lancamento", "valor", "documento"],
+            order_by=["row_no"],
+            float_cols=["Valor"],
+        ),
     ),
 }

@@ -166,11 +166,214 @@ def gen_inter(rng: random.Random):
     return lines, None, [], None
 
 
+def gen_bbmod1(rng: random.Random):
+    """Buffer-until-value record assembly (conversor_bbmod1.py:64-103):
+    dated line opens a record, description lines accumulate until a
+    '1.234,56 (+)' value closes it; skip-words and orphan lines interleave."""
+    lines = [
+        "Extrato de Conta Corrente",
+        "Cliente ACME LTDA",
+        "Agência: 1234-5",
+        "SALDO ANTERIOR",
+    ]
+    for _ in range(rng.randint(3, 30)):
+        d = f"{rng.randint(1, 28):02d}/{rng.randint(1, 12):02d}/{rng.choice(['2024', '24'])}"
+        docnum = f"{rng.randint(1, 999)} {rng.choice(['A1B2', '77', 'XZ9'])} " if rng.random() < 0.5 else ""
+        desc = rng.choice(DESC_CREDIT + DESC_DEBIT).replace(";", "")
+        sign = rng.choice(["(+)", "(-)", "( + )", "( - )"])
+        amt = _br_amount(rng) if rng.random() > 0.05 else "0,00"
+        n_cont = rng.randint(0, 3)
+        if n_cont == 0:
+            lines.append(f"{d} {docnum}{desc} {amt} {sign}")
+        else:
+            lines.append(f"{d} {docnum}{desc}")
+            for j in range(n_cont - 1):
+                lines.append(f"continuacao pedido {rng.randint(1, 99)}")
+            lines.append(f"referencia final {amt} {sign}")
+        if rng.random() < 0.25:
+            lines.append(rng.choice(["Histórico", "SALDO EM CONTA", "Total Aplicações"]))
+        if rng.random() < 0.15:
+            lines.append("linha orfa ignorada apos fechamento")
+    if rng.random() < 0.3:
+        lines.append(f"{rng.randint(1, 28):02d}/01/2024 registro sem valor final")
+    return lines, None, [], None
+
+
+def gen_bbmod2(rng: random.Random):
+    """Dated-line-flush accumulation (conversor_bbmod2.py:36-65): value
+    '1.234,56 C' sits on the dated line (first of possibly several), extra
+    description lines follow until the next dated line."""
+    lines = ["Extrato BB Modelo 2", "Lançamentos do periodo"]
+    for _ in range(rng.randint(3, 30)):
+        d = f"{rng.randint(1, 28):02d}/{rng.randint(1, 12):02d}/{rng.choice(['2024', '24'])}"
+        desc = rng.choice(DESC_CREDIT + DESC_DEBIT).replace(";", "")
+        cd = rng.choice(["C", "D"])
+        r = rng.random()
+        if r < 0.12:
+            lines.append(f"{d} Saldo Anterior {_br_amount(rng)} {cd}")
+        elif r < 0.2:
+            lines.append(f"{d} {desc}")  # no value → Valor 0.0 → filtered
+        elif r < 0.3:
+            lines.append(
+                f"{d} {desc} {_br_amount(rng)} {cd} {_br_amount(rng)} {rng.choice('CD')}"
+            )
+        else:
+            lines.append(f"{d} {desc} {_br_amount(rng)} {cd}")
+        for _ in range(rng.randint(0, 2)):
+            if rng.random() < 0.3:
+                lines.append(rng.choice(["Histórico", "SALDO PARCIAL", "G336"]))
+            else:
+                lines.append(f"complemento {rng.randint(100, 999)}")
+    return lines, None, [], None
+
+
+def gen_sicoob1(rng: random.Random):
+    """Per-line '1.234,56D' EOL values with date carry
+    (conversor_sicoobmod1.py): docnum token stripped from description."""
+    lines = ["EXTRATO CONTA CORRENTE", "Cooperativa 4321"]
+    for _ in range(rng.randint(4, 35)):
+        d = f"{rng.randint(1, 28):02d}/{rng.randint(1, 12):02d}/2024"
+        desc = rng.choice(DESC_CREDIT + DESC_DEBIT).replace(";", "")
+        cd = rng.choice(["C", "D"])
+        r = rng.random()
+        if r < 0.12:
+            lines.append(f"SALDO DO DIA {_br_amount(rng)}{cd}")
+        elif r < 0.2:
+            lines.append(d)  # bare date line, just updates the carry
+        elif r < 0.45:
+            # carried-date line: docnum + desc + value, no date
+            lines.append(f"{rng.randint(100000, 999999)} {desc} {_br_amount(rng)}{cd}")
+        else:
+            lines.append(f"{d} {rng.randint(100000, 999999)} {desc} {_br_amount(rng)}{cd}")
+    return lines, None, [], None
+
+
+def gen_sicoob2(rng: random.Random):
+    """Block-split profile (conversor_sicoobmod2.py): year from PERÍODO
+    header, section trims, blocks split before dd/mm, 1-3 line blocks."""
+    year = rng.choice([2023, 2024])
+    lines = [
+        "COOPERATIVA SICOOB",
+        f"PERÍODO: 01/02/{year} A 28/02/{year}",
+        "dados cadastrais diversos",
+        "HISTÓRICO DE MOVIMENTAÇÃO",
+        f"SALDO ANTERIOR {_br_amount(rng)} C",
+    ]
+    for _ in range(rng.randint(3, 25)):
+        d = f"{rng.randint(1, 28):02d}/{rng.randint(1, 12):02d}"
+        desc = rng.choice(DESC_CREDIT + DESC_DEBIT).replace(";", "").upper()
+        cd = rng.choice(["C", "D"])
+        toks = desc.split(" ")
+        if rng.random() < 0.5 and len(toks) > 1:
+            k = rng.randint(1, len(toks) - 1)
+            lines.append(f"{d} {' '.join(toks[:k])}")
+            lines.append(f"{' '.join(toks[k:])}  {_br_amount(rng)} {cd}")
+        else:
+            lines.append(f"{d} {desc} {_br_amount(rng)} {cd}")
+        if rng.random() < 0.2:
+            lines.append(f"SALDO DO DIA {_br_amount(rng)} C")
+    lines += ["RESUMO", "totais do periodo 99.999,99"]
+    return lines, None, [], None
+
+
+def gen_c6(rng: random.Random):
+    """Year sniff + dd/mm carry + EOL R$ values (conversor_c6.py); exact
+    duplicate rows injected to exercise drop_duplicates."""
+    year = rng.choice([2023, 2024])
+    month_name = rng.choice(PT_MONTH_NAMES)
+    lines = [
+        f"Período 1 de {month_name} de {year}",
+        "Data Lançamento Valor",
+    ]
+    prev = None
+    for _ in range(rng.randint(4, 30)):
+        d = f"{rng.randint(1, 28):02d}/{rng.randint(1, 12):02d}"
+        desc = rng.choice(DESC_CREDIT + DESC_DEBIT).replace(";", "")
+        sign = "-" if rng.random() < 0.35 else ""
+        r = rng.random()
+        if r < 0.1:
+            lines.append(f"Saldo do dia R$ {_br_amount(rng)}")
+        elif r < 0.18:
+            lines.append("32/13 data invalida aqui")  # month 13 → no carry
+        elif r < 0.3:
+            lines.append(d)  # bare valid date
+        else:
+            line = f"{d} {desc} {sign}R$ {_br_amount(rng)}"
+            lines.append(line)
+            prev = line
+        if prev and rng.random() < 0.12:
+            lines.append(prev)  # exact duplicate
+    return lines, None, [], None
+
+
+SANT_DEBIT_DESCS = [
+    "PAGAMENTO BOLETO FORNECEDOR", "PIX ENVIADO LOJA CENTRO", "TARIFA MENSALIDADE",
+    "TRIBUTO ESTADUAL PARCELA", "TELEFONE CONTA MENSAL", "ESTORNO COMPRA CANCELADO",
+]
+SANT_CREDIT_DESCS = [
+    "PIX RECEBIDO CLIENTE A", "TED RECEBIDA EMPRESA", "DEPOSITO CHEQUE",
+    "CREDITO VENDAS CARTAO", "RESGATE POUPANCA",
+]
+
+
+def gen_santander(rng: random.Random):
+    """Section-gated sequential profile (conversor_santander.py): preamble
+    junk, 'Movimentação' start marker with header-skip paths, ≤2-line
+    lookahead joins, glued docnum+value, trailing-hyphen debits."""
+    lines = [
+        "SANTANDER EXTRATO MENSAL",
+        "Agencia 0001 Conta 12345",
+        f"Saldo informativo 9.999,99",  # value in preamble: must NOT extract
+    ]
+    lines.append("Movimentação")
+    gate = rng.random()
+    if gate < 0.4:
+        lines.append(f"SALDO ANTERIOR {_br_amount(rng)}")
+    elif gate < 0.7:
+        # direct date line after marker (data_inicio path)
+        pass
+    else:
+        lines += ["Data Descricao Documento Valor", "cabecalho extra"]
+    for _ in range(rng.randint(3, 25)):
+        debit = rng.random() < 0.45
+        desc = rng.choice(SANT_DEBIT_DESCS if debit else SANT_CREDIT_DESCS)
+        d = f"{rng.randint(1, 28):02d}/{rng.randint(1, 12):02d}"
+        if rng.random() < 0.5:
+            d += f"/{rng.choice(['2024', '24'])}"
+        amt = _br_amount(rng)
+        hyphen = "-" if (debit and rng.random() < 0.7) else ""
+        docnum = str(rng.randint(100000, 99999999))
+        r = rng.random()
+        if r < 0.3:
+            lines.append(f"{d} {desc} {docnum} {amt}{hyphen}")
+        elif r < 0.45:
+            lines.append(f"{d} {desc} {docnum}{amt}{hyphen}")  # glued doc+value
+        elif r < 0.7:
+            toks = desc.split(" ")
+            k = rng.randint(1, len(toks) - 1)
+            lines.append(f"{d} {' '.join(toks[:k])}")
+            lines.append(f"{' '.join(toks[k:])} {docnum} {amt}{hyphen}")
+        else:
+            lines.append(f"{d} {desc} {amt}{hyphen}")
+        if rng.random() < 0.12:
+            sd = f"{rng.randint(1, 28):02d}/{rng.randint(1, 12):02d}/2024"
+            lines.append(f"SALDO EM {sd} {_br_amount(rng)}")
+    lines.append("EXTRATO CONSOLIDADO")
+    lines += ["informacoes finais sem numeros", "atendimento 0800"]
+    return lines, None, [], None
+
+
 GENERATORS = {
     "banestes": gen_banestes,
     "pagbank": gen_pagbank,
     "cef": gen_cef,
     "inter": gen_inter,
+    "bbmod1": gen_bbmod1,
+    "bbmod2": gen_bbmod2,
+    "sicoob1": gen_sicoob1,
+    "sicoob2": gen_sicoob2,
+    "c6": gen_c6,
+    "santander": gen_santander,
 }
 
 NOISE_LANGS = ["en", "es", "de"]
@@ -217,11 +420,14 @@ def make_doc(profile: str, doc_id: int, seed: int = 42) -> dict:
 def doc_plan(n_docs: int, profiles: list[str] | None = None, noise_frac: float = 0.1):
     """Deterministic (profile, doc_id) assignment for doc_id in [0, n_docs)."""
     profiles = profiles or list(GENERATORS)
+    k = 0  # independent round-robin counter so no profile aligns with the
+    # noise stride (with len(profiles) == the stride they'd collide)
     for doc_id in range(n_docs):
         if noise_frac > 0 and doc_id % max(1, round(1 / noise_frac)) == 0:
             yield "noise", doc_id
         else:
-            yield profiles[doc_id % len(profiles)], doc_id
+            yield profiles[k % len(profiles)], doc_id
+            k += 1
 
 
 def synth_pandas(

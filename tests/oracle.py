@@ -124,11 +124,302 @@ def oracle_inter(text: str, html: bytes) -> bytes | None:
     return _csv_bytes(df, sep=";")
 
 
+def oracle_bbmod1(text: str, html: bytes) -> bytes | None:
+    """Mirrors conversor_bbmod1.py:37-108 + sink :162 (buffer-until-value)."""
+    start_pat = re.compile(r"^\d{2}/\d{2}/\d{2,4}")
+    end_pat = re.compile(r"([\d\.,\s]+\(\s*[-+]\s*\))$")
+    skip_pat = re.compile(
+        r"^(Lançamentos|Histórico|Saldo Anterior|Dia\s+Lote|Extrato de Conta Corrente"
+        r"|Cliente\s|Agência:|Total Aplicações|Informações Adicionais|SALDO"
+        r"|Informações Complementares)",
+        re.IGNORECASE,
+    )
+    inner_pat = re.compile(r"([\d\.,]+)\s*\(\s*([+-])\s*\)")
+
+    rows = []
+    cur_date, pieces = None, []
+    for line in text.split("\n"):
+        line = line.strip()
+        if not line or skip_pat.search(line):
+            continue
+        if start_pat.search(line):
+            cur_date = start_pat.search(line).group(0)
+            first = start_pat.sub("", line).strip()
+            first = re.sub(r"^\s*\d+\s+[\d\w]+\s*", "", first)
+            pieces = [first]
+        elif cur_date:
+            pieces.append(line)
+        if cur_date:
+            joined = " ".join(pieces)
+            m = end_pat.search(joined)
+            if m:
+                val_txt = m.group(1)
+                desc = re.sub(r"\s+", " ", end_pat.sub("", joined).strip())
+                im = inner_pat.search(val_txt)
+                amount = 0.0
+                if im:
+                    amount = float(im.group(1).replace(".", "").replace(",", ".").strip())
+                    if im.group(2) == "-":
+                        amount *= -1
+                if amount != 0.0:
+                    rows.append({"Data": cur_date, "Lançamento": desc, "Valor": amount})
+                cur_date, pieces = None, []
+    if not rows:
+        return None
+    return _csv_bytes(pd.DataFrame(rows), sep=";", decimal=",")
+
+
+def oracle_bbmod2(text: str, html: bytes) -> bytes | None:
+    """Mirrors conversor_bbmod2.py:24-73 + sink :91 (dated-line flush)."""
+    start_pat = re.compile(r"^\d{2}/\d{2}/\d{2,4}")
+    value_pat = re.compile(r"([\d\.,]+\s[CD])")
+    inner_pat = re.compile(r"([\d\.,]+)\s*([CD])")
+    skip_pat = re.compile(r"(Lançamentos|Histórico|Saldo Anterior|SALDO|G336)")
+
+    def parse_val(v):
+        if not v:
+            return 0.0
+        m = inner_pat.search(v)
+        if not m:
+            return 0.0
+        x = float(m.group(1).replace(".", "").replace(",", ".").strip())
+        return -x if m.group(2) == "D" else x
+
+    rows = []
+    cur = None
+    for line in text.split("\n"):
+        if start_pat.search(line):
+            if cur is not None and cur.get("Valor") is not None:
+                cur["Lançamento"] = re.sub(r"\s+", " ", " ".join(cur["Lançamento"]).strip())
+                rows.append(cur)
+            date_tok = line.split()[0]
+            found = value_pat.findall(line)
+            vs = found[0] if found else None
+            desc0 = line.replace(date_tok, "", 1).strip()
+            for v in found:
+                desc0 = desc0.replace(v, "").strip()
+            cur = {"Data": date_tok, "Lançamento": [desc0], "Valor": parse_val(vs)}
+        elif cur is not None:
+            if not skip_pat.search(line):
+                cur["Lançamento"].append(line.strip())
+    if cur is not None and cur.get("Valor") is not None:
+        cur["Lançamento"] = re.sub(r"\s+", " ", " ".join(cur["Lançamento"]).strip())
+        rows.append(cur)
+    if not rows:
+        return None
+    df = pd.DataFrame(rows)
+    df = df[~df["Lançamento"].str.contains("Saldo Anterior", na=False)]
+    df = df[df["Valor"] != 0.0]
+    if df.empty:
+        # reference: empty-after-filter df still written? no — `.empty` check
+        # in iniciar_processamento treats it as an error (no file)
+        return None
+    return _csv_bytes(df, sep=";", decimal=",")
+
+
+def oracle_sicoob1(text: str, html: bytes) -> bytes | None:
+    """Mirrors conversor_sicoobmod1.py:9-77 + sink :97 (EOL C/D values,
+    date carry, docnum strip; string-form values)."""
+    date_pat = re.compile(r"^(\d{2}\/\d{2}\/\d{4})")
+    value_pat = re.compile(r"([\d\.,]+)([CD])$")
+    rows = []
+    cur_date = None
+    for line in text.split("\n"):
+        if "SALDO ANTERIOR" in line or "SALDO DO DIA" in line or "EXTRATO CONTA CORRENTE" in line:
+            continue
+        dm = date_pat.search(line)
+        if dm:
+            cur_date = dm.group(1)
+        vm = value_pat.search(line.strip())
+        if vm and cur_date:
+            val_orig = f"{vm.group(1)}{vm.group(2)}"
+            lanc = line[: vm.start()].strip()
+            if dm:
+                lanc = lanc[dm.end():].strip()
+            lanc = re.sub(r"^\S+\s", "", lanc, count=1)
+            if lanc:
+                rows.append([cur_date, lanc.strip(), val_orig])
+    if not rows:
+        return None
+    df = pd.DataFrame(rows, columns=["Data", "Lancamento", "Valor_Original"])
+
+    def fmt(v):
+        is_d = v.endswith("D")
+        body = v[:-1].replace(".", "")
+        return "-" + body if is_d else body
+
+    df["Valor"] = df["Valor_Original"].apply(fmt)
+    return _csv_bytes(df[["Data", "Lancamento", "Valor"]], sep=";")
+
+
+def oracle_sicoob2(text: str, html: bytes) -> bytes | None:
+    """Mirrors conversor_sicoobmod2.py:10-73 + sink :93 (year sniff, section
+    trims, block split before dd/mm)."""
+    ym = re.search(r"PERÍODO: \d{2}\/\d{2}\/(\d{4})", text)
+    year = ym.group(1) if ym else "1900"
+    t = re.sub(r".*HISTÓRICO DE MOVIMENTAÇÃO\n", "", text, flags=re.DOTALL)
+    t = re.sub(r"SALDO ANTERIOR.*?\n", "", t, flags=re.DOTALL)
+    t = re.sub(r"\nRESUMO.*", "", t, flags=re.DOTALL)
+    rows = []
+    for block in re.split(r"\n(?=\d{2}/\d{2})", t.strip()):
+        flat = re.sub(r"\s{2,}", " ", block.replace("\n", " ").strip())
+        if "SALDO DO DIA" in flat:
+            continue
+        vm = re.search(r"(\d{1,3}(?:\.\d{3})*,\d{2}|\d+,\d{2}|\d+\.\d{2})\s*([CD])", flat)
+        dm = re.match(r"(\d{2}/\d{2})", flat)
+        if dm and vm:
+            date = f"{dm.group(1)}/{year}"
+            desc = re.sub(r"^\d{2}/\d{2}\s*", "", flat).strip()
+            desc = desc.replace(vm.group(0), "", 1).strip()
+            desc = re.sub(r"\s{2,}", " ", desc).strip()
+            amount = float(vm.group(1).replace(".", "").replace(",", "."))
+            if vm.group(2) == "D":
+                amount *= -1
+            if desc:
+                rows.append([date, desc, amount])
+    if not rows:
+        return None
+    df = pd.DataFrame(rows, columns=["Data", "Lancamento", "Valor"])
+    df["Data"] = pd.to_datetime(df["Data"], format="%d/%m/%Y").dt.strftime("%d/%m/%Y")
+    return _csv_bytes(df, sep=";", decimal=",")
+
+
+def oracle_c6(text: str, html: bytes) -> bytes | None:
+    """Mirrors conversor_c6.py:10-94 + sink :119-120 (year sniff, dd/mm
+    carry with validity check, EOL R$ values, drop_duplicates)."""
+    ym = re.search(r"Período \d{1,2} de \w+ de (\d{4})", text) or re.search(
+        r"exportado no dia \d{1,2} de \w+ de (\d{4})", text
+    )
+    if not ym:
+        return None  # reference raises ValueError → error dialog, no file
+    year = ym.group(1)
+    rows = []
+    cur_date = None
+    for line in text.split("\n"):
+        line = line.strip()
+        if not line or "Saldo do dia" in line or "Data Lançamento" in line:
+            continue
+        dm = re.match(r"(\d{2}/\d{2})", line)
+        if dm:
+            day, month = dm.group(1).split("/")
+            if 1 <= int(month) <= 12 and 1 <= int(day) <= 31:
+                cur_date = f"{dm.group(1)}/{year}"
+        tm = re.search(r"^(.*?)\s+(-?R\$\s?[\d\.,]+)$", line)
+        if cur_date and tm:
+            desc, val_txt = tm.groups()
+            desc = re.sub(r"^\d{2}/\d{2}\s*", "", desc.strip()).strip()
+            neg = "-" in val_txt
+            body = re.sub(r"[^\d,]", "", val_txt).replace(",", ".")
+            try:
+                amount = float(body)
+            except ValueError:
+                amount = 0.0
+            if neg:
+                amount = -abs(amount)
+            if desc and amount != 0.0:
+                rows.append({"Data": cur_date, "Lançamento": desc, "Valor": amount})
+    if not rows:
+        return None
+    df = pd.DataFrame(rows).drop_duplicates().reset_index(drop=True)
+    df["Data"] = pd.to_datetime(df["Data"], format="%d/%m/%Y").dt.strftime("%d/%m/%Y")
+    return _csv_bytes(df, sep=";", decimal=",")
+
+
+SANT_KEYWORDS = [
+    "boleto", "outros bancos", "aplicacao", "pix enviado", "transferência enviada",
+    "tarifa", "comercial", "tributo", "estadual", "esgoto", "telefone", "devolvido",
+    "cancelado", "estorno", "distribuidora", "fornecedores", "darf", "celular",
+]
+
+
+def oracle_santander(text: str, html: bytes) -> bytes | None:
+    """Mirrors conversor_santander.py:18-161 (gate + lookahead joins +
+    glued docnum fix + keyword/hyphen signs + post-hoc cleanup)."""
+    value_pat = re.compile(r"(\d{1,3}(?:\.\d{3})*,\d{2}-?)")
+    date_pat = re.compile(r"^(\d{2}/\d{2}(?:/\d{2,4})?)\b")
+    rows = []
+    cur_date = ""
+    started = False
+    lines = text.split("\n")
+    idx = 0
+    while idx < len(lines):
+        base = lines[idx].strip()
+        if "Movimentação" in base:
+            started = True
+            for skip_idx in range(idx + 1, min(idx + 4, len(lines))):
+                if re.match(r"^\s*SALDO (ANTERIOR|EM \d{2}/\d{2}/\d{4})", lines[skip_idx].strip().upper()):
+                    idx = skip_idx + 1
+                    break
+                if date_pat.match(lines[skip_idx].strip()):
+                    idx = skip_idx
+                    break
+            else:
+                idx += 2
+            continue
+        if not started or ("EXTRATO CONSOLIDADO" in base and not date_pat.match(base)):
+            idx += 1
+            continue
+        # lookahead join (preparar_linha)
+        joined = lines[idx].strip().replace("\t", " ")
+        used = 1
+        for off in (1, 2):
+            if idx + off < len(lines):
+                extra = lines[idx + off].strip().replace("\t", " ")
+                if (
+                    not re.search(r"\d{1,3}(?:\.\d{3})*,\d{2}-?", joined)
+                    and not date_pat.match(extra)
+                    and extra
+                ):
+                    joined += " " + extra
+                    used += 1
+                else:
+                    break
+            else:
+                break
+        joined = re.sub(r"(\d{6,})(\d{1,3}(?:\.\d{3})*,\d{2}-?)", r"\1 \2", joined)
+        dm = date_pat.match(joined)
+        if dm:
+            cur_date = dm.group(1)
+            joined = date_pat.sub("", joined, 1).strip()
+        if cur_date:
+            vm = value_pat.search(joined)
+            if vm:
+                raw = vm.group(1)
+                lanc = joined[: joined.rfind(raw)].strip()
+                docm = re.search(r"(\d{6,})(?:\s+|\s*-\s*)?" + re.escape(raw), joined)
+                doc = docm.group(1) if docm else ""
+                low = lanc.lower()
+                if any(k in low for k in SANT_KEYWORDS):
+                    val = "-" + raw.replace("-", "").rstrip("-")
+                else:
+                    val = "-" + raw[:-1] if raw.endswith("-") else raw
+                rows.append([cur_date, lanc, val, doc])
+        idx += used
+    if not rows:
+        return None
+    df = pd.DataFrame(rows, columns=["Data", "Lançamento", "Valor", "Documento"])
+    df["Valor"] = df["Valor"].apply(
+        lambda s: float(s.replace(".", "").replace(",", "."))
+    )
+    df.drop_duplicates(inplace=True)
+    df = df[~df["Lançamento"].str.contains("SALDO ANTERIOR", case=False, na=False)]
+    df = df[~df["Lançamento"].str.match(r"^\s*SALDO EM \d{2}/\d{2}(?:/\d{2,4})?\s*$", case=False, na=False)]
+    if df.empty:
+        return None
+    return _csv_bytes(df, sep=";", decimal=",")
+
+
 ORACLES = {
     "banestes": oracle_banestes,
     "pagbank": oracle_pagbank,
     "cef": oracle_cef,
     "inter": oracle_inter,
+    "bbmod1": oracle_bbmod1,
+    "bbmod2": oracle_bbmod2,
+    "sicoob1": oracle_sicoob1,
+    "sicoob2": oracle_sicoob2,
+    "c6": oracle_c6,
+    "santander": oracle_santander,
 }
 
 
