@@ -23,6 +23,10 @@ from pyspark.sql import DataFrame
 OUT_SCHEMA = "url string, profile string, n_rows int, csv binary"
 
 
+import csv as _csv
+from typing import Callable
+
+
 @dataclass(frozen=True)
 class Sink:
     """Per-profile CSV sink config (mirrors each converter's to_csv call)."""
@@ -35,19 +39,26 @@ class Sink:
     float_cols: list[str] = field(default_factory=list)  # render as float64
     utf8_sig: bool = True
     emit_empty: bool = False  # reference writes header-only file for 0 rows
+    quoting: int = _csv.QUOTE_MINIMAL
+    # Optional custom (sorted records pdf) -> render-ready output DataFrame,
+    # for profiles with data-dependent column typing (caixa date fallback).
+    prepare: Callable[[pd.DataFrame], pd.DataFrame] | None = None
 
 
 def render_csv(pdf: pd.DataFrame, sink: Sink) -> bytes:
-    out = pd.DataFrame()
-    for name, src in zip(sink.columns, sink.source_cols):
-        col = pdf[src]
-        if name in sink.float_cols or src in sink.float_cols:
-            col = col.astype("float64")
-        else:
-            col = col.astype(object).where(col.notna(), None)
-        out[name] = col
+    if sink.prepare is not None:
+        out = sink.prepare(pdf)
+    else:
+        out = pd.DataFrame()
+        for name, src in zip(sink.columns, sink.source_cols):
+            col = pdf[src]
+            if name in sink.float_cols or src in sink.float_cols:
+                col = col.astype("float64")
+            else:
+                col = col.astype(object).where(col.notna(), None)
+            out[name] = col
     buf = io.StringIO()
-    out.to_csv(buf, index=False, sep=sink.sep, decimal=sink.decimal)
+    out.to_csv(buf, index=False, sep=sink.sep, decimal=sink.decimal, quoting=sink.quoting)
     body = buf.getvalue().encode("utf-8")
     return (b"\xef\xbb\xbf" + body) if sink.utf8_sig else body
 

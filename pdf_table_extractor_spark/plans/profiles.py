@@ -428,6 +428,162 @@ def build_c6(pages: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# caixa — 3-pattern cascade with per-doc date-format sniff (conversor_caixa.py)
+# ---------------------------------------------------------------------------
+
+CAIXA_FMTS = [
+    ("dmy", r"\d{2}/\d{2}/\d{4}", "dd/MM/yyyy"),
+    ("iso", r"\d{4}-\d{2}-\d{2}", "yyyy-MM-dd"),
+    ("ymd", r"\d{4}/\d{2}/\d{2}", "yyyy/MM/dd"),
+    ("dot", r"\d{2}\.\d{2}\.\d{4}", "dd.MM.yyyy"),
+]
+CAIXA_SKIP = ["SALDO DIA", "SALDO ANTERIOR", "TOTAL", "Data Mov", "Histórico", "Valor"]
+
+
+def _caixa_branch(datepat: str):
+    """(matched, data, desc, bal) struct for one date-format's 3-pattern
+    cascade, with the reference's skip-word-continues-to-next-pattern quirk
+    (conversor_caixa.py:138-185)."""
+    line = F.col("line")
+    p1 = rf"({datepat})\s+(\d+|\w+)\s+(.*?)\s+([\d\.,]+\s*[DC]?)\s+([\d\.,]+\s*[DC]?)"
+    p2 = rf"({datepat})\s+(.*?)\s+([\d\.,]+\s*[DC]?)\s+([\d\.,]+\s*[DC]?)"
+    p3 = rf"({datepat})(.+)"
+
+    def skip(desc):
+        cond = F.lit(False)
+        for w in CAIXA_SKIP:
+            cond = cond | desc.contains(w)
+        return cond
+
+    d1, desc1, bal1 = (
+        F.regexp_extract(line, p1, 1),
+        F.trim(F.regexp_extract(line, p1, 3)),
+        F.trim(F.regexp_extract(line, p1, 5)),
+    )
+    d2, desc2, bal2 = (
+        F.regexp_extract(line, p2, 1),
+        F.trim(F.regexp_extract(line, p2, 2)),
+        F.trim(F.regexp_extract(line, p2, 4)),
+    )
+    d3 = F.regexp_extract(line, p3, 1)
+    rest = F.trim(F.regexp_extract(line, p3, 2))
+    balm = F.regexp_extract(rest, r"([\d\.,]+\s*[DC]?)\s*$", 1)
+    bal3 = F.trim(balm)
+    # desc = rest.rsplit(bal, 1)[0].strip() — split at the LAST occurrence,
+    # located via reverse+instr (the balance is an end-anchored match).
+    rpos = F.instr(F.reverse(rest), F.reverse(bal3))
+    last_start = F.length(rest) - rpos - F.length(bal3) + 2
+    desc3 = F.when(
+        balm != "", F.trim(F.substr(rest, F.lit(1), last_start - 1))
+    ).otherwise(rest)
+    bal3_out = F.when(balm != "", bal3).otherwise(F.lit("Não identificado"))
+
+    mk = lambda d, h, b: F.struct(d.alias("d"), h.alias("h"), b.alias("b"))  # noqa: E731
+    return (
+        F.when(line.rlike(p1) & ~skip(desc1), mk(d1, desc1, bal1))
+        .when(line.rlike(p2) & ~skip(desc2), mk(d2, desc2, bal2))
+        .when(line.rlike(p3) & ~skip(desc3), mk(d3, desc3, bal3_out))
+    )
+
+
+def build_caixa(pages: DataFrame) -> DataFrame:
+    fmt = F.lit(None).cast("string")
+    for key, pat, _ in reversed(CAIXA_FMTS):
+        fmt = F.when(F.col("text").rlike(pat), F.lit(key)).otherwise(fmt)
+    # NB: reference checks dd/mm first (its MM/DD branch is an identical
+    # regex — dead code, SURVEY §2.8) so the when-chain order above (first
+    # match wins after reversal) mirrors conversor_caixa.py:46-67.
+    pages = pages.withColumn("fmt", fmt).filter(F.col("fmt").isNotNull())
+    lines = pages.select(
+        "url", "fmt", F.posexplode(F.split("text", "\n")).alias("line_no", "line")
+    ).withColumn("line", F.trim("line"))
+
+    rec = F.lit(None)
+    parsed = F.lit(None).cast("date")
+    has_date = F.lit(False)
+    for key, pat, java_fmt in CAIXA_FMTS:
+        this = F.col("fmt") == key
+        rec = F.when(this, _caixa_branch(pat)).otherwise(rec)
+        has_date = F.when(this, F.col("line").rlike(pat)).otherwise(has_date)
+        parsed = F.when(this, F.try_to_date(F.col("rec.d"), java_fmt)).otherwise(parsed)
+
+    recs = (
+        lines.filter((F.col("line") != "") & has_date)
+        .withColumn("rec", rec)
+        .filter(F.col("rec").isNotNull())
+    )
+    recs = recs.withColumn("data_parsed", parsed)
+    # any unparseable date in the doc → whole Data column stays strings
+    # (conversor_caixa.py:243-247 catches the apply() and keeps the column)
+    w = Window.partitionBy("url")
+    recs = recs.withColumn(
+        "dates_ok", F.min(F.col("data_parsed").isNotNull().cast("int")).over(w) == 1
+    )
+    bal = F.col("rec.b")
+    cleaned = F.regexp_replace(bal, r"[^\d\.,\-+CD]", "")
+    is_debit = bal.contains("D") | bal.contains("-")
+    c2 = F.translate(cleaned, "DC", "")
+    c3 = (
+        F.when(c2.contains(",") & c2.contains("."), F.regexp_replace(F.translate(c2, ".", ""), ",", "."))
+        .when(c2.contains(","), F.regexp_replace(c2, ",", "."))
+        .otherwise(c2)
+    )
+    saldo = c3.try_cast("double")
+    saldo = F.when(is_debit & (saldo > 0), -saldo).otherwise(saldo)
+    return recs.select(
+        "url",
+        "line_no",
+        F.col("rec.d").alias("data_str"),
+        "data_parsed",
+        "dates_ok",
+        F.col("rec.h").alias("historico"),
+        saldo.alias("saldo"),
+    )
+
+
+def _caixa_prepare(pdf):
+    import pandas as pd
+
+    out = pd.DataFrame()
+    if len(pdf) and bool(pdf["dates_ok"].iloc[0]):
+        out["Data"] = pd.to_datetime(pdf["data_parsed"])
+    else:
+        out["Data"] = pdf["data_str"].astype(object)
+    out["Histórico"] = pdf["historico"].astype(object)
+    out["Saldo"] = pdf["saldo"].astype("float64")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ofx — tagged-text records with TRNAMT decimal pre-fix (conversor_ofx.py)
+# ---------------------------------------------------------------------------
+
+def build_ofx(pages: DataFrame) -> DataFrame:
+    fixed = F.regexp_replace("text", r"(<TRNAMT>)(-?[\d]+)\.(\d{2})", r"$1$2,$3")
+    blocks = pages.select(
+        "url",
+        F.posexplode(
+            F.regexp_extract_all(fixed, F.lit(r"(?s)<STMTTRN>(.*?)</STMTTRN>"), 1)
+        ).alias("row_no", "block"),
+    )
+    dt = F.regexp_extract("block", r"<DTPOSTED>(\d{8})", 1)
+    amt = F.regexp_extract("block", r"<TRNAMT>(-?[\d,]+)", 1)
+    memo = F.trim(F.regexp_extract("block", r"<MEMO>([^\r\n<]*)", 1))
+    return (
+        blocks.withColumn("dt", dt)
+        .withColumn("amt", amt)
+        .filter((F.col("dt") != "") & (F.col("amt") != ""))
+        .select(
+            "url",
+            "row_no",
+            F.date_format(F.try_to_date("dt", "yyyyMMdd"), "dd/MM/yyyy").alias("data"),
+            memo.alias("descricao"),
+            F.regexp_replace("amt", ",", ".").alias("valor"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # santander — sequential per-doc state machine (operators/statemachines.py)
 # ---------------------------------------------------------------------------
 
@@ -543,6 +699,28 @@ PROFILES: dict[str, Profile] = {
             source_cols=["data", "lancamento", "valor", "documento"],
             order_by=["row_no"],
             float_cols=["Valor"],
+        ),
+    ),
+    "caixa": Profile(
+        "caixa",
+        build_caixa,
+        Sink(
+            columns=["Data", "Histórico", "Saldo"],
+            source_cols=["data_str", "historico", "saldo"],
+            order_by=["line_no"],
+            sep=",",
+            decimal=".",
+            quoting=__import__("csv").QUOTE_NONNUMERIC,
+            prepare=_caixa_prepare,
+        ),
+    ),
+    "ofx": Profile(
+        "ofx",
+        build_ofx,
+        Sink(
+            columns=["Data", "Descrição", "Valor"],
+            source_cols=["data", "descricao", "valor"],
+            order_by=["row_no"],
         ),
     ),
 }

@@ -363,6 +363,74 @@ def gen_santander(rng: random.Random):
     return lines, None, [], None
 
 
+def gen_caixa(rng: random.Random):
+    """3-pattern cascade profile (conversor_caixa.py:98-192): per-doc date
+    format, code/desc/value/balance lines, skip-word headers; ~10% of docs
+    carry one invalid date to exercise the string-fallback path (:243-247)."""
+    fmt = rng.choice(["dmy", "iso", "dot"])
+
+    def mkdate(day=None, month=None):
+        day = day if day is not None else rng.randint(1, 28)
+        month = month if month is not None else rng.randint(1, 12)
+        if fmt == "dmy":
+            return f"{day:02d}/{month:02d}/2024"
+        if fmt == "iso":
+            return f"2024-{month:02d}-{day:02d}"
+        return f"{day:02d}.{month:02d}.2024"
+
+    lines = ["Extrato Caixa", "Data Mov Histórico Valor"]
+    for _ in range(rng.randint(5, 40)):
+        d = mkdate()
+        desc = rng.choice(DESC_CREDIT + DESC_DEBIT).replace(";", "").replace(",", "")
+        cd = rng.choice(["C", "D", ""])
+        r = rng.random()
+        if r < 0.15:
+            lines.append(f"{d} SALDO DIA {_br_amount(rng)} {cd}")
+        elif r < 0.45:
+            # pattern-1 shaped: date code desc value balance
+            lines.append(
+                f"{d} {rng.randint(100, 9999)} {desc} {_br_amount(rng)} {rng.choice('CD')} {_br_amount(rng)} {rng.choice('CD')}"
+            )
+        elif r < 0.75:
+            lines.append(f"{d} {desc} {_br_amount(rng)} {rng.choice('CD')} {_br_amount(rng)}{cd}")
+        else:
+            # pattern-3 shaped: date + free text (+ maybe trailing number)
+            if rng.random() < 0.5:
+                lines.append(f"{d} {desc} {_br_amount(rng)}")
+            else:
+                lines.append(f"{d} {desc} sem valor claro")
+    if rng.random() < 0.1 and fmt == "dmy":
+        lines.append(f"31/02/2024 {rng.choice(DESC_CREDIT)} 10,00 C 20,00 C")
+    return lines, None, [], None
+
+
+def gen_ofx(rng: random.Random):
+    """OFX tagged text (conversor_ofx.py): US-decimal TRNAMT values that the
+    pre-fix rewrites to comma form before parsing."""
+    n = rng.randint(3, 25)
+    lines = [
+        "OFXHEADER:100", "DATA:OFXSGML", "<OFX>", "<BANKMSGSRSV1>",
+        "<STMTTRNRS>", "<STMTRS>", "<BANKTRANLIST>",
+    ]
+    for _ in range(n):
+        y, m, d = 2024, rng.randint(1, 12), rng.randint(1, 28)
+        cents = rng.randrange(100, 900000) * rng.choice([1, -1])
+        memo = rng.choice(DESC_CREDIT + DESC_DEBIT).replace(";", "")
+        lines += [
+            "<STMTTRN>",
+            f"<TRNTYPE>{'CREDIT' if cents > 0 else 'DEBIT'}",
+            f"<DTPOSTED>{y}{m:02d}{d:02d}120000",
+            f"<TRNAMT>{cents // 100}.{abs(cents) % 100:02d}"
+            if cents > 0
+            else f"<TRNAMT>-{abs(cents) // 100}.{abs(cents) % 100:02d}",
+            f"<FITID>{rng.randrange(10**9)}",
+            f"<MEMO>{memo}",
+            "</STMTTRN>",
+        ]
+    lines += ["</BANKTRANLIST>", "</STMTRS>", "</STMTTRNRS>", "</BANKMSGSRSV1>", "</OFX>"]
+    return lines, None, [], None
+
+
 GENERATORS = {
     "banestes": gen_banestes,
     "pagbank": gen_pagbank,
@@ -374,6 +442,8 @@ GENERATORS = {
     "sicoob2": gen_sicoob2,
     "c6": gen_c6,
     "santander": gen_santander,
+    "caixa": gen_caixa,
+    "ofx": gen_ofx,
 }
 
 NOISE_LANGS = ["en", "es", "de"]

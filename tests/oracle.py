@@ -409,6 +409,113 @@ def oracle_santander(text: str, html: bytes) -> bytes | None:
     return _csv_bytes(df, sep=";", decimal=",")
 
 
+CAIXA_FMTS = [
+    (r"\d{2}/\d{2}/\d{4}", "%d/%m/%Y"),
+    (r"\d{4}-\d{2}-\d{2}", "%Y-%m-%d"),
+    (r"\d{4}/\d{2}/\d{2}", "%Y/%m/%d"),
+    (r"\d{2}\.\d{2}\.\d{4}", "%d.%m.%Y"),
+]
+
+
+def oracle_caixa(text: str, html: bytes) -> bytes | None:
+    """Mirrors conversor_caixa.py:98-192 (3-pattern cascade with skip-word
+    continue), :232-271 (date/value processing with string fallback) and the
+    :327 sink (sep=',', QUOTE_NONNUMERIC, utf-8-sig)."""
+    import csv as csv_mod
+    from datetime import datetime
+
+    date_pat = None
+    strp = None
+    for pat, fmt in CAIXA_FMTS:
+        if re.search(pat, text):
+            date_pat, strp = pat, fmt
+            break
+    if not date_pat:
+        return None
+
+    patterns = [
+        rf"({date_pat})\s+(\d+|\w+)\s+(.*?)\s+([\d\.,]+\s*[DC]?)\s+([\d\.,]+\s*[DC]?)",
+        rf"({date_pat})\s+(.*?)\s+([\d\.,]+\s*[DC]?)\s+([\d\.,]+\s*[DC]?)",
+        rf"({date_pat})(.+)",
+    ]
+    skip_words = ["SALDO DIA", "SALDO ANTERIOR", "TOTAL", "Data Mov", "Histórico", "Valor"]
+    rows = []
+    for line in text.split("\n"):
+        line = line.strip()
+        if not line or not re.search(date_pat, line):
+            continue
+        for pi, pat in enumerate(patterns):
+            m = re.search(pat, line)
+            if not m:
+                continue
+            if pi == 0:
+                date, desc, bal = m.group(1), m.group(3).strip(), m.group(5).strip()
+            elif pi == 1:
+                date, desc, bal = m.group(1), m.group(2).strip(), m.group(4).strip()
+            else:
+                date, rest = m.group(1), m.group(2).strip()
+                bm = re.search(r"([\d\.,]+\s*[DC]?)\s*$", rest)
+                if bm:
+                    bal = bm.group(1).strip()
+                    desc = rest.rsplit(bal, 1)[0].strip()
+                else:
+                    desc, bal = rest, "Não identificado"
+            if any(w in desc for w in skip_words):
+                continue  # reference quirk: tries the NEXT pattern
+            rows.append({"Data": date, "Histórico": desc, "Saldo": bal})
+            break
+    if not rows:
+        return None
+    df = pd.DataFrame(rows)
+    try:
+        df["Data"] = df["Data"].apply(lambda x: datetime.strptime(x, strp))
+    except Exception:
+        pass  # any bad date → whole column stays strings (:243-247)
+
+    def clean_val(v):
+        try:
+            cleaned = re.sub(r"[^\d\.,\-+CD]", "", v)
+            is_debit = "D" in v or "-" in v
+            cleaned = cleaned.replace("D", "").replace("C", "")
+            if "," in cleaned and "." in cleaned:
+                cleaned = cleaned.replace(".", "").replace(",", ".")
+            elif "," in cleaned:
+                cleaned = cleaned.replace(",", ".")
+            val = float(cleaned)
+            if is_debit and val > 0:
+                val = -val
+            return val
+        except Exception:
+            return None
+
+    df["Saldo"] = df["Saldo"].apply(clean_val)
+    df = df[["Data", "Histórico", "Saldo"]]
+    return _csv_bytes(df, quoting=csv_mod.QUOTE_NONNUMERIC)
+
+
+def oracle_ofx(text: str, html: bytes) -> bytes | None:
+    """Mirrors conversor_ofx.py:29-50 behavior on well-formed OFX: TRNAMT
+    decimal pre-fix (:39), per-transaction (date, memo, amount) rows; the
+    XLSX sheet is recast as our logical-rows CSV (sep=';', utf-8-sig)."""
+    from datetime import datetime
+    from decimal import Decimal
+
+    fixed = re.sub(r"(<TRNAMT>)(-?[\d]+)\.(\d{2})", r"\1\2,\3", text)
+    rows = []
+    for block in re.findall(r"<STMTTRN>(.*?)</STMTTRN>", fixed, flags=re.DOTALL):
+        dt = re.search(r"<DTPOSTED>(\d{8})", block)
+        amt = re.search(r"<TRNAMT>(-?[\d,]+)", block)
+        memo = re.search(r"<MEMO>([^\r\n<]*)", block)
+        if not (dt and amt):
+            continue
+        date = datetime.strptime(dt.group(1), "%Y%m%d").strftime("%d/%m/%Y")
+        amount = Decimal(amt.group(1).replace(",", "."))
+        rows.append([date, memo.group(1).strip() if memo else "", str(amount)])
+    if not rows:
+        return None
+    return _csv_bytes(pd.DataFrame(rows, columns=["Data", "Descrição", "Valor"]), sep=";")
+
+
 ORACLES = {
     "banestes": oracle_banestes,
     "pagbank": oracle_pagbank,
@@ -420,6 +527,8 @@ ORACLES = {
     "sicoob2": oracle_sicoob2,
     "c6": oracle_c6,
     "santander": oracle_santander,
+    "caixa": oracle_caixa,
+    "ofx": oracle_ofx,
 }
 
 
