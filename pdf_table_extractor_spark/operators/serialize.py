@@ -40,6 +40,7 @@ class Sink:
     utf8_sig: bool = True
     emit_empty: bool = False  # reference writes header-only file for 0 rows
     quoting: int = _csv.QUOTE_MINIMAL
+    header: bool = True  # stone writes headerless CSV (conversor_stone.py:23)
     # Optional custom (sorted records pdf) -> render-ready output DataFrame,
     # for profiles with data-dependent column typing (caixa date fallback).
     prepare: Callable[[pd.DataFrame], pd.DataFrame] | None = None
@@ -58,7 +59,10 @@ def render_csv(pdf: pd.DataFrame, sink: Sink) -> bytes:
                 col = col.astype(object).where(col.notna(), None)
             out[name] = col
     buf = io.StringIO()
-    out.to_csv(buf, index=False, sep=sink.sep, decimal=sink.decimal, quoting=sink.quoting)
+    out.to_csv(
+        buf, index=False, sep=sink.sep, decimal=sink.decimal, quoting=sink.quoting,
+        header=sink.header,
+    )
     body = buf.getvalue().encode("utf-8")
     return (b"\xef\xbb\xbf" + body) if sink.utf8_sig else body
 

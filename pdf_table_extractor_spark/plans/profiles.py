@@ -587,6 +587,41 @@ def build_ofx(pages: DataFrame) -> DataFrame:
 # santander — sequential per-doc state machine (operators/statemachines.py)
 # ---------------------------------------------------------------------------
 
+def build_bradesco(pages: DataFrame) -> DataFrame:
+    """7-stage sequential pipeline with cursor-advancing consumes
+    (conversor_bradesco.py:231-241) — per-doc UDF, pre-rendered cells."""
+    from pdf_table_extractor_spark.operators.statemachines import bradesco_records
+
+    recs = pages.select("url", F.posexplode(bradesco_records("text")).alias("row_no", "r"))
+    return recs.select(
+        "url",
+        "row_no",
+        F.col("r.data").alias("data"),
+        F.col("r.historico").alias("historico"),
+        F.col("r.dcto").alias("dcto"),
+        F.col("r.valor").alias("valor"),
+        F.col("r.saldo").alias("saldo"),
+    )
+
+
+def build_stone(pages: DataFrame) -> DataFrame:
+    """Lattice-mode table rows (conversor_stone.py) — ruling-grid detection
+    in an Arrow UDF, headerless row records."""
+    from pdf_table_extractor_spark.operators.statemachines import stone_rows
+
+    return pages.select(
+        "url", F.posexplode(stone_rows("html")).alias("row_no", "cells")
+    )
+
+
+def _stone_prepare(pdf):
+    import pandas as pd
+
+    # variable-width rows: DataFrame constructor pads short rows with NaN,
+    # matching the reference's pd.concat alignment (conversor_stone.py:20)
+    return pd.DataFrame([list(c) for c in pdf["cells"]])
+
+
 def build_santander(pages: DataFrame) -> DataFrame:
     from pdf_table_extractor_spark.operators.statemachines import santander_records
 
@@ -721,6 +756,29 @@ PROFILES: dict[str, Profile] = {
             columns=["Data", "Descrição", "Valor"],
             source_cols=["data", "descricao", "valor"],
             order_by=["row_no"],
+        ),
+    ),
+    "bradesco": Profile(
+        "bradesco",
+        build_bradesco,
+        Sink(
+            columns=["Data", "Histórico", "Dcto.", "Valor", "Saldo"],
+            source_cols=["data", "historico", "dcto", "valor", "saldo"],
+            order_by=["row_no"],
+            utf8_sig=False,
+        ),
+    ),
+    "stone": Profile(
+        "stone",
+        build_stone,
+        Sink(
+            columns=[],
+            source_cols=["cells"],
+            order_by=["row_no"],
+            sep=",",
+            utf8_sig=False,
+            header=False,
+            prepare=_stone_prepare,
         ),
     ),
 }

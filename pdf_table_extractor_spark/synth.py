@@ -363,6 +363,97 @@ def gen_santander(rng: random.Random):
     return lines, None, [], None
 
 
+def gen_bradesco(rng: random.Random):
+    """7-stage text pipeline fixture (conversor_bradesco.py): 5 header
+    lines, 3-line blocks (desc / docnum+2 values / continuation), both
+    exception shapes, plain dated lines, 'Total' trailer."""
+    lines = [
+        "BRADESCO EXTRATO",
+        "Agencia 1234",
+        "Conta 56789-0",
+        "Periodo 01/06/2024 a 30/06/2024",
+        "Data Historico Dcto Valor Saldo",
+    ]
+
+    def num(rng):
+        return _br_amount(rng, 100, 400000)
+
+    for _ in range(rng.randint(3, 22)):
+        d = f"{rng.randint(1, 28):02d}/{rng.randint(1, 12):02d}/2024"
+        desc = rng.choice(DESC_CREDIT + DESC_DEBIT).replace(";", "")
+        doc = rng.randint(100, 999999)
+        v1 = ("-" if rng.random() < 0.4 else "") + num(rng)
+        v2 = ("-" if rng.random() < 0.2 else "") + num(rng)
+        shape = rng.random()
+        if shape < 0.35:
+            # marked 3-line block: desc / numbers / continuation
+            lines.append(f"{d} {desc}")
+            lines.append(f"{doc} {v1} {v2}")
+            lines.append("continuacao do historico")
+        elif shape < 0.55:
+            # exception 1: desc+numbers line, then trailing desc line
+            lines.append(f"{d} {desc} {doc} {v1} {v2}")
+            lines.append("complemento posterior")
+        elif shape < 0.75:
+            # exception 2: bare desc line, then numbers-at-end line
+            lines.append(f"{d} {desc}")
+            lines.append(f"saldo parcial {doc} {v1} {v2}")
+        else:
+            lines.append(f"{d} {desc} {doc} {v1} {v2}")
+    if rng.random() < 0.7:
+        lines.append(f"Total do periodo {num(rng)}")
+        lines.append("linha apos total que deve sumir")
+    return lines, None, [], None
+
+
+def gen_stone(rng: random.Random):
+    """Lattice-table fixture (conversor_stone.py): ruled grids; cells are
+    words inside grid cells; 1-3 tables per doc, headerless CSV output."""
+    words: list[Word] = []
+    rulings: list[Ruling] = []
+    lines: list[str] = []
+    n_tables = rng.randint(1, 3)
+    page_no, top = 1, 60.0
+    for _t in range(n_tables):
+        n_cols = rng.randint(3, 5)
+        n_rows = rng.randint(3, 12)
+        col_w, row_h = 110.0, 18.0
+        x_left = 40.0
+        xs = [x_left + i * col_w for i in range(n_cols + 1)]
+        ys = [top + j * row_h for j in range(n_rows + 1)]
+        for x in xs:
+            rulings.append(Ruling(page_no, x, x, ys[0], ys[-1]))
+        for y in ys:
+            rulings.append(Ruling(page_no, xs[0], xs[-1], y, y))
+        for j in range(n_rows):
+            row_texts = []
+            for i in range(n_cols):
+                r = rng.random()
+                if r < 0.15:
+                    cell = ""
+                elif r < 0.45:
+                    cell = _br_amount(rng)
+                elif r < 0.6:
+                    cell = f"{rng.randint(1, 28):02d}/{rng.randint(1, 12):02d}/2024"
+                else:
+                    cell = rng.choice(["venda cartao", "taxa stone", "repasse", "ajuste"])
+                row_texts.append(cell)
+                if cell:
+                    cx = xs[i] + 6
+                    cy = ys[j] + 4
+                    for k, tok in enumerate(cell.split(" ")):
+                        words.append(
+                            Word(page_no, cx + k * 40, cx + k * 40 + 36, cy, cy + 10, tok)
+                        )
+            lines.append(" ".join(t for t in row_texts if t))
+        top = ys[-1] + 40.0
+        if top > 700:
+            page_no += 1
+            top = 60.0
+    pages = [(i, 595, 842) for i in range(1, page_no + 1)]
+    return lines, words, rulings, pages
+
+
 def gen_caixa(rng: random.Random):
     """3-pattern cascade profile (conversor_caixa.py:98-192): per-doc date
     format, code/desc/value/balance lines, skip-word headers; ~10% of docs
@@ -444,6 +535,8 @@ GENERATORS = {
     "santander": gen_santander,
     "caixa": gen_caixa,
     "ofx": gen_ofx,
+    "bradesco": gen_bradesco,
+    "stone": gen_stone,
 }
 
 NOISE_LANGS = ["en", "es", "de"]

@@ -409,6 +409,180 @@ def oracle_santander(text: str, html: bytes) -> bytes | None:
     return _csv_bytes(df, sep=";", decimal=",")
 
 
+BRAD_NUMS = r"(\d+)\s+(-?\d{1,3}(?:\.\d{3})*(?:,\d{2})?)\s+(-?\d{1,3}(?:\.\d{3})*(?:,\d{2})?)$"
+
+
+def oracle_bradesco(text: str, html: bytes) -> bytes | None:
+    """Mirrors the 7-stage conversor_bradesco.py pipeline (:33-228); the XLS
+    sheet's typed cells are recast as our logical-rows CSV (sep=';', utf-8,
+    no BOM) with the same cell values."""
+    lines = [ln.strip() for ln in text.split("\n") if ln.strip()]
+    # clean_statement (:33-50)
+    lines = lines[5:] if len(lines) > 5 else []
+    for i, ln in enumerate(lines):
+        if "total" in ln.lower():
+            lines = lines[:i]
+            break
+    # mark_all_transaction_blocks (:52-74)
+    marked, i = [], 0
+    while i < len(lines):
+        if i + 2 < len(lines) and re.match("^" + BRAD_NUMS, lines[i + 1]):
+            marked += [f"*{lines[i]}", lines[i + 1], f"{lines[i + 2]}*"]
+            i += 3
+        else:
+            marked.append(lines[i])
+            i += 1
+    # process_marked_blocks (:76-96)
+    out, i = [], 0
+    while i < len(marked):
+        if marked[i].startswith("*") and i + 2 < len(marked) and marked[i + 2].endswith("*"):
+            out.append(f"*{marked[i][1:]} {marked[i + 2][:-1]} {marked[i + 1]}*")
+            i += 3
+        else:
+            out.append(marked[i])
+            i += 1
+    # first_exception (:98-119)
+    lines, out, i = out, [], 0
+    while i < len(lines):
+        cur = lines[i]
+        if (
+            not cur.startswith("*")
+            and i + 1 < len(lines)
+            and not lines[i + 1].startswith("*")
+        ):
+            m1 = re.search(BRAD_NUMS, cur)
+            m2 = re.search(BRAD_NUMS, lines[i + 1])
+            if m1 and not m2:
+                desc = re.sub(
+                    r"\s+\d+\s+[-+]?\d{1,3}(?:\.\d{3})*(?:,\d{2})?\s+[-+]?\d{1,3}(?:\.\d{3})*(?:,\d{2})?$",
+                    "",
+                    cur,
+                )
+                out.append(f"{desc} {lines[i + 1]} {m1.group(0)}")
+                i += 2
+                continue
+        out.append(cur)
+        i += 1
+    # second_exception (:121-140)
+    lines, out, i = out, [], 0
+    while i < len(lines):
+        cur = lines[i]
+        if (
+            not cur.startswith("*")
+            and i + 1 < len(lines)
+            and not lines[i + 1].startswith("*")
+        ):
+            if not re.search(BRAD_NUMS, cur) and re.search(BRAD_NUMS, lines[i + 1]):
+                out.append(f"{cur} {lines[i + 1]}")
+                i += 2
+                continue
+        out.append(cur)
+        i += 1
+    # propagate_and_format (:142-164)
+    cleaned = [ln.strip("*").strip() for ln in out]
+    prop, cur_date = [], None
+    for ln in cleaned:
+        dm = re.match(r"^(\d{2}/\d{2}/\d{4})", ln)
+        if dm:
+            cur_date = dm.group(1)
+            prop.append(ln)
+        elif cur_date:
+            prop.append(f"{cur_date} {ln}")
+        else:
+            prop.append(ln)
+    # txt_to_xls (:167-228) — typed cells
+    rows = []
+    last_date = None
+    for ln in prop:
+        cur, remaining = "", ln
+        m = re.search(r"(\d{2}/\d{2}/\d{4})", ln)
+        if m:
+            cur = m.group(1)
+            last_date = cur
+            remaining = ln.replace(cur, "", 1).strip()
+        elif last_date:
+            cur = last_date
+        parts = remaining.split()
+        vals = []
+        for p in parts[-3:]:
+            if re.match(r"^-?[\d.,]+$", p):
+                cv = p.replace(".", "").replace(",", ".")
+                try:
+                    vals.append(float(cv) if "." in cv else int(cv))
+                except ValueError:
+                    vals.append(p)
+            else:
+                vals.append(p)
+        hist = " ".join(parts[:-3]) if len(parts) > 3 else ""
+        cells = [cur, hist] + [vals[c] if c < len(vals) else "" for c in range(3)]
+        rows.append(cells)
+    if not rows:
+        return None
+    df = pd.DataFrame(rows, columns=["Data", "Histórico", "Dcto.", "Valor", "Saldo"])
+    buf = io.StringIO()
+    df.to_csv(buf, index=False, sep=";")
+    return buf.getvalue().encode("utf-8")  # utf-8, no BOM (txt/xls path)
+
+
+def _lattice_tables(html: bytes):
+    """Shared-spec lattice detection over markup rulings: verticals grouped
+    by identical (page, top, bottom) span form a table's column borders;
+    horizontals inside the span are row borders; a cell's text is its
+    words (center-in-cell) x-sorted, space-joined."""
+    words, rulings = parse_markup(html)
+    tables = []
+    groups = defaultdict(list)
+    for r in rulings:
+        if r.x0 == r.x1:  # vertical
+            groups[(r.page_no, r.top, r.bottom)].append(r.x0)
+    for (page, top, bottom), xs in sorted(groups.items()):
+        xs = sorted(set(xs))
+        ys = sorted(
+            {
+                r.top
+                for r in rulings
+                if r.page_no == page and r.top == r.bottom and top <= r.top <= bottom
+            }
+        )
+        if len(xs) < 2 or len(ys) < 2:
+            continue
+        in_table = [
+            w
+            for w in words
+            if w.page_no == page
+            and xs[0] <= (w.x0 + w.x1) / 2 <= xs[-1]
+            and ys[0] <= (w.top + w.bottom) / 2 <= ys[-1]
+        ]
+        grid = []
+        for j in range(len(ys) - 1):
+            row = []
+            for i in range(len(xs) - 1):
+                cell_words = [
+                    w
+                    for w in in_table
+                    if xs[i] <= (w.x0 + w.x1) / 2 < xs[i + 1]
+                    and ys[j] <= (w.top + w.bottom) / 2 < ys[j + 1]
+                ]
+                row.append(" ".join(w.text for w in sorted(cell_words, key=lambda w: w.x0)))
+            grid.append(row)
+        tables.append((page, top, grid))
+    tables.sort(key=lambda t: (t[0], t[1]))
+    return [t[2] for t in tables]
+
+
+def oracle_stone(text: str, html: bytes) -> bytes | None:
+    """Mirrors conversor_stone.py:4-23: per-table DataFrames concatenated,
+    headerless CSV (default sep=',', utf-8, no BOM)."""
+    grids = _lattice_tables(html)
+    dfs = [pd.DataFrame(g) for g in grids if g]
+    if not dfs:
+        return None
+    final = pd.concat(dfs, ignore_index=True) if len(dfs) > 1 else dfs[0]
+    buf = io.StringIO()
+    final.to_csv(buf, index=False, header=False)
+    return buf.getvalue().encode("utf-8")
+
+
 CAIXA_FMTS = [
     (r"\d{2}/\d{2}/\d{4}", "%d/%m/%Y"),
     (r"\d{4}-\d{2}-\d{2}", "%Y-%m-%d"),
@@ -529,6 +703,8 @@ ORACLES = {
     "santander": oracle_santander,
     "caixa": oracle_caixa,
     "ofx": oracle_ofx,
+    "bradesco": oracle_bradesco,
+    "stone": oracle_stone,
 }
 
 
