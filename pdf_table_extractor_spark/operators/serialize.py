@@ -44,6 +44,9 @@ class Sink:
     # Optional custom (sorted records pdf) -> render-ready output DataFrame,
     # for profiles with data-dependent column typing (caixa date fallback).
     prepare: Callable[[pd.DataFrame], pd.DataFrame] | None = None
+    # Optional whole-file text rewrite before encoding (itau finalize_csv
+    # ';;'→';', conversor_itau.py:169-178).
+    postprocess: Callable[[str], str] | None = None
 
 
 def render_csv(pdf: pd.DataFrame, sink: Sink) -> bytes:
@@ -63,7 +66,10 @@ def render_csv(pdf: pd.DataFrame, sink: Sink) -> bytes:
         buf, index=False, sep=sink.sep, decimal=sink.decimal, quoting=sink.quoting,
         header=sink.header,
     )
-    body = buf.getvalue().encode("utf-8")
+    text = buf.getvalue()
+    if sink.postprocess is not None:
+        text = sink.postprocess(text)
+    body = text.encode("utf-8")
     return (b"\xef\xbb\xbf" + body) if sink.utf8_sig else body
 
 

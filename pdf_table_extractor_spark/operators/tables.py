@@ -1,0 +1,105 @@
+"""detect_tables — stream-mode table extraction (SURVEY §2.10 UDF #3).
+
+Reimplements the reference's camelot stream-mode usage
+(conversor_itau.py:99-108: explicit ``table_areas`` + ``columns``
+x-separators per page class) as word-to-column alignment over the markup
+word boxes: filter words to the area, cluster rows on rounded y, bin each
+word's x-center against the sorted separator array with
+``np.searchsorted`` — the survey's "sorted interval merging" — and join a
+cell's words x-sorted. Arrow-vectorized; one row per document.
+"""
+
+from __future__ import annotations
+
+import functools
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql.functions import lit, pandas_udf
+
+from pdf_table_extractor_spark.markup import parse as parse_markup
+
+STREAM_SCHEMA = "array<struct<page_no:int,row_no:int,cells:array<string>>>"
+
+
+def stream_rows_doc(html: bytes, config: dict) -> list[tuple[int, int, list[str]]]:
+    """Extract stream-mode table rows for one document.
+
+    ``config``: {"page_1": {"area": (x0, top0, x1, top1), "columns": [...]},
+                 "page_2_end": {...}} — the itau geometry shape
+    (Conversor.py:219) in markup coordinates.
+    """
+    words, _ = parse_markup(bytes(html))
+    out: list[tuple[int, int, list[str]]] = []
+    pages = sorted({w.page_no for w in words})
+    for page in pages:
+        cfg = config["page_1"] if page == 1 else config["page_2_end"]
+        ax0, atop, ax1, abot = cfg["area"]
+        seps = np.asarray(cfg["columns"], dtype=float)
+        pw = [
+            w
+            for w in words
+            if w.page_no == page
+            and ax0 <= (w.x0 + w.x1) / 2 <= ax1
+            and atop <= (w.top + w.bottom) / 2 <= abot
+        ]
+        if not pw:
+            continue
+        n_cols = len(seps) + 1
+        rows: dict[float, list] = {}
+        for w in pw:
+            rows.setdefault(round(w.top, 0), []).append(w)
+        for row_no, y in enumerate(sorted(rows)):
+            cells: list[list] = [[] for _ in range(n_cols)]
+            for w in rows[y]:
+                ci = int(np.searchsorted(seps, (w.x0 + w.x1) / 2, side="right"))
+                cells[ci].append(w)
+            out.append(
+                (
+                    page,
+                    row_no,
+                    [
+                        " ".join(w.text for w in sorted(c, key=lambda w: w.x0))
+                        for c in cells
+                    ],
+                )
+            )
+    return out
+
+
+@functools.cache
+def _stream_udf(config_json: str):
+    import json
+
+    config = json.loads(config_json)
+    for k in config:
+        config[k] = {"area": tuple(config[k]["area"]), "columns": config[k]["columns"]}
+
+    @pandas_udf(STREAM_SCHEMA)
+    def _udf(htmls: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for col in htmls:
+            yield pd.Series(
+                [None if h is None else stream_rows_doc(h, config) for h in col],
+                dtype=object,
+            )
+
+    return _udf
+
+
+def stream_rows(col: Column | str, config: dict) -> Column:
+    import json
+
+    return _stream_udf(json.dumps(config, sort_keys=True))(col)
+
+
+def ascii_fold(col: Column) -> Column:
+    """pt-BR diacritics fold (stands in for `unidecode`,
+    conversor_itau.py:133 — full transliteration would be a pandas UDF;
+    this translate covers the fixture charset)."""
+    from pyspark.sql import functions as F
+
+    return F.translate(
+        col, "áéíóúâêôãõàçÁÉÍÓÚÂÊÔÃÕÀÇ", "aeiouaeoaoacAEIOUAEOAOAC"
+    )

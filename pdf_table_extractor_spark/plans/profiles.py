@@ -584,6 +584,112 @@ def build_ofx(pages: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# itau — camelot-stream geometry → searchsorted column binning + header
+# promotion + ffill/bfill windows + ';;' finalize (conversor_itau.py)
+# ---------------------------------------------------------------------------
+
+def _fix_hyphen_cell(c):
+    """conversor_itau.py:68-73 per-cell: strip, drop dots, move trailing
+    hyphen to front."""
+    t = F.translate(F.trim(c), ".", "")
+    return F.regexp_replace(t, r"^(\d+),(\d+)-$", r"-$1,$2")
+
+
+def _sanitize_name(h):
+    """conversor_itau.py:131-136: unidecode-fold, strip punct, spaces→_,
+    lower (ascii_fold covers the fixture charset)."""
+    from pdf_table_extractor_spark.operators.tables import ascii_fold
+
+    return F.lower(F.regexp_replace(F.regexp_replace(ascii_fold(h), r"[^\w\s]", ""), " ", "_"))
+
+
+def _dedup_keep_first(hdr):
+    """Indices of first occurrence of each column name
+    (df.loc[:, ~df.columns.duplicated()], conversor_itau.py:49)."""
+    tagged = F.transform(hdr, lambda h, i: F.struct(i.alias("i"), h.alias("h")))
+    return F.filter(
+        tagged, lambda s: ~F.array_contains(F.slice(hdr, F.lit(1), s["i"]), s["h"])
+    )
+
+
+def build_itau(pages: DataFrame) -> DataFrame:
+    from pdf_table_extractor_spark.operators.tables import stream_rows
+    from pdf_table_extractor_spark.synth import ITAU_GEOM
+
+    rows = pages.select(
+        "url", F.explode(stream_rows("html", ITAU_GEOM)).alias("r")
+    ).select(
+        "url",
+        F.col("r.page_no").alias("page_no"),
+        F.col("r.row_no").alias("row_no"),
+        F.col("r.cells").alias("cells"),
+    )
+    # header promotion: first row of each page's table (fix_header per
+    # camelot table, conversor_itau.py:110,125-129)
+    wpage = Window.partitionBy("url", "page_no").orderBy("row_no")
+    rows = rows.withColumn("raw_hdr", F.first("cells").over(wpage)).filter(
+        F.col("row_no") > 0
+    )
+    keep = _dedup_keep_first(F.col("raw_hdr"))
+    rows = rows.withColumn("keep", keep)
+    cells2 = F.transform(
+        F.col("keep"), lambda s: _fix_hyphen_cell(F.element_at(F.col("cells"), s["i"] + 1))
+    )
+    hdr2 = F.transform(F.col("keep"), lambda s: _sanitize_name(F.trim(s["h"])))
+    rows = rows.withColumn("cells2", cells2).withColumn("hdr", hdr2)
+    # second name-dedup + data_de_insercao drop (conversor_itau.py:138-142)
+    keep2 = F.filter(
+        F.transform(F.col("hdr"), lambda h, i: F.struct(i.alias("i"), h.alias("h"))),
+        lambda s: ~F.array_contains(F.slice(F.col("hdr"), F.lit(1), s["i"]), s["h"])
+        & (s["h"] != F.lit("data_de_insercao")),
+    )
+    rows = rows.withColumn("keep2", keep2)
+    rows = rows.withColumn(
+        "cells3", F.transform(F.col("keep2"), lambda s: F.element_at(F.col("cells2"), s["i"] + 1))
+    ).withColumn("sane", F.transform(F.col("keep2"), lambda s: s["h"]))
+
+    def idx_of(name):
+        return F.array_position(F.col("sane"), name)
+
+    def cell_at(idx):
+        return F.when(idx > 0, F.nullif(F.element_at(F.col("cells3"), idx.cast("int")), F.lit("")))
+
+    ord_cols = ["page_no", "row_no"]
+    rows = rows.withColumn("ord", F.struct(*ord_cols))
+    data_f = windows.ffill(cell_at(idx_of("data")), ["url"], "ord")
+    cred_f = windows.bfill(cell_at(idx_of("credito")), ["url"], "ord")
+    deb_f = windows.bfill(cell_at(idx_of("debito")), ["url"], "ord")
+    rows = (
+        rows.withColumn("data_f", F.coalesce(data_f, F.lit("")))
+        .withColumn("cred_f", F.coalesce(cred_f, F.lit("")))
+        .withColumn("deb_f", F.coalesce(deb_f, F.lit("")))
+    )
+    final_cells = F.transform(
+        F.col("cells3"),
+        lambda c, i: F.when((i + 1) == idx_of("data"), F.col("data_f"))
+        .when((i + 1) == idx_of("credito"), F.col("cred_f"))
+        .when((i + 1) == idx_of("debito"), F.col("deb_f"))
+        .otherwise(c),
+    )
+    return rows.select(
+        "url", "page_no", "row_no", final_cells.alias("cells"), F.col("sane").alias("header")
+    )
+
+
+def _itau_prepare(pdf):
+    import pandas as pd
+
+    cols = list(pdf["header"].iloc[0])
+    return pd.DataFrame([list(c) for c in pdf["cells"]], columns=cols)
+
+
+def _itau_postprocess(csv_text: str) -> str:
+    import re as _re
+
+    return _re.sub(r";{2,}", ";", csv_text)  # finalize_csv, conversor_itau.py:169-178
+
+
+# ---------------------------------------------------------------------------
 # santander — sequential per-doc state machine (operators/statemachines.py)
 # ---------------------------------------------------------------------------
 
@@ -779,6 +885,18 @@ PROFILES: dict[str, Profile] = {
             utf8_sig=False,
             header=False,
             prepare=_stone_prepare,
+        ),
+    ),
+    "itau": Profile(
+        "itau",
+        build_itau,
+        Sink(
+            columns=[],
+            source_cols=["cells", "header"],
+            order_by=["page_no", "row_no"],
+            utf8_sig=False,
+            prepare=_itau_prepare,
+            postprocess=_itau_postprocess,
         ),
     ),
 }

@@ -454,6 +454,80 @@ def gen_stone(rng: random.Random):
     return lines, words, rulings, pages
 
 
+# itau stream-mode geometry (fixture spec; mirrors the SHAPE of the
+# reference's camelot configs Conversor.py:219 — page-1 area differs from
+# later pages, 9 column x-separators → 10 bins) in markup coordinates.
+ITAU_GEOM = {
+    "page_1": {"area": (40, 250, 560, 800), "columns": [95, 150, 260, 310, 360, 380, 470, 505, 545]},
+    "page_2_end": {"area": (40, 55, 560, 800), "columns": [95, 150, 260, 310, 360, 380, 470, 505, 545]},
+}
+# bin index → logical content (bins 1/4/5/8 intentionally empty → ';;'
+# runs in the CSV that finalize collapses, conversor_itau.py:169-178)
+ITAU_HEADER = ["Data", "", "Lançamento", "Dcto", "", "", "Crédito", "Débito", "", "Saldo"]
+_ITAU_XPOS = {0: 45, 2: 152, 3: 315, 6: 395, 7: 472, 9: 546}
+
+
+def gen_itau(rng: random.Random):
+    """Stream-mode grid fixture (conversor_itau.py): per-page header row,
+    empty bins, ffill-able empty dates, bfill-able credito/debito, trailing
+    hyphen values, junk outside the table area."""
+    words: list[Word] = []
+    lines: list[str] = []
+    n_pages = rng.randint(1, 3)
+
+    def put(page, bin_idx, y, txt):
+        x = _ITAU_XPOS[bin_idx]
+        for k, tok in enumerate(txt.split(" ")):
+            words.append(Word(page, x + k * 30, x + k * 30 + 25, y, y + 10, tok))
+
+    for page in range(1, n_pages + 1):
+        geom = ITAU_GEOM["page_1"] if page == 1 else ITAU_GEOM["page_2_end"]
+        ax0, atop, ax1, abot = geom["area"]
+        if page == 1:
+            words.append(Word(page, 100, 200, 80, 92, "EXTRATO ITAU CONTA 1234"))
+            lines.append("EXTRATO ITAU CONTA 1234")
+        y = atop + 2.0
+        hdr_cells = []
+        for i, h in enumerate(ITAU_HEADER):
+            if h:
+                put(page, i, y, h)
+                hdr_cells.append(h)
+        lines.append(" ".join(hdr_cells))
+        y += 16.0
+        for _ in range(rng.randint(3, 20)):
+            if y > abot - 12:
+                break
+            row_cells = []
+            if rng.random() < 0.5:
+                d = f"{rng.randint(1, 28):02d}/{rng.randint(1, 12):02d}/2024"
+                put(page, 0, y, d)
+                row_cells.append(d)
+            desc = rng.choice(["pix qr", "ted rec", "tarifa mes", "compra deb", "rend paga"])
+            put(page, 2, y, desc)
+            row_cells.append(desc)
+            if rng.random() < 0.6:
+                doc = str(rng.randint(100, 99999))
+                put(page, 3, y, doc)
+                row_cells.append(doc)
+            amt = _br_amount(rng)
+            if rng.random() < 0.5:
+                put(page, 6, y, amt)
+                row_cells.append(amt)
+            else:
+                amt2 = amt + ("-" if rng.random() < 0.5 else "")
+                put(page, 7, y, amt2)
+                row_cells.append(amt2)
+            if rng.random() < 0.35:
+                s = _br_amount(rng) + ("-" if rng.random() < 0.3 else "")
+                put(page, 9, y, s)
+                row_cells.append(s)
+            lines.append(" ".join(row_cells))
+            y += 16.0
+        words.append(Word(page, 200, 280, 820, 830, "rodape fora da area"))
+        lines.append("rodape fora da area")
+    return lines, words, [], [(i, 595, 842) for i in range(1, n_pages + 1)]
+
+
 def gen_caixa(rng: random.Random):
     """3-pattern cascade profile (conversor_caixa.py:98-192): per-doc date
     format, code/desc/value/balance lines, skip-word headers; ~10% of docs
@@ -537,6 +611,7 @@ GENERATORS = {
     "ofx": gen_ofx,
     "bradesco": gen_bradesco,
     "stone": gen_stone,
+    "itau": gen_itau,
 }
 
 NOISE_LANGS = ["en", "es", "de"]

@@ -583,6 +583,87 @@ def oracle_stone(text: str, html: bytes) -> bytes | None:
     return buf.getvalue().encode("utf-8")
 
 
+def oracle_itau(text: str, html: bytes) -> bytes | None:
+    """Mirrors conversor_itau.py (PDFTableExtractor.start, :15-45): per-page
+    stream-mode table (fixture geometry from synth.ITAU_GEOM), fix_header
+    :125-129, clean_data :47-66 (+fix_hyphen :68-73), sanitize :131-144,
+    date ffill :146-152, credito/debito bfill :154-167, CSV :113-117 and
+    finalize ';;'→';' :169-178."""
+    import bisect
+
+    from pdf_table_extractor_spark.synth import ITAU_GEOM  # fixture geometry spec
+
+    words, _ = parse_markup(html)
+
+    def fix_hyphen(v):
+        if isinstance(v, str):
+            v = v.strip().replace(".", "")
+            v = re.sub(r"(\d+),(\d+)-$", r"-\1,\2", v)
+        return v
+
+    page_dfs = []
+    for page in sorted({w.page_no for w in words}):
+        cfg = ITAU_GEOM["page_1"] if page == 1 else ITAU_GEOM["page_2_end"]
+        ax0, atop, ax1, abot = cfg["area"]
+        seps = cfg["columns"]
+        pw = [
+            w
+            for w in words
+            if w.page_no == page
+            and ax0 <= (w.x0 + w.x1) / 2 <= ax1
+            and atop <= (w.top + w.bottom) / 2 <= abot
+        ]
+        if not pw:
+            continue
+        rows = defaultdict(list)
+        for w in pw:
+            rows[round(w.top, 0)].append(w)
+        grid = []
+        for y in sorted(rows):
+            cells = [[] for _ in range(len(seps) + 1)]
+            for w in rows[y]:
+                cells[bisect.bisect_right(seps, (w.x0 + w.x1) / 2)].append(w)
+            grid.append(
+                [" ".join(x.text for x in sorted(c, key=lambda x: x.x0)) for c in cells]
+            )
+        if not grid:
+            continue
+        df = pd.DataFrame(grid)
+        # fix_header
+        df.columns = df.iloc[0]
+        df = df.drop(0).reset_index(drop=True)
+        # clean_data
+        df = df.loc[:, ~df.columns.duplicated()]
+        df = df.dropna(axis=1, how="all")
+        df.columns = df.columns.str.strip()
+        for col in df.columns:
+            df[col] = df[col].apply(fix_hyphen)
+        page_dfs.append(df)
+    if not page_dfs:
+        return None
+    main = pd.concat(page_dfs, ignore_index=True)
+    # sanitize_column_names (ascii fold stands in for unidecode on the
+    # fixture charset)
+    fold = str.maketrans("áéíóúâêôãõàçÁÉÍÓÚÂÊÔÃÕÀÇ", "aeiouaeoaoacAEIOUAEOAOAC")
+    main.columns = main.columns.map(
+        lambda x: re.sub(r"[^\w\s]", "", str(x).translate(fold)).replace(" ", "_").lower()
+    )
+    main = main.loc[:, ~main.columns.duplicated()]
+    if "data_de_insercao" in main.columns:
+        main = main.drop("data_de_insercao", axis=1)
+    main = main.dropna(axis=1, how="all")
+    # fill_empty_dates / remove_credit_debit_repeats
+    if "data" in main.columns:
+        main["data"] = main["data"].replace("", pd.NA).ffill()
+    if "credito" in main.columns:
+        main["credito"] = main["credito"].replace("", pd.NA).bfill()
+    if "debito" in main.columns:
+        main["debito"] = main["debito"].replace("", pd.NA).bfill()
+    buf = io.StringIO()
+    main.to_csv(buf, sep=";", index=False)
+    return re.sub(r";{2,}", ";", buf.getvalue()).encode("utf-8")
+
+
 CAIXA_FMTS = [
     (r"\d{2}/\d{2}/\d{4}", "%d/%m/%Y"),
     (r"\d{4}-\d{2}-\d{2}", "%Y-%m-%d"),
@@ -705,6 +786,7 @@ ORACLES = {
     "ofx": oracle_ofx,
     "bradesco": oracle_bradesco,
     "stone": oracle_stone,
+    "itau": oracle_itau,
 }
 
 
