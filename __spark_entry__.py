@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, "/root/repo")
 
 from pdf_table_extractor_spark import contracts  # noqa: E402
+from pdf_table_extractor_spark import contracts_curation  # noqa: E402,F401 — registers curation queries
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,270 @@
+"""Driver-contract queries for the training-data curation operators
+(dedup / similarity / text analysis / extraction pipeline).
+
+Cross-engine determinism strategy (the DuckDB oracle must hash-match):
+- hashing is md5-hex compared lexicographically (identical everywhere);
+- float outputs are avoided in favor of ids/ranks/rounded ratios whose
+  pre-round gaps dwarf engine float noise;
+- cosine thresholds/rankings only surface ids, not the cosine itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_table_extractor_spark.contracts import contract, load
+from pdf_table_extractor_spark.operators import dedup, similarity, textquality
+
+# Shared DuckDB CTE fragments
+SQ = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+TOKS = f"SELECT doc_id, source, string_split({SQ}, ' ') AS t FROM documents"
+SHINGLES = (
+    f"WITH toks AS ({TOKS}), "
+    "sh AS (SELECT doc_id, source, unnest(list_transform("
+    "generate_series(1, greatest(len(t)-2, 0)), "
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM toks)"
+)
+
+
+@contract(
+    "q_dedup_exact",
+    """
+    SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(load(spark, sf_dir, "documents"))
+
+
+@contract(
+    "q_minhash_signature",
+    SHINGLES
+    + """
+    SELECT doc_id,
+           MIN(md5('0:' || s)) AS h0, MIN(md5('1:' || s)) AS h1,
+           MIN(md5('2:' || s)) AS h2, MIN(md5('3:' || s)) AS h3
+    FROM sh GROUP BY doc_id
+    """,
+)
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signatures(load(spark, sf_dir, "documents"), n_hashes=4)
+
+
+@contract(
+    "q_dedup_minhash",
+    SHINGLES
+    + """
+    , sig AS (
+      SELECT doc_id,
+             MIN(md5('0:' || s)) AS h0, MIN(md5('1:' || s)) AS h1,
+             MIN(md5('2:' || s)) AS h2, MIN(md5('3:' || s)) AS h3
+      FROM sh GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, 0 AS band_idx, h0 AS band_key FROM sig
+      UNION ALL SELECT doc_id, 1, h1 FROM sig
+      UNION ALL SELECT doc_id, 2, h2 FROM sig
+      UNION ALL SELECT doc_id, 3, h3 FROM sig
+    )
+    SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+    FROM bands l JOIN bands r
+      ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+     AND l.doc_id < r.doc_id
+    """,
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = dedup.minhash_signatures(load(spark, sf_dir, "documents"), n_hashes=4)
+    return dedup.lsh_candidates(sig, n_hashes=4, band_size=1)
+
+
+def _simhash_sql() -> str:
+    sums = ", ".join(
+        f"SUM(CASE WHEN ascii(substr(hh, {j + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(16)
+    )
+    bits = " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+    return (
+        f"WITH toks AS ({TOKS}), "
+        "tok AS (SELECT doc_id, unnest(t) AS tk FROM toks), "
+        "h AS (SELECT doc_id, md5(tk) AS hh FROM tok), "
+        f"sums AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id) "
+        f"SELECT doc_id, {bits} AS simhash FROM sums"
+    )
+
+
+@contract("q_dedup_simhash", _simhash_sql())
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash16(load(spark, sf_dir, "documents"))
+
+
+@contract(
+    "q_dedup_ngram_jaccard",
+    SHINGLES
+    + """
+    , sh2 AS (SELECT DISTINCT doc_id, source, s FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh2 GROUP BY doc_id),
+    inter AS (
+      SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS n_inter
+      FROM sh2 l JOIN sh2 r
+        ON l.source = r.source AND l.s = r.s AND l.doc_id < r.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a, b, ROUND(n_inter / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = a
+    JOIN sizes sb ON sb.doc_id = b
+    WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.05
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), scope_col="source", threshold=0.05
+    )
+
+
+@contract(
+    "q_dedup_embed_cosine",
+    """
+    SELECT l.vec_id AS a, r.vec_id AS b
+    FROM embeddings l JOIN embeddings r
+      ON l.label = r.label AND l.vec_id < r.vec_id
+    WHERE list_cosine_similarity(l.embedding, r.embedding) >= 0.4
+    """,
+)
+def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.near_dup_pairs(
+        load(spark, sf_dir, "embeddings"), scope_col="label", threshold=0.4
+    )
+
+
+@contract(
+    "q_ann_bruteforce",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.qid, e.vec_id AS nid,
+             list_cosine_similarity(q.qv, e.embedding) AS cos
+      FROM q, embeddings e WHERE e.vec_id != q.qid
+    )
+    SELECT qid AS query_id,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank,
+           nid AS neighbor_id
+    FROM scored QUALIFY rank <= 3
+    """,
+)
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
+
+
+def _ann_lsh_sql(bits: int = 4) -> str:
+    bkt = " + ".join(
+        f"(CASE WHEN embedding[{d + 1}] > 0 THEN {1 << d} ELSE 0 END)" for d in range(bits)
+    )
+    return f"""
+    WITH b AS (SELECT vec_id, embedding, {bkt} AS bkt FROM embeddings),
+    scored AS (
+      SELECT l.vec_id AS id, r.vec_id AS nid,
+             list_cosine_similarity(l.embedding, r.embedding) AS cos
+      FROM b l JOIN b r ON l.bkt = r.bkt AND l.vec_id != r.vec_id
+    )
+    SELECT id AS vec_id, nid AS neighbor_id
+    FROM (SELECT id, nid,
+                 ROW_NUMBER() OVER (PARTITION BY id ORDER BY cos DESC, nid) AS rk
+          FROM scored)
+    WHERE rk = 1
+    """
+
+
+@contract("q_ann_lsh", _ann_lsh_sql())
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_nearest(load(spark, sf_dir, "embeddings"), bits=4)
+
+
+def _lang_sql() -> str:
+    hits = ", ".join(
+        "len(list_filter(t, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in ws)
+        + f"], x))) AS {lang}_hits"
+        for lang, ws in textquality.LANG_MARKERS.items()
+    )
+    langs = list(textquality.LANG_MARKERS)
+    m = "GREATEST(" + ", ".join(f"{lg}_hits" for lg in langs) + ")"
+    guess = f"CASE WHEN {m} <= 0 THEN 'und' " + " ".join(
+        f"WHEN {lg}_hits = {m} THEN '{lg}'" for lg in langs
+    ) + " END"
+    cols = ", ".join(f"{lg}_hits" for lg in langs)
+    return (
+        f"WITH toks AS ({TOKS}), h AS (SELECT doc_id, {hits} FROM toks) "
+        f"SELECT doc_id, {cols}, {guess} AS lang_guess FROM h"
+    )
+
+
+@contract("q_lang_id", _lang_sql())
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textquality.lang_id(load(spark, sf_dir, "documents"))
+
+
+@contract(
+    "q_quality_score",
+    rf"""
+    WITH base AS (
+      SELECT doc_id,
+             len(string_split({SQ}, ' ')) AS n_tokens,
+             length(text) AS n_chars_m,
+             length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS punct,
+             len(list_filter(string_split({SQ}, ' '),
+                 x -> list_contains(['the','and','of','data','value','order','key','fast','slow'], x))) AS stop
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, n_chars_m,
+           ROUND(punct / GREATEST(n_chars_m, 1), 6) AS punct_ratio,
+           ROUND(stop / GREATEST(n_tokens, 1), 6) AS stop_ratio,
+           ROUND(0.4 * LEAST(n_tokens / 100.0, 1.0)
+                 + 0.3 * (1.0 - punct / GREATEST(n_chars_m, 1))
+                 + 0.3 * (stop / GREATEST(n_tokens, 1)), 6) AS quality_score
+    FROM base
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textquality.quality_features(load(spark, sf_dir, "documents"))
+
+
+@contract(
+    "q_token_count",
+    r"""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS bpe_pieces
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textquality.token_counts(load(spark, sf_dir, "documents"))
+
+
+@contract(
+    "q_fingerprint",
+    SHINGLES
+    + f"""
+    , mins AS (SELECT doc_id, MIN(md5(s)) AS min_shingle_md5 FROM sh GROUP BY doc_id)
+    SELECT d.doc_id, md5({SQ}) AS doc_md5, mins.min_shingle_md5
+    FROM documents d LEFT JOIN mins ON mins.doc_id = d.doc_id
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textquality.fingerprints(load(spark, sf_dir, "documents"))
+
+
+@contract("q_extract_pipeline", None)  # rows-only: non-SQL (Arrow UDF pipeline)
+def q_extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship extraction on a small deterministic synthetic corpus (the
+    sf_dir tables don't carry bank layouts; the corpus is seeded so the
+    result is stable across runs)."""
+    from pdf_table_extractor_spark import synth
+    from pdf_table_extractor_spark.plans.extract import extract
+
+    pages = synth.synth_spark(spark, 120, parallelism=8)
+    out = extract(pages, num_partitions=8)
+    return out.select("url", "profile", "n_rows").orderBy("url")

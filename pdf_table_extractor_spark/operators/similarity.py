@@ -1,0 +1,128 @@
+"""Similarity search over an embedding column (`array<float>`).
+
+Brute-force cosine top-k is the exact baseline: a broadcast of the (small)
+query set against the corpus — one pass, no shuffle on the corpus side,
+per-group top-k via window row_number (TakeOrdered per partition under AQE).
+
+The scale path is sign-LSH bucketing: an 8/16-bit bucket from the signs of
+the leading dimensions (or any fixed projection) turns the all-pairs join
+into an equi-join on bucket id — the same shape Spark already optimizes,
+and bucket population is data-independent enough for AQE's skew splitting
+to absorb imbalance. Recall is tuned by bucket bits / multiple probes.
+
+All dot products run as zip_with + aggregate on doubles — JVM higher-order
+functions, no UDF, deterministic left-to-right fold order (which keeps an
+external SQL oracle bit-compatible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i as an ordered fold (aggregate over zip_with)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k: (query_id, rank, neighbor_id). `queries` is expected to
+    be small → broadcast; ties broken by neighbor id for determinism."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("qvec"), F.col("cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
+def sign_bucket(vec: Column, bits: int = 4) -> Column:
+    """LSH bucket id from the signs of the first `bits` dimensions (exact
+    float comparisons — engine-independent)."""
+    b = F.lit(0)
+    for d in range(bits):
+        b = b + F.when(F.element_at(vec, d + 1) > 0, F.lit(1 << d)).otherwise(F.lit(0))
+    return b
+
+
+def lsh_nearest(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", bits: int = 4
+) -> DataFrame:
+    """Approximate nearest neighbor within the sign-LSH bucket:
+    (vec_id, neighbor_id). Equi-join on bucket → no all-pairs blowup."""
+    withb = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sign_bucket(F.col(vec_col), bits).alias("bkt")
+    )
+    l, r = withb.alias("l"), withb.alias("r")
+    scored = (
+        l.join(r, (F.col("l.bkt") == F.col("r.bkt")) & (F.col("l.id") != F.col("r.id")))
+        .withColumn("cos", cosine(F.col("l.v"), F.col("r.v")))
+    )
+    w = Window.partitionBy(F.col("l.id")).orderBy(F.col("cos").desc(), F.col("r.id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(F.col("l.id").alias("vec_id"), F.col("r.id").alias("neighbor_id"))
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scope_col: str | None = None,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicates within a scope column (label/host):
+    distinct (a, b), a < b, cosine ≥ threshold."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        (F.col(scope_col) if scope_col else F.lit(1)).alias("scope"),
+    )
+    l, r = base.alias("l"), base.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.scope") == F.col("r.scope")) & (F.col("l.id") < F.col("r.id")),
+        )
+        .withColumn("cos", cosine(F.col("l.v"), F.col("r.v")))
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+    )

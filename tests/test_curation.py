@@ -1,0 +1,127 @@
+"""Behavioral tests for the training-data curation operators on controlled
+synthetic inputs (the DuckDB contract checks determinism; these check the
+operators actually FIND what they claim to find)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_table_extractor_spark.operators import dedup, multimodal, similarity, textquality
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog near the old river bank "
+        "while data pipelines keep processing value records in order every day"
+    )
+    near = base.replace("lazy dog", "sleepy dog")  # one-token edit → near-dup
+    rows = [
+        (0, base, "a"),
+        (1, base, "a"),  # exact dup of 0
+        (2, near, "a"),  # near dup of 0
+        (3, "completely different content about spark shuffles and joins okay", "a"),
+        (4, "unrelated short text here", "b"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_exact_dedup(docs):
+    out = {r.text_md5: r for r in dedup.exact_dedup(docs).collect()}
+    groups = sorted((r.n_copies, r.keep_id) for r in out.values())
+    assert (2, 0) in groups  # docs 0 and 1 collapse, keep id 0
+    assert len(out) == 4
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    sig = dedup.minhash_signatures(docs, n_hashes=8)
+    pairs = {(r.a, r.b) for r in dedup.lsh_candidates(sig, n_hashes=8, band_size=2).collect()}
+    assert (0, 1) in pairs  # exact dups always collide
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup caught by some band
+    assert (0, 4) not in pairs and (3, 4) not in pairs  # unrelated docs don't
+
+
+def test_simhash_near_dups_close(docs):
+    sims = {r.doc_id: r.simhash for r in dedup.simhash16(docs).collect()}
+    d = docs.sparkSession.createDataFrame(
+        [(sims[0], sims[2]), (sims[0], sims[3])], "x long, y long"
+    )
+    h = d.select(dedup.hamming16(F.col("x"), F.col("y")).alias("h")).collect()
+    near, far = h[0].h, h[1].h
+    assert sims[0] == sims[1]  # identical text → identical simhash
+    assert near < far  # near-dup closer in hamming space than unrelated
+
+
+def test_ngram_jaccard(docs):
+    pairs = {(r.a, r.b): r.jaccard for r in dedup.ngram_jaccard_pairs(
+        docs, scope_col="source", threshold=0.3
+    ).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert 0.5 < pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    import math
+
+    rows = []
+    for i in range(30):
+        # +0.1 keeps dim values away from 0 so the ±0.001 twin (vec 30)
+        # lands in the same sign bucket
+        base = [math.sin(i * 7.3 + d + 0.1) for d in range(8)]
+        rows.append((i, [float(x) for x in base], i % 3))
+    # vector 30 = tiny perturbation of vector 0 → nearest neighbor
+    rows.append((30, [x + 0.001 for x in rows[0][1]], 0))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_brute_force_topk(vecs):
+    out = similarity.brute_force_topk(vecs, vecs.filter("vec_id = 0"), k=1).collect()
+    assert out[0].query_id == 0 and out[0].neighbor_id == 30
+
+
+def test_lsh_nearest_respects_buckets(vecs):
+    out = {r.vec_id: r.neighbor_id for r in similarity.lsh_nearest(vecs, bits=2).collect()}
+    assert out.get(0) == 30  # perturbed twin lands in the same sign bucket
+
+
+def test_near_dup_pairs(vecs):
+    pairs = {(r.a, r.b) for r in similarity.near_dup_pairs(
+        vecs, scope_col="label", threshold=0.999
+    ).collect()}
+    assert (0, 30) in pairs
+
+
+def test_lang_id_and_quality(spark):
+    rows = [
+        (0, "the cat and the dog sat on the mat of the house"),
+        (1, "o saldo de extrato para uma conta que não existe"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    langs = {r.doc_id: r.lang_guess for r in textquality.lang_id(df).collect()}
+    assert langs[0] == "en" and langs[1] == "pt"
+    q = {r.doc_id: r for r in textquality.quality_features(df).collect()}
+    assert 0 < q[0].quality_score <= 1
+    toks = {r.doc_id: r for r in textquality.token_counts(df).collect()}
+    assert toks[0].ws_tokens == 12
+
+
+def test_multimodal_plumbing(spark):
+    rows = [
+        ("img1", "image", bytes([5, 7]) + b"payload" * 100),
+        ("vid1", "video", bytes(range(256)) * 8),
+        ("empty", "image", b""),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    meta = {r.id: r for r in multimodal.decode_media(media).collect()}
+    assert meta["img1"].width == 6 and meta["img1"].height == 8
+    assert meta["img1"].n_bytes == 2 + 7 * 100
+    assert meta["empty"].n_bytes == 0 and meta["empty"].width == 1
+    frames = multimodal.sample_frames(media, frame_bytes=256, every=4).collect()
+    vid = [f for f in frames if f.id == "vid1"]
+    assert [f.frame_no for f in vid] == [0, 4]  # 8 blocks, every 4th
+    assert all(len(bytes(f.frame)) == 256 for f in vid)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media_real(media)
