@@ -1,0 +1,107 @@
+"""The spark-submit entry point (north rule: ``spark-submit --py-files
+engine.zip job.py``): checkpoint-resumable extraction over a pages table.
+
+Work is split into url-hash buckets (``pmod(xxhash64(url), n_buckets)``) —
+the unit of commit AND the skew-breaking salt: bucket membership hashes the
+full url, so a hot host's pages scatter across all buckets. Each bucket is
+extracted, written, and committed atomically with its lineage counters; a
+crash loses at most the in-flight bucket, and a resumed run processes only
+uncommitted buckets (plus a belt-and-suspenders anti-join against committed
+urls inside a partially-recovered bucket).
+
+Usage::
+
+    spark-submit --py-files engine.zip job.py \
+        --pages /path/pages_parquet --out /path/out [--buckets 64]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_table_extractor_spark.plans.extract import extract
+from pdf_table_extractor_spark.ship import ensure_shipped
+from pdf_table_extractor_spark.sources.catalog import LocalCatalog
+
+
+def bucket_of(url, n_buckets: int):
+    return F.pmod(F.xxhash64(url), F.lit(n_buckets))
+
+
+def run_job(
+    spark: SparkSession,
+    pages_path: str,
+    out_root: str,
+    n_buckets: int = 8,
+    fail_after_bucket: int | None = None,
+) -> LocalCatalog:
+    """Extract all uncommitted buckets; returns the catalog.
+
+    ``fail_after_bucket`` injects a crash after N bucket commits (tests)."""
+    ensure_shipped(spark)
+    catalog = LocalCatalog(out_root)
+    pages = spark.read.parquet(pages_path).withColumn(
+        "bucket", bucket_of(F.col("url"), n_buckets)
+    )
+    done = set(catalog.committed_buckets())
+    committed_urls = catalog.committed_urls(spark)
+    n_done_this_run = 0
+    for b in range(n_buckets):
+        if b in done:
+            continue
+        t0 = time.perf_counter()
+        sub = pages.filter(F.col("bucket") == b).drop("bucket")
+        if committed_urls is not None:
+            # idempotence even if commit state is partially recovered
+            sub = sub.join(committed_urls, "url", "left_anti")
+        # the extract DAG fans one scan into one branch per profile — cache
+        # the bucket's pages so the parquet scan + anti-join run once
+        sub = sub.cache()
+        out = extract(sub).cache()
+        stats = out.agg(
+            F.count("*").alias("n_pages"),
+            F.count("csv").alias("n_ok"),
+            F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n_rows_total"),
+            F.coalesce(F.sum(F.length("csv")), F.lit(0)).alias("bytes_out"),
+        ).first()
+        catalog.commit_bucket(
+            out,
+            b,
+            {
+                "n_pages": stats.n_pages,
+                "n_ok": stats.n_ok,
+                "n_empty": stats.n_pages - stats.n_ok,
+                "n_rows_total": int(stats.n_rows_total),
+                "bytes_out": int(stats.bytes_out),
+                "wall_ms": int((time.perf_counter() - t0) * 1000),
+            },
+        )
+        out.unpersist()
+        sub.unpersist()
+        n_done_this_run += 1
+        if fail_after_bucket is not None and n_done_this_run >= fail_after_bucket:
+            raise RuntimeError(f"injected failure after {n_done_this_run} buckets")
+    return catalog
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--buckets", type=int, default=8)
+    args = ap.parse_args()
+    from pdf_table_extractor_spark.session import build_spark
+
+    spark = build_spark(app_name="extract-job")
+    catalog = run_job(spark, args.pages, args.out, args.buckets)
+    print(f"committed buckets: {catalog.committed_buckets()}")
+    for row in catalog.lineage_rows():
+        print(row)
+
+
+if __name__ == "__main__":
+    main()

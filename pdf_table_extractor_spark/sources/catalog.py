@@ -1,0 +1,93 @@
+"""Checkpoint/lineage commit protocol (SURVEY §1.3 `checkpoint`/`lineage`).
+
+Iceberg-shaped but sandbox-local: production targets an Iceberg catalog
+(snapshot commits give atomic visibility + time travel); here the same API
+runs on parquet directories committed by atomic manifest rename, so the
+abstraction doesn't leak into the pipeline (SURVEY §7.3).
+
+Layout under ``root``::
+
+    data/bucket=<b>/*.parquet      committed output rows for bucket b
+    lineage/bucket=<b>.json        per-bucket counters (lineage row)
+    _manifests/bucket=<b>.json     commit marker — written LAST, atomically
+
+A bucket is visible iff its manifest exists. Writers stage to
+``data/_tmp-<b>`` and rename; a crash mid-bucket leaves no manifest, so the
+bucket is retried on resume. Readers (`committed_buckets`, `read_data`)
+only trust manifests.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class LocalCatalog:
+    def __init__(self, root: str):
+        self.root = root
+        for d in ("data", "lineage", "_manifests"):
+            os.makedirs(os.path.join(root, d), exist_ok=True)
+
+    # -- commit state -------------------------------------------------------
+
+    def committed_buckets(self) -> list[int]:
+        out = []
+        mdir = os.path.join(self.root, "_manifests")
+        for f in os.listdir(mdir):
+            if f.startswith("bucket=") and f.endswith(".json"):
+                out.append(int(f[len("bucket="):-len(".json")]))
+        return sorted(out)
+
+    def bucket_path(self, bucket: int) -> str:
+        return os.path.join(self.root, "data", f"bucket={bucket}")
+
+    # -- write path ---------------------------------------------------------
+
+    def commit_bucket(
+        self, df: DataFrame, bucket: int, lineage: dict, attempt: int = 1
+    ) -> None:
+        """Stage parquet → fsync lineage → atomic manifest rename."""
+        final = self.bucket_path(bucket)
+        tmp = os.path.join(self.root, "data", f"_tmp-{bucket}-{attempt}")
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+        lineage = dict(lineage, bucket=bucket, attempt=attempt, committed_at=time.time())
+        lpath = os.path.join(self.root, "lineage", f"bucket={bucket}.json")
+        with open(lpath, "w") as f:
+            json.dump(lineage, f)
+        mtmp = os.path.join(self.root, "_manifests", f".bucket={bucket}.json.tmp")
+        mfinal = os.path.join(self.root, "_manifests", f"bucket={bucket}.json")
+        with open(mtmp, "w") as f:
+            json.dump({"bucket": bucket, "rows": lineage.get("n_pages"), "attempt": attempt}, f)
+        os.replace(mtmp, mfinal)  # the commit point
+
+    # -- read path ----------------------------------------------------------
+
+    def read_data(self, spark: SparkSession) -> DataFrame | None:
+        paths = [self.bucket_path(b) for b in self.committed_buckets()]
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
+    def committed_urls(self, spark: SparkSession) -> DataFrame | None:
+        df = self.read_data(spark)
+        return df.select("url") if df is not None else None
+
+    def lineage_rows(self) -> list[dict]:
+        ldir = os.path.join(self.root, "lineage")
+        rows = []
+        for b in self.committed_buckets():
+            p = os.path.join(ldir, f"bucket={b}.json")
+            if os.path.exists(p):
+                with open(p) as f:
+                    rows.append(json.load(f))
+        return rows
