@@ -37,8 +37,16 @@ def layout_lines(pages: DataFrame) -> DataFrame:
 
     Output: (url, page_no, y, date_txt, desc_txt, value_txt).
     """
+    # Parse on scan partitions (input splits balance the UDF work), THEN
+    # salt-repartition the doc-sized block rows: ArrowEvalPython nodes drop
+    # outputPartitioning, so a pre-UDF repartition would be re-shuffled —
+    # placing the exchange here makes it the branch's ONLY shuffle (the
+    # groupBy/window/serializer keys all contain url → subset rule).
+    blocks = pages.select("url", parse_blocks("html").alias("bs")).repartition(
+        F.col("url")
+    )
     words = (
-        pages.select("url", F.explode(parse_blocks("html")).alias("b"))
+        blocks.select("url", F.explode("bs").alias("b"))
         .filter(F.col("b.kind") == "word")
         .select(
             "url",

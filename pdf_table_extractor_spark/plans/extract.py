@@ -51,11 +51,16 @@ def extract(
     profiles = profiles or PROFILES
     ensure_shipped(pages.sparkSession)
     pages = pages.withColumn("profile", profile_of(F.col("url")))
-    pages = salt_repartition(pages, num_partitions)
 
     outs: list[DataFrame] = []
     for name, prof in profiles.items():
         sub = pages.filter(F.col("profile") == name)
+        if prof.salt_pages:
+            # text-path branches: one explicit url-hash exchange up front;
+            # every downstream key set contains url so no further shuffle.
+            # UDF-first branches salt AFTER their parse UDF instead (Arrow
+            # eval nodes drop outputPartitioning — see operators/lines.py).
+            sub = salt_repartition(sub, num_partitions)
         recs = prof.build(sub)
         if prof.emit_empty:
             out = serialize_with_empties(recs, sub.select("url"), name, prof.sink)

@@ -31,6 +31,10 @@ class Profile:
     build: Callable[[DataFrame], DataFrame]
     sink: Sink
     emit_empty: bool = False  # header-only CSV when no records
+    # False for branches whose first step is an Arrow UDF (layout parse /
+    # state machine): they salt AFTER the UDF since ArrowEvalPython drops
+    # outputPartitioning and a pages-level exchange would be wasted.
+    salt_pages: bool = True
 
 
 # ---------------------------------------------------------------------------
@@ -623,7 +627,7 @@ def build_itau(pages: DataFrame) -> DataFrame:
         F.col("r.page_no").alias("page_no"),
         F.col("r.row_no").alias("row_no"),
         F.col("r.cells").alias("cells"),
-    )
+    ).repartition(F.col("url"))  # post-UDF salt: the branch's only shuffle
     # header promotion: first row of each page's table (fix_header per
     # camelot table, conversor_itau.py:110,125-129)
     wpage = Window.partitionBy("url", "page_no").orderBy("row_no")
@@ -748,7 +752,8 @@ PROFILES: dict[str, Profile] = {
     "banestes": Profile(
         "banestes",
         build_banestes,
-        Sink(
+        salt_pages=False,
+        sink=Sink(
             columns=["Data", "Lançamento", "Valor (R$)"],
             source_cols=["data", "lancamento", "valor"],
             order_by=["page_no", "y"],
@@ -835,7 +840,8 @@ PROFILES: dict[str, Profile] = {
     "santander": Profile(
         "santander",
         build_santander,
-        Sink(
+        salt_pages=False,
+        sink=Sink(
             columns=["Data", "Lançamento", "Valor", "Documento"],
             source_cols=["data", "lancamento", "valor", "documento"],
             order_by=["row_no"],
@@ -867,7 +873,8 @@ PROFILES: dict[str, Profile] = {
     "bradesco": Profile(
         "bradesco",
         build_bradesco,
-        Sink(
+        salt_pages=False,
+        sink=Sink(
             columns=["Data", "Histórico", "Dcto.", "Valor", "Saldo"],
             source_cols=["data", "historico", "dcto", "valor", "saldo"],
             order_by=["row_no"],
@@ -877,7 +884,8 @@ PROFILES: dict[str, Profile] = {
     "stone": Profile(
         "stone",
         build_stone,
-        Sink(
+        salt_pages=False,
+        sink=Sink(
             columns=[],
             source_cols=["cells"],
             order_by=["row_no"],
@@ -890,7 +898,8 @@ PROFILES: dict[str, Profile] = {
     "itau": Profile(
         "itau",
         build_itau,
-        Sink(
+        salt_pages=False,
+        sink=Sink(
             columns=[],
             source_cols=["cells", "header"],
             order_by=["page_no", "row_no"],
