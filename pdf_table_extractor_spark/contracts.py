@@ -446,6 +446,98 @@ def q_section_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gated.filter("keep").select("user_id", "event_id", "event_type")
 
 
+@contract(
+    "q_line_assembly",
+    """
+    SELECT user_id,
+           CAST(floor(epoch(ts) / 1800) AS BIGINT) AS line_bucket,
+           string_agg(event_type, ' ' ORDER BY value, event_id) AS line_text,
+           COUNT(*) AS n_words
+    FROM events
+    GROUP BY user_id, CAST(floor(epoch(ts) / 1800) AS BIGINT)
+    """,
+)
+def q_line_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line assembly (conversor_banestes.py:46-57): within a (doc, line)
+    group, concatenate word texts in x-order — here (user, time-bucket)
+    groups with value as the x coordinate, ordered-concat via
+    sort_array(collect_list(struct))."""
+    e = load(spark, sf_dir, "events")
+    bucket = F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 1800).cast("bigint")
+    joined = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("value", "event_id", "event_type"))),
+            lambda x: x["event_type"],
+        ),
+        " ",
+    )
+    return (
+        e.groupBy("user_id", bucket.alias("line_bucket"))
+        .agg(joined.alias("line_text"), F.count("*").alias("n_words"))
+    )
+
+
+@contract(
+    "q_column_binning",
+    """
+    SELECT (CASE WHEN value > 5 THEN 1 ELSE 0 END)
+         + (CASE WHEN value > 10 THEN 1 ELSE 0 END)
+         + (CASE WHEN value > 20 THEN 1 ELSE 0 END)
+         + (CASE WHEN value > 50 THEN 1 ELSE 0 END) AS bin,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def q_column_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-to-column binning (camelot stream mode, conversor_itau.py:99-108):
+    searchsorted against a separator array == Σ (value > sep_i)."""
+    e = load(spark, sf_dir, "events")
+    seps = [5, 10, 20, 50]
+    bin_col = sum(
+        (F.when(F.col("value") > s, 1).otherwise(0) for s in seps), F.lit(0)
+    )
+    return e.groupBy(bin_col.alias("bin")).agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+
+
+@contract(
+    "q_table_cells",
+    r"""
+    WITH rows_t AS (
+      SELECT doc_id,
+             list_transform(string_split(text, '.'), r -> string_split(trim(r), ' ')) AS rows
+      FROM documents
+    )
+    SELECT doc_id,
+           len(rows) AS n_rows,
+           rows[1][1] AS header_first,
+           COALESCE(list_sum(list_transform(rows[2:], r -> len(r))), 0) AS body_cells
+    FROM rows_t
+    """,
+)
+def q_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table payload as array<array<string>> + header promotion
+    (conversor_itau.py:125-129, conversor_stone.py:12): first row becomes
+    the header, remaining rows are body cells."""
+    d = load(spark, sf_dir, "documents")
+    rows = F.transform(
+        F.split("text", r"\."), lambda r: F.split(F.trim(r), " ")
+    )
+    df = d.select("doc_id", rows.alias("rows"))
+    body = F.aggregate(
+        F.slice(F.col("rows"), 2, F.greatest(F.size("rows") - 1, F.lit(0))),
+        F.lit(0),
+        lambda acc, r: acc + F.size(r),
+    )
+    return df.select(
+        "doc_id",
+        F.size("rows").alias("n_rows"),
+        F.element_at(F.element_at("rows", 1), 1).alias("header_first"),
+        body.alias("body_cells"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.6 sorts / limits  &  §2.7 set ops
 # ---------------------------------------------------------------------------
