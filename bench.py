@@ -77,7 +77,7 @@ def main() -> None:
     # ---- flagship: extraction docs/sec
     pages = spark.read.parquet(corpus_path)
     t0 = time.perf_counter()
-    n_out = run_count(extract(pages, num_partitions=cpus * 2))
+    n_out = run_count(extract(pages, num_partitions=cpus))
     extract_sec = time.perf_counter() - t0
     docs_per_sec = n_docs / extract_sec
 

@@ -42,8 +42,9 @@ def layout_lines(pages: DataFrame) -> DataFrame:
     # outputPartitioning, so a pre-UDF repartition would be re-shuffled —
     # placing the exchange here makes it the branch's ONLY shuffle (the
     # groupBy/window/serializer keys all contain url → subset rule).
+    n_part = int(pages.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     blocks = pages.select("url", parse_blocks("html").alias("bs")).repartition(
-        F.col("url")
+        n_part, F.col("url")
     )
     words = (
         blocks.select("url", F.explode("bs").alias("b"))

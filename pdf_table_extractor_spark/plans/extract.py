@@ -31,11 +31,19 @@ def profile_of(url: Column) -> Column:
     return F.regexp_extract(url, PROFILE_FROM_URL, 1)
 
 
+def default_partitions(df: DataFrame) -> int:
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+
+
 def salt_repartition(pages: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """Explicit skew-breaking stage: hash-distribute whole documents by url."""
-    if num_partitions:
-        return pages.repartition(num_partitions, F.col("url"))
-    return pages.repartition(F.col("url"))
+    """Explicit skew-breaking stage: hash-distribute whole documents by url.
+
+    ALWAYS with an explicit partition count: a bare repartition(col) is
+    AQE-coalescible, and since extraction is CPU-bound (regex + Arrow UDFs)
+    the size-based coalescing heuristic would shrink a few-MB shuffle to 2-3
+    partitions and idle the rest of the cluster (measured: flat 8→32-core
+    scaling until this was pinned)."""
+    return pages.repartition(num_partitions or default_partitions(pages), F.col("url"))
 
 
 def extract(
@@ -62,16 +70,18 @@ def extract(
             # eval nodes drop outputPartitioning — see operators/lines.py).
             sub = salt_repartition(sub, num_partitions)
         recs = prof.build(sub)
-        if prof.emit_empty:
-            out = serialize_with_empties(recs, sub.select("url"), name, prof.sink)
-        else:
-            out = serialize(recs, name, prof.sink)
+        # all_urls routes zero-record docs into the output join-free
+        # (n_rows=0; csv NULL, or header-only when the reference always
+        # writes a file) — every input url surfaces exactly once.
+        out = serialize(
+            recs, name, prof.sink, all_urls=sub.select("url"), emit_empty=prof.emit_empty
+        )
         outs.append(out)
 
+    # unknown-profile passthrough (noise slice): never enters a branch
     known = F.lit(list(profiles.keys()))
-    passthrough = (
-        pages.filter(~F.array_contains(known, F.col("profile")))
-        .select(
+    outs.append(
+        pages.filter(~F.array_contains(known, F.col("profile"))).select(
             "url",
             F.lit("").alias("profile"),
             F.lit(0).alias("n_rows"),
@@ -81,4 +91,4 @@ def extract(
     result = outs[0]
     for o in outs[1:]:
         result = result.unionByName(o)
-    return result.unionByName(passthrough)
+    return result

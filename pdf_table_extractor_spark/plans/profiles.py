@@ -498,30 +498,44 @@ def build_caixa(pages: DataFrame) -> DataFrame:
     # regex — dead code, SURVEY §2.8) so the when-chain order above (first
     # match wins after reversal) mirrors conversor_caixa.py:46-67.
     pages = pages.withColumn("fmt", fmt).filter(F.col("fmt").isNotNull())
-    lines = pages.select(
-        "url", "fmt", F.posexplode(F.split("text", "\n")).alias("line_no", "line")
-    ).withColumn("line", F.trim("line"))
 
-    rec = F.lit(None)
-    parsed = F.lit(None).cast("date")
-    has_date = F.lit(False)
+    # One sub-plan per date format (union) instead of a 4-way CASE over the
+    # full 3-pattern cascade: the fused expression tree of all formats blew
+    # Janino's 64KB method limit → whole-stage codegen fell back to the
+    # interpreter for the entire branch (measured; SURVEY §4 'codegen').
+    # The salt exchange on pages is shared across sub-plans (ReuseExchange).
+    parts = []
     for key, pat, java_fmt in CAIXA_FMTS:
-        this = F.col("fmt") == key
-        rec = F.when(this, _caixa_branch(pat)).otherwise(rec)
-        has_date = F.when(this, F.col("line").rlike(pat)).otherwise(has_date)
-        parsed = F.when(this, F.try_to_date(F.col("rec.d"), java_fmt)).otherwise(parsed)
-
-    recs = (
-        lines.filter((F.col("line") != "") & has_date)
-        .withColumn("rec", rec)
-        .filter(F.col("rec").isNotNull())
-    )
-    recs = recs.withColumn("data_parsed", parsed)
-    # any unparseable date in the doc → whole Data column stays strings
-    # (conversor_caixa.py:243-247 catches the apply() and keeps the column)
-    w = Window.partitionBy("url")
-    recs = recs.withColumn(
-        "dates_ok", F.min(F.col("data_parsed").isNotNull().cast("int")).over(w) == 1
+        sub = pages.filter(F.col("fmt") == key)
+        lines = sub.select(
+            "url", F.posexplode(F.split("text", "\n")).alias("line_no", "line")
+        ).withColumn("line", F.trim("line"))
+        recs = (
+            lines.filter((F.col("line") != "") & F.col("line").rlike(pat))
+            .withColumn("rec", _caixa_branch(pat))
+            .filter(F.col("rec").isNotNull())
+            .withColumn("data_parsed", F.try_to_date(F.col("rec.d"), java_fmt))
+        )
+        # any unparseable date in the doc → whole Data column stays strings
+        # (conversor_caixa.py:243-247 catches the apply() and keeps the
+        # column). Window sits INSIDE the sub-branch: each url lives in
+        # exactly one format sub-plan, and post-union partitioning would be
+        # 'unknown' to Catalyst → extra exchange.
+        w = Window.partitionBy("url")
+        recs = recs.withColumn(
+            "dates_ok", F.min(F.col("data_parsed").isNotNull().cast("int")).over(w) == 1
+        )
+        parts.append(recs)
+    recs = parts[0]
+    for p in parts[1:]:
+        recs = recs.unionByName(p)
+    # Round-robin barrier: the 4-way union's claimed url-partitioning is
+    # inconsistent with its actual partition count (observed: downstream
+    # co-partitioned joins zip 64-vs-256 and throw). A round-robin
+    # repartition is never optimizer-elided and resets the claim; the
+    # serializer's own groupBy exchange then re-establishes url hashing.
+    recs = recs.repartition(
+        int(pages.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     )
     bal = F.col("rec.b")
     cleaned = F.regexp_replace(bal, r"[^\d\.,\-+CD]", "")
@@ -627,7 +641,12 @@ def build_itau(pages: DataFrame) -> DataFrame:
         F.col("r.page_no").alias("page_no"),
         F.col("r.row_no").alias("row_no"),
         F.col("r.cells").alias("cells"),
-    ).repartition(F.col("url"))  # post-UDF salt: the branch's only shuffle
+    ).repartition(
+        # post-UDF salt: the branch's only shuffle; explicit count so AQE
+        # can't size-coalesce this CPU-bound stage (see salt_repartition)
+        int(pages.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        F.col("url"),
+    )
     # header promotion: first row of each page's table (fix_header per
     # camelot table, conversor_itau.py:110,125-129)
     wpage = Window.partitionBy("url", "page_no").orderBy("row_no")
@@ -859,6 +878,7 @@ PROFILES: dict[str, Profile] = {
             decimal=".",
             quoting=__import__("csv").QUOTE_NONNUMERIC,
             prepare=_caixa_prepare,
+            extra_cols=("data_parsed", "dates_ok"),
         ),
     ),
     "ofx": Profile(

@@ -46,9 +46,15 @@ def build_spark(
         # "pages in blocks of 5" batching, conversor_itau.py:30-32).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        # Parquet scans: keep splits near the default 128MB so a 100TB input
-        # fans out to ~800k tasks on a 1000-executor cluster.
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Parquet scan splits: extraction burns far more CPU per byte than a
+        # typical scan (regex cascades + Arrow parse UDFs), so split small —
+        # 8MB here keeps a few-hundred-MB sandbox corpus wide enough for 32
+        # cores. At 100TB the same knob goes back up (128MB → ~800k tasks on
+        # 1000 executors); it's sizing per-task CPU seconds, not bytes.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8388608"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
