@@ -19,9 +19,24 @@ _PKG_NAME = os.path.basename(_PKG_DIR)
 _shipped: set[str] = set()
 
 
+def _content_digest() -> str:
+    """Digest of all .py files (path+mtime+size) so edits invalidate the
+    cached zip — a stale zip ships old modules to executors."""
+    import hashlib
+
+    h = hashlib.md5()
+    for root, _dirs, files in sorted(os.walk(_PKG_DIR)):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                full = os.path.join(root, f)
+                st = os.stat(full)
+                h.update(f"{os.path.relpath(full, _PKG_DIR)}:{st.st_mtime_ns}:{st.st_size};".encode())
+    return h.hexdigest()[:12]
+
+
 def package_zip() -> str:
-    """Build (once) a zip of the engine package; return its path."""
-    out = os.path.join("/tmp", f"{_PKG_NAME}-pyfiles.zip")
+    """Build (once per content state) a zip of the engine package."""
+    out = os.path.join("/tmp", f"{_PKG_NAME}-pyfiles-{_content_digest()}.zip")
     if not os.path.exists(out):
         tmp = out + ".tmp"
         with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
