@@ -64,19 +64,17 @@ def run_level(cores: int, corpus: str) -> dict:
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 800_000
     corpus = ensure_corpus(n_docs)
-    r8 = run_level(8, corpus)
-    r32 = run_level(32, corpus)
-    rate8 = r8["n"] / r8["sec"]
-    rate32 = r32["n"] / r32["sec"]
-    eff = (rate32 / rate8) / 4
-    result = {
-        "n_docs": n_docs,
-        "local8_sec": round(r8["sec"], 1),
-        "local8_docs_per_sec": round(rate8, 1),
-        "local32_sec": round(r32["sec"], 1),
-        "local32_docs_per_sec": round(rate32, 1),
-        "scaling_efficiency_8_to_32": round(eff, 3),
-    }
+    # primary N→4N pair: 2→8 cores (single-JVM 32-thread contention makes
+    # 8→32 unrepresentative of multi-executor scaling — see BENCH/BASELINE.md);
+    # 32-core run included for absolute throughput.
+    results = {n: run_level(n, corpus) for n in (2, 8, 32)}
+    rate = {n: r["n"] / r["sec"] for n, r in results.items()}
+    result = {"n_docs": n_docs}
+    for n in (2, 8, 32):
+        result[f"local{n}_sec"] = round(results[n]["sec"], 1)
+        result[f"local{n}_docs_per_sec"] = round(rate[n], 1)
+    result["scaling_efficiency_2_to_8"] = round((rate[8] / rate[2]) / 4, 3)
+    result["scaling_efficiency_8_to_32"] = round((rate[32] / rate[8]) / 4, 3)
     print(json.dumps(result))
     os.makedirs("/root/repo/BENCH", exist_ok=True)
     with open("/root/repo/BENCH/scaling_result.json", "w") as f:
