@@ -102,6 +102,68 @@ def lsh_nearest(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: assign every vector to its
+    nearest centroid cell, search queries only inside their `n_probe`
+    closest cells.
+
+    Centroids here are the `n_centroids` lowest-id corpus vectors —
+    deterministic and cheap (a production run plugs k-means centroids into
+    the same shape). The centroid table broadcasts; cell assignment is a
+    broadcast-join argmax, and the search is an equi-join on cell id — the
+    same shuffle-friendly shape as the LSH variant, with recall controlled
+    by n_probe instead of bucket bits.
+    """
+    cents = F.broadcast(
+        corpus.orderBy(id_col).limit(n_centroids).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
+        )
+    )
+
+    def assign(df: DataFrame, n_cells: int) -> DataFrame:
+        """top-`n_cells` centroid ids per vector by cosine."""
+        scored = df.crossJoin(cents).withColumn(
+            "ccos", cosine(F.col("v"), F.col("cvec"))
+        )
+        w = Window.partitionBy("id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
+        return (
+            scored.withColumn("crk", F.row_number().over(w))
+            .filter(F.col("crk") <= n_cells)
+            .select("id", "v", F.col("cent_id").alias("cell"))
+        )
+
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    q = queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    corpus_cells = assign(c, 1)  # each corpus vector lives in ONE cell
+    query_cells = assign(q, n_probe)  # queries probe several
+
+    cand = (
+        query_cells.alias("q")
+        .join(corpus_cells.alias("c"), F.col("q.cell") == F.col("c.cell"))
+        .filter(F.col("q.id") != F.col("c.id"))
+        .select(
+            F.col("q.id").alias("query_id"),
+            F.col("c.id").alias("neighbor_id"),
+            cosine(F.col("q.v"), F.col("c.v")).alias("cos"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
 def near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

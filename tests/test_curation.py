@@ -125,3 +125,10 @@ def test_multimodal_plumbing(spark):
     assert all(len(bytes(f.frame)) == 256 for f in vid)
     with pytest.raises(NotImplementedError):
         multimodal.decode_media_real(media)
+
+
+def test_ivf_topk(vecs):
+    exact = similarity.brute_force_topk(vecs, vecs.filter("vec_id = 0"), k=1).collect()
+    approx = similarity.ivf_topk(vecs, vecs.filter("vec_id = 0"), n_centroids=8, n_probe=3, k=1).collect()
+    # the perturbed twin (30) is so close that IVF with multi-probe finds it
+    assert approx and approx[0].neighbor_id == exact[0].neighbor_id == 30

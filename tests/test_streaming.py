@@ -41,3 +41,39 @@ def test_windowed_counts_batch_parity(spark, tmp_path):
     rows = windowed_page_counts(pages).collect()
     assert sum(r.n_pages for r in rows) == 30
     assert all(r.window_end > r.window_start for r in rows)
+
+
+def test_stateful_cross_batch_dedup(spark, tmp_path):
+    """applyInPandasWithState keeps seen-hash state across micro-batches:
+    a duplicate arriving in a LATER batch is dropped."""
+    import pandas as pd
+    from pdf_table_extractor_spark.streaming.ingest import pages_stream
+    from pdf_table_extractor_spark.streaming.stateful import first_seen_stream
+
+    pages_dir = str(tmp_path / "pages")
+    ckpt = str(tmp_path / "ck")
+    rows1 = pd.DataFrame(
+        {"url": ["u1", "u2"], "warc_ts": pd.Timestamp("2024-01-01"),
+         "html": [b"x", b"y"], "text": ["alpha beta", "gamma delta"], "lang": "pt"}
+    )
+    rows2 = pd.DataFrame(
+        {"url": ["u3", "u4"], "warc_ts": pd.Timestamp("2024-01-02"),
+         "html": [b"x", b"z"], "text": ["alpha beta", "epsilon zeta"], "lang": "pt"}
+    )
+    spark.createDataFrame(rows1).coalesce(1).write.mode("append").parquet(pages_dir)
+    spark.createDataFrame(rows2).coalesce(1).write.mode("append").parquet(pages_dir)
+
+    stream = pages_stream(spark, pages_dir, max_files=1)  # one file per batch
+    q = (
+        first_seen_stream(stream)
+        .writeStream.format("memory").queryName("firstseen")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = {r.url for r in spark.sql("select * from firstseen").collect()}
+    # u3 duplicates u1's text (arrives in the second micro-batch) → dropped
+    assert "u1" in out and "u2" in out and "u4" in out
+    assert "u3" not in out
