@@ -55,3 +55,12 @@ def test_rerun_is_noop(spark, tmp_path, pages_path):
     after = {b: tuple(sorted(__import__("os").listdir(LocalCatalog(out).bucket_path(b))))
              for b in range(N_BUCKETS)}
     assert before == after  # data untouched byte-for-byte on disk listing
+
+
+def test_concurrent_buckets(spark, tmp_path, pages_path):
+    """Driver-thread bucket concurrency: same output, all lineage present."""
+    out = str(tmp_path / "out_conc")
+    cat = run_job(spark, pages_path, out, n_buckets=N_BUCKETS, concurrency=4)
+    urls = [r.url for r in cat.read_data(spark).select("url").collect()]
+    assert len(urls) == len(set(urls)) == N_DOCS
+    assert len(cat.lineage_rows()) == N_BUCKETS
