@@ -538,6 +538,34 @@ def q_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@contract(
+    "q_part_revenue",
+    """
+    SELECT p.p_partkey, p.p_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_lines
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_partkey, p.p_name
+    ORDER BY revenue DESC, p_partkey LIMIT 25
+    """,
+)
+def q_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-dim join + agg + top-k (completes star-schema coverage: the
+    `part` dim joined against lineitem, TakeOrdered at the end)."""
+    p = F.broadcast(load(spark, sf_dir, "part"))
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_partkey", "p_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("p_partkey"))
+        .limit(25)
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.6 sorts / limits  &  §2.7 set ops
 # ---------------------------------------------------------------------------
