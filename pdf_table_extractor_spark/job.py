@@ -63,7 +63,12 @@ def run_job(
         with ThreadPoolExecutor(max_workers=concurrency) as pool:
             list(
                 pool.map(
-                    lambda b: _run_bucket(spark, catalog, pages, committed_urls, b),
+                    # use_cache=False: N concurrently-cached buckets thrash
+                    # the storage pool (measured: 8×50k-doc cached buckets
+                    # stalled an 8g heap); the extra scans are cheaper.
+                    lambda b: _run_bucket(
+                        spark, catalog, pages, committed_urls, b, use_cache=False
+                    ),
                     todo,
                 )
             )
@@ -78,15 +83,16 @@ def run_job(
     return catalog
 
 
-def _run_bucket(spark, catalog, pages, committed_urls, b) -> None:
+def _run_bucket(spark, catalog, pages, committed_urls, b, use_cache: bool = True) -> None:
     t0 = time.perf_counter()
     sub = pages.filter(F.col("bucket") == b).drop("bucket")
     if committed_urls is not None:
         # idempotence even if commit state is partially recovered
         sub = sub.join(committed_urls, "url", "left_anti")
-    # the extract DAG fans one scan into one branch per profile — cache
-    # the bucket's pages so the parquet scan + anti-join run once
-    sub = sub.cache()
+    if use_cache:
+        # the extract DAG fans one scan into one branch per profile — cache
+        # the bucket's pages so the parquet scan + anti-join run once
+        sub = sub.cache()
     out = extract(sub).cache()
     stats = out.agg(
         F.count("*").alias("n_pages"),
@@ -107,7 +113,8 @@ def _run_bucket(spark, catalog, pages, committed_urls, b) -> None:
         },
     )
     out.unpersist()
-    sub.unpersist()
+    if use_cache:
+        sub.unpersist()
 
 
 def main() -> None:
