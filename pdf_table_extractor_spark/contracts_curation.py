@@ -257,6 +257,25 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textquality.fingerprints(load(spark, sf_dir, "documents"))
 
 
+@contract(
+    "q_rolling_fingerprint",
+    f"""
+    WITH canon AS (SELECT doc_id, {SQ} AS c FROM documents),
+    wins AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(length(c) - 7, 1), 4),
+               i -> md5(substr(c, i, 8))) AS w
+      FROM canon
+    )
+    SELECT doc_id, list_min(w) AS min_window_md5, len(w) AS n_windows
+    FROM wins
+    """,
+)
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textquality.rolling_fingerprint(load(spark, sf_dir, "documents"))
+
+
 @contract("q_extract_pipeline", None)  # rows-only: non-SQL (Arrow UDF pipeline)
 def q_extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship extraction on a small deterministic synthetic corpus (the

@@ -95,3 +95,29 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         F.md5(squeeze_lower(text)).alias("doc_md5"),
         F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("min_shingle_md5"),
     )
+
+
+def rolling_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    stride: int = 4,
+) -> DataFrame:
+    """Rolling char-window fingerprint (Rabin-Karp/winnowing shape): hash
+    every `stride`-th k-char window of the canonical text, keep the min —
+    robust to word-boundary edits in a way token shingles aren't.
+
+    Expression-only (sequence + transform over substrings; the stride is the
+    cost knob at 100 TB — sampling positions instead of hashing every
+    window). Hash = md5 hex min, engine-portable like the MinHash path.
+    """
+    canon = squeeze_lower(F.col(text_col))
+    n = F.length(canon)
+    starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)), F.lit(stride))
+    wins = F.transform(starts, lambda i: F.md5(F.substring(canon, i, k)))
+    return df.select(
+        F.col(id_col),
+        F.array_min(wins).alias("min_window_md5"),
+        F.size(wins).alias("n_windows"),
+    )
