@@ -120,8 +120,14 @@ def serialize(
         F.array_sort(F.collect_list(F.struct(*fields, "__real"))).alias("recs")
     )
 
+    fast_path = sink.prepare is None and sink.postprocess is None and sink.header
+
     @pandas_udf("n_rows int, csv binary")
     def render_batch(recs_col: pd.Series) -> pd.DataFrame:
+        if fast_path:
+            out = _render_batchwide(recs_col, fields, sink, emit_empty)
+            if out is not None:
+                return out
         n_rows, csvs = [], []
         for recs in recs_col:
             rows = [dict(r) for r in recs if r["__real"] == 1]
@@ -139,6 +145,56 @@ def serialize(
     return out.select(
         "url", "profile", F.col("r.n_rows").alias("n_rows"), F.col("r.csv").alias("csv")
     )
+
+
+def _render_batchwide(recs_col, fields, sink: Sink, emit_empty: bool):
+    """Fast path for standard sinks: render the whole Arrow batch's records
+    with ONE to_csv call (same columns/dtypes → byte-identical rows), then
+    split the text back per document by row count. Returns None (caller
+    falls back to per-doc rendering) if any rendered row spans multiple
+    physical lines (embedded newline inside quotes — never in this corpus,
+    guarded anyway)."""
+    doc_rows: list[list] = []
+    counts: list[int] = []
+    for recs in recs_col:
+        rows = [[r[f] for f in fields] for r in recs if r["__real"] == 1]
+        doc_rows.extend(rows)
+        counts.append(len(rows))
+    big = pd.DataFrame(doc_rows, columns=fields)
+    out = pd.DataFrame()
+    for name, src in zip(sink.columns, sink.source_cols):
+        col = big[src] if len(big) else pd.Series([], dtype=object)
+        if name in sink.float_cols or src in sink.float_cols:
+            col = col.astype("float64")
+        else:
+            col = col.astype(object).where(col.notna(), None)
+        out[name] = col
+    buf = io.StringIO()
+    out.to_csv(buf, index=False, sep=sink.sep, decimal=sink.decimal,
+               quoting=sink.quoting, header=False)
+    body_lines = buf.getvalue().split("\n")
+    if body_lines and body_lines[-1] == "":
+        body_lines.pop()
+    if len(body_lines) != len(doc_rows):
+        return None  # embedded newlines — use the exact per-doc path
+    hdr_buf = io.StringIO()
+    pd.DataFrame(columns=sink.columns).to_csv(
+        hdr_buf, index=False, sep=sink.sep, decimal=sink.decimal, quoting=sink.quoting
+    )
+    header = hdr_buf.getvalue()  # includes trailing newline
+    bom = b"\xef\xbb\xbf" if sink.utf8_sig else b""
+    n_rows, csvs = [], []
+    pos = 0
+    for c in counts:
+        n_rows.append(c)
+        if c == 0 and not emit_empty:
+            csvs.append(None)
+        else:
+            body = "\n".join(body_lines[pos:pos + c])
+            text = header + (body + "\n" if c else "")
+            csvs.append(bom + text.encode("utf-8"))
+        pos += c
+    return pd.DataFrame({"n_rows": n_rows, "csv": csvs})
 
 
 def serialize_with_empties(
