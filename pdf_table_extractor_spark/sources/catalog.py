@@ -91,3 +91,59 @@ class LocalCatalog:
                 with open(p) as f:
                     rows.append(json.load(f))
         return rows
+
+
+def iceberg_available(spark: SparkSession, catalog_name: str = "ice") -> bool:
+    """True when an Iceberg catalog is configured on this session (jars +
+    spark.sql.catalog.<name> settings). The sandbox ships no Iceberg jars
+    (verified SURVEY §7.0), so tests exercise LocalCatalog; production
+    config-switches to IcebergCatalog with the same API."""
+    try:
+        impl = spark.conf.get(f"spark.sql.catalog.{catalog_name}", None)
+    except Exception:
+        impl = None
+    return bool(impl)
+
+
+class IcebergCatalog:
+    """Iceberg-backed implementation of the same commit/lineage API.
+
+    Snapshot commits give the atomicity the manifest-rename provides
+    locally; `bucket` is a column (and a hidden-partition candidate:
+    `bucket(url, N)` in the table spec), lineage rows append to a side
+    table, and resume reads the committed bucket set from the data itself —
+    a bucket is committed iff its rows are in the last snapshot, which is
+    atomic per write.
+    """
+
+    def __init__(self, spark: SparkSession, table: str, lineage_table: str,
+                 catalog_name: str = "ice"):
+        if not iceberg_available(spark, catalog_name):
+            raise NotImplementedError(
+                f"no Iceberg catalog '{catalog_name}' configured on this session "
+                "(expected spark.sql.catalog.* settings + iceberg-spark-runtime jars); "
+                "use LocalCatalog in jar-less environments"
+            )
+        self.spark = spark
+        self.table = table
+        self.lineage_table = lineage_table
+
+    def committed_buckets(self) -> list[int]:
+        rows = self.spark.sql(
+            f"SELECT DISTINCT bucket FROM {self.lineage_table}"
+        ).collect()
+        return sorted(r.bucket for r in rows)
+
+    def commit_bucket(self, df, bucket: int, lineage: dict, attempt: int = 1) -> None:
+        from pyspark.sql import functions as F
+
+        # single atomic snapshot commit for the bucket's rows
+        df.withColumn("bucket", F.lit(bucket)).writeTo(self.table).append()
+        lineage = dict(lineage, bucket=bucket, attempt=attempt)
+        self.spark.createDataFrame([lineage]).writeTo(self.lineage_table).append()
+
+    def read_data(self, spark: SparkSession):
+        return spark.read.table(self.table)
+
+    def committed_urls(self, spark: SparkSession):
+        return self.read_data(spark).select("url")

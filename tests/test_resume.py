@@ -64,3 +64,16 @@ def test_concurrent_buckets(spark, tmp_path, pages_path):
     urls = [r.url for r in cat.read_data(spark).select("url").collect()]
     assert len(urls) == len(set(urls)) == N_DOCS
     assert len(cat.lineage_rows()) == N_BUCKETS
+
+
+def test_iceberg_catalog_gates_cleanly(spark):
+    """No Iceberg jars in this sandbox: the Iceberg implementation must
+    refuse with a clear message, never half-work."""
+    from pdf_table_extractor_spark.sources.catalog import (
+        IcebergCatalog,
+        iceberg_available,
+    )
+
+    assert iceberg_available(spark) is False
+    with pytest.raises(NotImplementedError, match="Iceberg catalog"):
+        IcebergCatalog(spark, "ice.db.extracted", "ice.db.lineage")
