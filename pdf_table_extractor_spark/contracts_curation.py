@@ -284,6 +284,11 @@ def q_extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf_table_extractor_spark import synth
     from pdf_table_extractor_spark.plans.extract import extract
 
+    # A vanilla session defaults to 200 shuffle partitions; at 120 docs the
+    # per-task Python-worker setup of the UDF stages would dominate by ~10×.
+    # Result values are partitioning-independent.
+    if int(spark.conf.get("spark.sql.shuffle.partitions")) > 32:
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
     pages = synth.synth_spark(spark, 120, parallelism=8)
     out = extract(pages, num_partitions=8)
     return out.select("url", "profile", "n_rows").orderBy("url")
