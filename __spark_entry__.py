@@ -20,12 +20,14 @@ from pdf_table_extractor_spark import contracts_curation  # noqa: E402,F401 — 
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
-
-    TPC-H-ish pricing summary through the engine's expression library —
-    replaced by the extraction flagship once synth+profiles land.
-    """
-    return contracts.queries()["q_agg_count"](spark, "/root/testdata/sf0.001")
+    """Flagship: the extraction pipeline itself — synthesises the seeded
+    120-doc Common-Crawl-style corpus on executors and runs the full
+    profile-routing + Arrow-UDF extraction + byte serializer DAG, returning
+    one (url, profile, csv_md5) row per input document. Byte-level expected
+    values live in tests/golden/extract_expected_120.parquet (see
+    tools/gen_extract_expected.py); the sf_dir-based operator contracts are
+    exposed via queries()/oracle_sql()."""
+    return contracts.queries()["q_extract_pipeline"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

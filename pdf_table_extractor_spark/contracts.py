@@ -366,7 +366,8 @@ def q_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM flagged
     )
-    SELECT user_id, session_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS session_value
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS session_cents
     FROM seg GROUP BY user_id, session_id
     """,
 )
@@ -386,9 +387,12 @@ def q_session_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             w.rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
+    # Integer cents per row BEFORE the sum: a bigint sum is associative and
+    # order-independent, so Spark's and DuckDB's different partial-agg orders
+    # produce the same bytes (double sums differ in the last ulp).
     return seg.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("session_value"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("session_cents"),
     )
 
 
@@ -512,7 +516,7 @@ def q_column_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len(rows) AS n_rows,
            rows[1][1] AS header_first,
-           COALESCE(list_sum(list_transform(rows[2:], r -> len(r))), 0) AS body_cells
+           CAST(COALESCE(list_sum(list_transform(rows[2:], r -> len(r))), 0) AS BIGINT) AS body_cells
     FROM rows_t
     """,
 )
@@ -534,7 +538,9 @@ def q_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size("rows").alias("n_rows"),
         F.element_at(F.element_at("rows", 1), 1).alias("header_first"),
-        body.alias("body_cells"),
+        # long on both sides: DuckDB's list_sum widens past int32 and the
+        # driver hashes the formatted value, so pin the type explicitly.
+        body.cast("long").alias("body_cells"),
     )
 
 

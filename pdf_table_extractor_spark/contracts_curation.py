@@ -276,7 +276,18 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textquality.rolling_fingerprint(load(spark, sf_dir, "documents"))
 
 
-@contract("q_extract_pipeline", None)  # rows-only: non-SQL (Arrow UDF pipeline)
+@contract(
+    "q_extract_pipeline",
+    # Full byte-level oracle: tools/gen_extract_expected.py runs the
+    # independent pure-pandas golden oracle (tests/oracle.py) over the SAME
+    # seeded 120-doc corpus and records md5(csv bytes) per url. Comparing
+    # md5s makes this the strongest gate in the suite — any drift in any
+    # profile's extracted bytes flips the hash.
+    """
+    SELECT url, profile, csv_md5
+    FROM read_parquet('/root/repo/tests/golden/extract_expected_120.parquet')
+    """,
+)
 def q_extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship extraction on a small deterministic synthetic corpus (the
     sf_dir tables don't carry bank layouts; the corpus is seeded so the
@@ -284,11 +295,14 @@ def q_extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf_table_extractor_spark import synth
     from pdf_table_extractor_spark.plans.extract import extract
 
-    # A vanilla session defaults to 200 shuffle partitions; at 120 docs the
+    # Child session: same SparkContext, independent SQLConf — a vanilla
+    # session defaults to 200 shuffle partitions and at 120 docs the
     # per-task Python-worker setup of the UDF stages would dominate by ~10×.
-    # Result values are partitioning-independent.
-    if int(spark.conf.get("spark.sql.shuffle.partitions")) > 32:
-        spark.conf.set("spark.sql.shuffle.partitions", "16")
-    pages = synth.synth_spark(spark, 120, parallelism=8)
+    # newSession() scopes the cap to this query instead of mutating the
+    # caller's conf (round-1 config-leak finding).
+    s2 = spark.newSession()
+    if int(s2.conf.get("spark.sql.shuffle.partitions")) > 32:
+        s2.conf.set("spark.sql.shuffle.partitions", "16")
+    pages = synth.synth_spark(s2, 120, parallelism=8)
     out = extract(pages, num_partitions=8)
-    return out.select("url", "profile", "n_rows").orderBy("url")
+    return out.select("url", "profile", F.md5("csv").alias("csv_md5"))
