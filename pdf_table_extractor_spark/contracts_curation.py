@@ -182,6 +182,49 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_nearest(load(spark, sf_dir, "embeddings"), bits=4)
 
 
+def _ann_lsh_multiprobe_sql(bits: int = 4) -> str:
+    bkt = " + ".join(
+        f"(CASE WHEN embedding[{d + 1}] > 0 THEN {1 << d} ELSE 0 END)" for d in range(bits)
+    )
+    margins = "[" + ", ".join(f"abs(embedding[{d + 1}])" for d in range(bits)) + "]"
+    mask = (
+        "CASE list_position(m, list_min(m)) "
+        + " ".join(f"WHEN {d + 1} THEN {1 << d}" for d in range(bits))
+        + " END"
+    )
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {bkt} AS bkt, {margins} AS m FROM embeddings
+    ),
+    p AS (
+      SELECT vec_id, embedding,
+             unnest([bkt, xor(bkt, {mask})]) AS pbkt
+      FROM b
+    ),
+    scored AS (
+      SELECT l.vec_id AS id, r.vec_id AS nid,
+             list_cosine_similarity(l.embedding, r.embedding) AS cos
+      FROM p l JOIN b r ON l.pbkt = r.bkt AND l.vec_id != r.vec_id
+    )
+    SELECT id AS vec_id, nid AS neighbor_id
+    FROM (SELECT id, nid,
+                 ROW_NUMBER() OVER (PARTITION BY id ORDER BY cos DESC, nid) AS rk
+          FROM scored)
+    WHERE rk = 1
+    """
+
+
+@contract("q_ann_lsh_multiprobe", _ann_lsh_multiprobe_sql())
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH with margin-flip multi-probe (n_probe=2): the probe side
+    also searches the bucket reached by flipping its least-confident sign
+    bit, recovering neighbors that straddle a hyperplane without widening
+    the bucket join to all-pairs."""
+    return similarity.lsh_nearest(
+        load(spark, sf_dir, "embeddings"), bits=4, n_probe=2
+    )
+
+
 def _lang_sql() -> str:
     hits = ", ".join(
         "len(list_filter(t, x -> list_contains(["

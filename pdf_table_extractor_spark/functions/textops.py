@@ -3,6 +3,7 @@ reference's per-line `re.sub`/`strip` calls as Catalyst expressions."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -25,6 +26,75 @@ def skip_word_filter(text: Column, skip_words: list[str]) -> Column:
     if not skip_words:
         return F.lit(True)
     return ~text.rlike("(?i)" + "|".join(skip_words))
+
+
+def transliterate(col: Column) -> Column:
+    """General-purpose transliteration (Arrow-batched pandas UDF): the
+    fallback for text whose characters fall outside the JVM Latin fold in
+    operators.tables.ascii_fold — NFKD-decompose, strip combining marks,
+    keep ASCII results, pass anything else through. Prefer ascii_fold in
+    hot paths (pure Catalyst); use this for arbitrary-script columns."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    multi = {"ß": "ss", "æ": "ae", "Æ": "AE", "œ": "oe", "Œ": "OE",
+             "þ": "th", "Þ": "Th", "ĳ": "ij", "Ĳ": "IJ",
+             "ø": "o", "Ø": "O", "đ": "d", "Đ": "D", "ħ": "h", "Ħ": "H",
+             "ı": "i", "ł": "l", "Ł": "L", "ŧ": "t", "Ŧ": "T", "ð": "d", "Ð": "D"}
+
+    def fold_one(s: str | None) -> str | None:
+        if s is None:
+            return None
+        out = []
+        for ch in s:
+            if ch.isascii():
+                out.append(ch)
+                continue
+            if ch in multi:
+                out.append(multi[ch])
+                continue
+            base = "".join(
+                c
+                for c in unicodedata.normalize("NFKD", ch)
+                if not unicodedata.combining(c)
+            )
+            out.append(base if base and base.isascii() else ch)
+        return "".join(out)
+
+    @pandas_udf("string")
+    def _fold(s: pd.Series) -> pd.Series:
+        return s.map(fold_one)
+
+    return _fold(col)
+
+
+LOCK_MAGIC = "ENC1:"
+
+
+def unlock_text(col: Column, password: str) -> Column:
+    """Password-protected documents (conversor_c6.py:36,109 — the per-file
+    `senha` handed to the PDF reader before text extraction). The sandbox
+    lock format is a repeating-key XOR behind an 'ENC1:' magic + hex body;
+    a production deployment swaps this seam for `F.aes_decrypt` or a
+    qpdf/pikepdf UDF — the plumbing (profile-config password, decrypt
+    before parse, pass-through for unlocked docs) is what's modeled.
+    Arrow-batched; unlocked rows short-circuit inside the batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    key = password.encode("utf-8")
+
+    def unlock_one(v: str | None) -> str | None:
+        if v is None or not v.startswith(LOCK_MAGIC):
+            return v
+        data = bytes.fromhex(v[len(LOCK_MAGIC):])
+        return bytes(b ^ key[i % len(key)] for i, b in enumerate(data)).decode("utf-8")
+
+    @pandas_udf("string")
+    def _unlock(s: pd.Series) -> pd.Series:
+        return s.map(unlock_one)
+
+    return _unlock(col)
 
 
 def remove_first_occurrence(col: Column, pat: str) -> Column:

@@ -76,6 +76,35 @@ def render_csv(pdf: pd.DataFrame, sink: Sink) -> bytes:
     return (b"\xef\xbb\xbf" + body) if sink.utf8_sig else body
 
 
+def sheet_name_for(url_or_path: str) -> str:
+    """The reference workbook sinks' sheet naming rule (Conversor.py:186:
+    `os.path.splitext(os.path.basename(p))[0][:31]` — Excel rejects sheet
+    titles over 31 chars). Our XLS/XLSX convention renders logical rows as
+    CSV bytes (COVERAGE.md §2.1), but the sheet identity each document
+    would get in a workbook export is part of the contract — this is it."""
+    base = url_or_path.rstrip("/").rsplit("/", 1)[-1]
+    stem = base.rsplit(".", 1)[0] if "." in base else base
+    return stem[:31]
+
+
+def sheet_name_col(url):
+    """Catalyst twin of `sheet_name_for` for the data plane."""
+    from pyspark.sql import functions as F
+
+    base = F.element_at(F.split(F.regexp_replace(url, "/+$", ""), "/"), -1)
+    stem = F.regexp_replace(base, r"\.[^.]*$", "")
+    return F.substring(stem, 1, 31)
+
+
+def empty_doc_bytes(sink: Sink) -> bytes:
+    """Static bytes for a zero-record document under this sink: header-only
+    CSV, rendered once at plan-build time (deterministic — same pandas
+    to_csv kwargs as the per-doc path). Used by the extract() sentinel for
+    emit_empty profiles (conversor_inter.py always writes the file)."""
+    fields = list(dict.fromkeys([*sink.order_by, *sink.source_cols, *sink.extra_cols]))
+    return render_csv(pd.DataFrame(columns=fields), sink)
+
+
 def serialize(
     records: DataFrame,
     profile: str,

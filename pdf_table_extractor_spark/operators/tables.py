@@ -94,12 +94,46 @@ def stream_rows(col: Column | str, config: dict) -> Column:
     return _stream_udf(json.dumps(config, sort_keys=True))(col)
 
 
+def _build_latin_fold() -> tuple[str, str]:
+    """1→1 transliteration table for the Latin repertoire (Latin-1
+    Supplement + Latin Extended-A/B head): NFKD-decompose, strip combining
+    marks, keep single-ASCII-letter results — the same mapping `unidecode`
+    applies to these ranges. Computed once at import so the hot path is a
+    pure JVM translate()."""
+    import unicodedata
+
+    src, dst = [], []
+    for cp in range(0x00A0, 0x0250):
+        ch = chr(cp)
+        base = "".join(
+            c
+            for c in unicodedata.normalize("NFKD", ch)
+            if not unicodedata.combining(c)
+        )
+        if len(base) == 1 and base.isascii() and base.isalpha():
+            src.append(ch)
+            dst.append(base)
+    # non-decomposing Latin letters unidecode still folds 1→1
+    for s, d in zip("øØđĐħĦıłŁŧŦðÐ", "oOdDhHilLtTdD"):
+        src.append(s)
+        dst.append(d)
+    return "".join(src), "".join(dst)
+
+
+_FOLD_SRC, _FOLD_DST = _build_latin_fold()
+# 1→many foldings translate() can't express (unidecode semantics)
+_FOLD_MULTI = [("ß", "ss"), ("æ", "ae"), ("Æ", "AE"), ("œ", "oe"),
+               ("Œ", "OE"), ("þ", "th"), ("Þ", "Th"), ("ĳ", "ij"), ("Ĳ", "IJ")]
+
+
 def ascii_fold(col: Column) -> Column:
-    """pt-BR diacritics fold (stands in for `unidecode`,
-    conversor_itau.py:133 — full transliteration would be a pandas UDF;
-    this translate covers the fixture charset)."""
+    """`unidecode`-equivalent fold for the full Latin repertoire
+    (conversor_itau.py:133), entirely JVM-side: a few literal replaces for
+    the 1→many cases, then one translate() for every accented Latin letter.
+    Non-Latin scripts (CJK etc.) pass through unchanged — route those
+    through functions.textops.transliterate (pandas UDF) instead."""
     from pyspark.sql import functions as F
 
-    return F.translate(
-        col, "áéíóúâêôãõàçÁÉÍÓÚÂÊÔÃÕÀÇ", "aeiouaeoaoacAEIOUAEOAOAC"
-    )
+    for s, d in _FOLD_MULTI:
+        col = F.regexp_replace(col, s, d)
+    return F.translate(col, _FOLD_SRC, _FOLD_DST)

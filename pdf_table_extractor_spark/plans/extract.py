@@ -1,14 +1,37 @@
-"""The extraction job DAG (SURVEY §3.4): pages → salted partitions →
-per-profile builders → byte serializer → extracted table.
+"""The extraction job DAG (SURVEY §3.4): pages → ONE salted exchange →
+per-profile builders → byte serializer → sentinel merge → extracted table.
 
-Shuffle budget: ONE explicit exchange per profile branch — the url
-repartition. Hash-partitioning on the full url is the north rule's
-"salt-partition on url-hash": Common-Crawl pages cluster by host, and
-hashing the complete url (not the host) spreads each host's pages across
-all partitions. Because every downstream key set contains `url`
-(groupBy(url,page_no,y), Window.partitionBy(url), groupBy(url) for the
-serializer), Catalyst's EnsureRequirements inserts no further exchange —
-asserted in tests/test_plan.py. AQE skew-join/coalesce stays on as backstop.
+Single-pass topology (round-2 redesign — kills the round-1 16× scan
+amplification):
+
+- The source is materialized ONCE: every profile branch consumes the same
+  ``salted`` DataFrame (pages + computed ``profile`` column behind one
+  explicit url-hash repartition). Spark's exchange-reuse rule (and AQE's
+  stage reuse) collapses the identical exchange subtrees across the union
+  branches into one shuffle write + N shuffle reads, so the physical plan
+  contains exactly ONE scan of the pages source — asserted in
+  tests/test_plan.py. At 100 TB that is 1× source read + decode instead of
+  the round-1 ~16× (one rescan per branch plus one per sentinel).
+- The url-hash repartition doubles as the north rule's skew salt:
+  Common-Crawl pages cluster by host; hashing the full url spreads each
+  host's pages across all partitions. Explicit partition count so AQE's
+  size-based coalescing can't starve the CPU-bound UDF stages.
+- Text-path branches (Catalyst expressions over ``text``) inherit the
+  url-hash partitioning all the way through their record groupBys
+  (ClusteredDistribution-subset rule), so they add NO further exchange
+  before rendering. Arrow-UDF branches re-exchange once after their parse
+  (ArrowEvalPython drops outputPartitioning — see operators/lines.py).
+- Zero-record accounting is GLOBAL instead of per-branch: one sentinel row
+  per url (projected off the shared exchange) carries profile + the
+  profile's static empty-document bytes (header-only CSV for emit_empty
+  profiles, NULL otherwise); a final groupBy(url) keeps the real branch
+  output when one exists, else the sentinel. One output-sized exchange
+  replaces the round-1 per-branch sentinel-union + round-robin barrier +
+  re-exchange (3 exchanges × 15 branches on record-sized data).
+- The per-branch map stages between the shared exchange and the final
+  merge exchange are independent ShuffleMapStages — the DAG scheduler runs
+  them concurrently, replacing round 1's ~16-deep sequential stage chain
+  (the measured ~11 s per-action floor behind the 8→32-core inefficiency).
 """
 
 from __future__ import annotations
@@ -16,10 +39,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from pdf_table_extractor_spark.operators.serialize import (
-    serialize,
-    serialize_with_empties,
-)
+from pdf_table_extractor_spark.operators.serialize import empty_doc_bytes, serialize
 from pdf_table_extractor_spark.ship import ensure_shipped
 from pdf_table_extractor_spark.plans.profiles import PROFILES, Profile
 
@@ -53,42 +73,77 @@ def extract(
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → (url, profile, n_rows, csv).
 
-    Documents whose url maps to no known profile (noise slice) pass through
-    unextracted: profile='', n_rows=0, csv NULL.
+    Exactly one output row per input url. Documents whose url maps to no
+    known profile (noise slice) pass through unextracted: profile='',
+    n_rows=0, csv NULL. Known-profile documents that extract zero records
+    get n_rows=0 with csv NULL — or the profile's header-only CSV when its
+    sink always writes a file (emit_empty, conversor_inter.py behavior).
     """
     profiles = profiles or PROFILES
     ensure_shipped(pages.sparkSession)
-    pages = pages.withColumn("profile", profile_of(F.col("url")))
+
+    # The ONE shared exchange: compute profile once, salt once. Every
+    # branch (and the sentinel) hangs off this same subplan object, so the
+    # physical planner reuses a single shuffle for all of them.
+    salted = salt_repartition(
+        pages.withColumn("profile", profile_of(F.col("url"))), num_partitions
+    )
+
+    def branch_filter(name: str) -> Column:
+        # The branch dispatch must stay ABOVE the shared exchange: a plain
+        # `profile == name` is pushed through RepartitionByExpression by
+        # PushDownPredicates, which specializes each branch's exchange child
+        # (measured: 19 FileScans, zero reuse). Tainting the literal with a
+        # nondeterministic-flagged but constant-true guard
+        # (spark_partition_id() >= 0) makes the predicate non-pushable while
+        # evaluating identically, so all branches share one exchange/scan.
+        pinned = F.when(F.spark_partition_id() >= 0, F.lit(name))
+        return F.col("profile") == pinned
 
     outs: list[DataFrame] = []
     for name, prof in profiles.items():
-        sub = pages.filter(F.col("profile") == name)
-        if prof.salt_pages:
-            # text-path branches: one explicit url-hash exchange up front;
-            # every downstream key set contains url so no further shuffle.
-            # UDF-first branches salt AFTER their parse UDF instead (Arrow
-            # eval nodes drop outputPartitioning — see operators/lines.py).
-            sub = salt_repartition(sub, num_partitions)
+        sub = salted.filter(branch_filter(name))
         recs = prof.build(sub)
-        # all_urls routes zero-record docs into the output join-free
-        # (n_rows=0; csv NULL, or header-only when the reference always
-        # writes a file) — every input url surfaces exactly once.
-        out = serialize(
-            recs, name, prof.sink, all_urls=sub.select("url"), emit_empty=prof.emit_empty
-        )
-        outs.append(out)
+        out = serialize(recs, name, prof.sink)
+        # rank=1: a real branch row beats the rank=0 sentinel in the merge
+        outs.append(out.withColumn("__rank", F.lit(1)))
 
-    # unknown-profile passthrough (noise slice): never enters a branch
-    known = F.lit(list(profiles.keys()))
-    outs.append(
-        pages.filter(~F.array_contains(known, F.col("profile"))).select(
-            "url",
-            F.lit("").alias("profile"),
-            F.lit(0).alias("n_rows"),
-            F.lit(None).cast("binary").alias("csv"),
-        )
+    # Global zero-record sentinel: one row per url off the shared exchange.
+    # Unknown profiles surface as profile='' (noise passthrough); emit_empty
+    # profiles carry their statically-rendered header-only bytes.
+    known = list(profiles.keys())
+    profile_out = (
+        F.when(F.col("profile").isin(known), F.col("profile")).otherwise(F.lit(""))
+        if known
+        else F.lit("")
     )
-    result = outs[0]
+    empty_csv: Column = F.lit(None).cast("binary")
+    for name, prof in profiles.items():
+        if prof.emit_empty:
+            empty_csv = F.when(
+                F.col("profile") == name, F.lit(empty_doc_bytes(prof.sink))
+            ).otherwise(empty_csv)
+    sentinel = salted.select(
+        "url",
+        profile_out.alias("profile"),
+        F.lit(0).alias("n_rows"),
+        empty_csv.alias("csv"),
+        F.lit(0).alias("__rank"),
+    )
+
+    merged = outs[0]
     for o in outs[1:]:
-        result = result.unionByName(o)
-    return result
+        merged = merged.unionByName(o)
+    merged = merged.unionByName(sentinel)
+    # One exchange on url (union partitioning claims are unreliable in
+    # Spark 4 — this groupBy is the safe barrier), then keep the real row
+    # per url if any branch produced one: struct max orders on __rank first.
+    picked = merged.groupBy("url").agg(
+        F.max(F.struct("__rank", "profile", "n_rows", "csv")).alias("m")
+    )
+    return picked.select(
+        "url",
+        F.col("m.profile").alias("profile"),
+        F.col("m.n_rows").alias("n_rows"),
+        F.col("m.csv").alias("csv"),
+    )

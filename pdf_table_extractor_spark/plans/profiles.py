@@ -384,7 +384,15 @@ def build_sicoob2(pages: DataFrame) -> DataFrame:
 C6_TXN = r"^(.*?)\s+(-?R\$\s?[\d\.,]+)$"
 
 
+# Per-profile document password (conversor_c6.py:109: the GUI collects a
+# `senha` per file and hands it to the PDF reader). Config data, not code —
+# a deployment maps url patterns → passwords the same way.
+C6_PASSWORD = "c6-senha-2024"
+
+
 def build_c6(pages: DataFrame) -> DataFrame:
+    # decrypt BEFORE any parsing — locked docs carry an ENC1: payload
+    pages = pages.withColumn("text", textops.unlock_text(F.col("text"), C6_PASSWORD))
     year = F.coalesce(
         F.nullif(F.regexp_extract("text", r"(?U)Período \d{1,2} de \w+ de (\d{4})", 1), F.lit("")),
         F.nullif(F.regexp_extract("text", r"(?U)exportado no dia \d{1,2} de \w+ de (\d{4})", 1), F.lit("")),

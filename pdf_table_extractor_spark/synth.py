@@ -303,7 +303,23 @@ def gen_c6(rng: random.Random):
             prev = line
         if prev and rng.random() < 0.12:
             lines.append(prev)  # exact duplicate
+    if rng.random() < 0.3:
+        # password-protected document (conversor_c6.py:109): the whole text
+        # layer is locked behind the profile's senha; the engine must
+        # decrypt before parsing (functions/textops.unlock_text)
+        from pdf_table_extractor_spark.plans.profiles import C6_PASSWORD
+
+        return [_lock_text("\n".join(lines), C6_PASSWORD)], None, [], None
     return lines, None, [], None
+
+
+def _lock_text(text: str, password: str) -> str:
+    """Deterministic document lock: repeating-key XOR + hex behind an
+    ENC1: magic (the sandbox stand-in for PDF encryption)."""
+    key = password.encode("utf-8")
+    data = text.encode("utf-8")
+    enc = bytes(b ^ key[i % len(key)] for i, b in enumerate(data))
+    return "ENC1:" + enc.hex()
 
 
 SANT_DEBIT_DESCS = [
@@ -463,7 +479,9 @@ ITAU_GEOM = {
 }
 # bin index → logical content (bins 1/4/5/8 intentionally empty → ';;'
 # runs in the CSV that finalize collapses, conversor_itau.py:169-178)
-ITAU_HEADER = ["Data", "", "Lançamento", "Dcto", "", "", "Crédito", "Débito", "", "Saldo"]
+# "Dçtöß" exercises the non-pt fold path (ç from the pt charset, ö from
+# Latin-1 outside it, ß a 1→2 transliteration) — sanitizes to "dctoss"
+ITAU_HEADER = ["Data", "", "Lançamento", "Dçtöß", "", "", "Crédito", "Débito", "", "Saldo"]
 _ITAU_XPOS = {0: 45, 2: 152, 3: 315, 6: 395, 7: 472, 9: 546}
 
 

@@ -20,6 +20,34 @@ import pandas as pd
 from pdf_table_extractor_spark.markup import parse as parse_markup
 
 
+_DEACCENT_MULTI = {"ß": "ss", "æ": "ae", "Æ": "AE", "œ": "oe", "Œ": "OE",
+                   "þ": "th", "Þ": "Th", "ĳ": "ij", "Ĳ": "IJ",
+                   "ø": "o", "Ø": "O", "đ": "d", "Đ": "D", "ħ": "h", "Ħ": "H",
+                   "ı": "i", "ł": "l", "Ł": "L", "ŧ": "t", "Ŧ": "T",
+                   "ð": "d", "Ð": "D"}
+
+
+def _deaccent(s: str) -> str:
+    """What `unidecode` does to Latin text: decompose, drop the accent
+    marks, expand the handful of 1→many letters."""
+    import unicodedata
+
+    out = []
+    for ch in s:
+        if ch.isascii():
+            out.append(ch)
+        elif ch in _DEACCENT_MULTI:
+            out.append(_DEACCENT_MULTI[ch])
+        else:
+            base = "".join(
+                c
+                for c in unicodedata.normalize("NFKD", ch)
+                if not unicodedata.combining(c)
+            )
+            out.append(base if base and base.isascii() else ch)
+    return "".join(out)
+
+
 def _csv_bytes(df: pd.DataFrame, **to_csv_kwargs) -> bytes:
     """pandas to_csv with utf-8-sig semantics → bytes (BOM + utf-8 body)."""
     buf = io.StringIO()
@@ -286,7 +314,14 @@ def oracle_sicoob2(text: str, html: bytes) -> bytes | None:
 
 def oracle_c6(text: str, html: bytes) -> bytes | None:
     """Mirrors conversor_c6.py:10-94 + sink :119-120 (year sniff, dd/mm
-    carry with validity check, EOL R$ values, drop_duplicates)."""
+    carry with validity check, EOL R$ values, drop_duplicates; :109 senha
+    unlock before parse)."""
+    if text.startswith("ENC1:"):
+        from pdf_table_extractor_spark.plans.profiles import C6_PASSWORD
+
+        key = C6_PASSWORD.encode("utf-8")
+        raw = bytes.fromhex(text[len("ENC1:"):])
+        text = bytes(b ^ key[i % len(key)] for i, b in enumerate(raw)).decode("utf-8")
     ym = re.search(r"Período \d{1,2} de \w+ de (\d{4})", text) or re.search(
         r"exportado no dia \d{1,2} de \w+ de (\d{4})", text
     )
@@ -642,11 +677,10 @@ def oracle_itau(text: str, html: bytes) -> bytes | None:
     if not page_dfs:
         return None
     main = pd.concat(page_dfs, ignore_index=True)
-    # sanitize_column_names (ascii fold stands in for unidecode on the
-    # fixture charset)
-    fold = str.maketrans("áéíóúâêôãõàçÁÉÍÓÚÂÊÔÃÕÀÇ", "aeiouaeoaoacAEIOUAEOAOAC")
+    # sanitize_column_names: unidecode-equivalent Latin transliteration
+    # (NFKD strip + the 1→many letters), re-derived here in our own words
     main.columns = main.columns.map(
-        lambda x: re.sub(r"[^\w\s]", "", str(x).translate(fold)).replace(" ", "_").lower()
+        lambda x: re.sub(r"[^\w\s]", "", _deaccent(str(x))).replace(" ", "_").lower()
     )
     main = main.loc[:, ~main.columns.duplicated()]
     if "data_de_insercao" in main.columns:

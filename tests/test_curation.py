@@ -87,6 +87,36 @@ def test_lsh_nearest_respects_buckets(vecs):
     assert out.get(0) == 30  # perturbed twin lands in the same sign bucket
 
 
+def test_bits_for_scales_with_corpus():
+    # bucket population must stay bounded: bits grows log2 with rows
+    assert similarity.bits_for(5_000, 10_000) == 1
+    assert similarity.bits_for(1_000_000, 10_000) == 7
+    assert similarity.bits_for(10**12, 10_000) == similarity.MAX_LSH_BITS
+    for n in (10**5, 10**7, 10**9):
+        b = similarity.bits_for(n, 10_000)
+        assert n / (1 << b) <= 10_000  # expected bucket ≤ target
+
+
+def test_lsh_derived_bits_and_multiprobe(vecs):
+    # derived bits: tiny corpus → 1 bit, still functional
+    out = similarity.lsh_nearest(vecs, target_bucket_rows=8).collect()
+    assert {r.vec_id for r in out} <= {r.vec_id for r in vecs.collect()}
+    # multi-probe candidates are a superset → the chosen neighbor's cosine
+    # is monotone non-decreasing in n_probe, and coverage never shrinks
+    single = {r.vec_id: r.neighbor_id for r in similarity.lsh_nearest(vecs, bits=3).collect()}
+    multi = {r.vec_id: r.neighbor_id for r in similarity.lsh_nearest(vecs, bits=3, n_probe=3).collect()}
+    assert set(single) <= set(multi)
+    rows = {r.vec_id: r.embedding for r in vecs.collect()}
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    for vid, nid in single.items():
+        assert cos(rows[vid], rows[multi[vid]]) >= cos(rows[vid], rows[nid]) - 1e-9
+
+
 def test_near_dup_pairs(vecs):
     pairs = {(r.a, r.b) for r in similarity.near_dup_pairs(
         vecs, scope_col="label", threshold=0.999

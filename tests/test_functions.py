@@ -130,3 +130,41 @@ def test_section_gate(spark):
         .collect()
     )
     assert [r.t for r in kept] == ["a", "b"]
+
+
+def test_ascii_fold_full_latin(spark):
+    """unidecode-equivalent Latin fold (conversor_itau.py:133): the round-1
+    table covered only the pt-BR fixture charset; the fold now spans the
+    full Latin repertoire including 1→many letters."""
+    from pdf_table_extractor_spark.operators import tables
+
+    rows = [("Dçtöß",), ("Übersicht Ærø",), ("Señor Łódź",), ("crédito",), ("plain",)]
+    df = spark.createDataFrame(rows, "s string")
+    expected = ["Dctoss", "Ubersicht AEro", "Senor Lodz", "credito", "plain"]
+    got = [r.f for r in df.select(tables.ascii_fold(F.col("s")).alias("f")).collect()]
+    assert got == expected
+    # the pandas-UDF fallback agrees with the JVM fold on Latin input
+    got2 = [r.f for r in df.select(textops.transliterate(F.col("s")).alias("f")).collect()]
+    assert got2 == expected
+
+
+def test_sheet_name_rule(spark):
+    """Workbook sheet naming (Conversor.py:186): basename, extension
+    stripped, truncated to Excel's 31-char limit — python and Catalyst
+    variants agree."""
+    from pdf_table_extractor_spark.operators.serialize import (
+        sheet_name_col,
+        sheet_name_for,
+    )
+
+    cases = [
+        "https://h.example/ofx/000123.ofx",
+        "https://h.example/x/" + "a" * 40 + ".pdf",
+        "https://h.example/x/noext",
+        "https://h.example/x/trailing/",
+    ]
+    expected = ["000123", "a" * 31, "noext", "trailing"]
+    assert [sheet_name_for(c) for c in cases] == expected
+    df = spark.createDataFrame([(c,) for c in cases], "u string")
+    got = [r.s for r in df.select(sheet_name_col(F.col("u")).alias("s")).collect()]
+    assert got == expected

@@ -56,6 +56,17 @@ def test_byte_identity(profile, corpus, extracted):
     assert n_checked >= 5  # at least some non-empty docs per profile
 
 
+def test_c6_password_docs_present_and_extracted(corpus, extracted):
+    """At least one c6 doc is ENC1-locked (conversor_c6.py senha behavior)
+    and the engine still extracts it byte-identically (covered by
+    test_byte_identity — here we assert the lock actually fired)."""
+    locked = corpus[corpus["url"].str.contains("/c6/") & corpus["text"].str.startswith("ENC1:")]
+    assert len(locked) >= 1
+    for url in locked["url"]:
+        r = extracted[url]
+        assert r.n_rows > 0 and r.csv is not None, f"{url}: locked doc not extracted"
+
+
 def test_noise_passthrough(corpus, extracted):
     noise = corpus[corpus["lang"] != "pt"]
     assert len(noise) > 0

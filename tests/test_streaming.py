@@ -77,3 +77,46 @@ def test_stateful_cross_batch_dedup(spark, tmp_path):
     # u3 duplicates u1's text (arrives in the second micro-batch) → dropped
     assert "u1" in out and "u2" in out and "u4" in out
     assert "u3" not in out
+
+
+def test_stateful_dedup_eviction_bounds_state(spark, tmp_path):
+    """max_seen_per_bucket caps state: with cap=1, a hash evicted by newer
+    content re-emits when re-seen (sliding-window dedup) — proving the
+    per-bucket list really is bounded rather than growing forever."""
+    import pandas as pd
+    from pdf_table_extractor_spark.streaming.ingest import pages_stream
+    from pdf_table_extractor_spark.streaming.stateful import first_seen_stream
+
+    pages_dir = str(tmp_path / "pages")
+    ckpt = str(tmp_path / "ck")
+
+    def batch(urls_texts, day):
+        return pd.DataFrame(
+            {"url": [u for u, _ in urls_texts],
+             "warc_ts": pd.Timestamp(f"2024-01-{day:02d}"),
+             "html": [b"x"] * len(urls_texts),
+             "text": [t for _, t in urls_texts], "lang": "pt"}
+        )
+
+    # prefix_len=0 → ONE bucket; cap=1 → only the newest hash survives
+    spark.createDataFrame(batch([("a1", "alpha")], 1)).coalesce(1).write.mode(
+        "append").parquet(pages_dir)
+    spark.createDataFrame(batch([("b1", "beta")], 2)).coalesce(1).write.mode(
+        "append").parquet(pages_dir)
+    spark.createDataFrame(batch([("a2", "alpha")], 3)).coalesce(1).write.mode(
+        "append").parquet(pages_dir)
+
+    stream = pages_stream(spark, pages_dir, max_files=1)
+    q = (
+        first_seen_stream(stream, prefix_len=0, max_seen_per_bucket=1)
+        .writeStream.format("memory").queryName("evict")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = [r.url for r in spark.sql("select * from evict").collect()]
+    assert "a1" in out and "b1" in out
+    # "alpha" was evicted when "beta" arrived (cap=1) → a2 re-emits
+    assert "a2" in out
