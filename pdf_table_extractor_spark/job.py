@@ -32,6 +32,33 @@ def bucket_of(url, n_buckets: int):
     return F.pmod(F.xxhash64(url), F.lit(n_buckets))
 
 
+def stage_pages(spark: SparkSession, pages_path: str, out_root: str, n_buckets: int) -> str:
+    """One-time bucket-partitioned staging of the input (idempotent).
+
+    The bucket id is `pmod(xxhash64(url), n)` — not a physical column — so
+    per-bucket filters on the raw input CANNOT be pushed down: every bucket
+    action would re-scan and re-decode the WHOLE table (64 buckets at
+    100 TB = 6.4 PB of reads). Staging pays ONE full read + ONE
+    partitioned write up front; every bucket action afterwards reads only
+    its `bucket=<b>/` partition via partition pruning (total I/O: 2× the
+    input instead of n_buckets×). Spark's `_SUCCESS` marker is the commit:
+    a crash mid-stage leaves no marker and the overwrite rerun is clean.
+    An Iceberg deployment gets the same effect from hidden partitioning on
+    ingest — this is the plain-parquet equivalent."""
+    import os
+
+    staged = os.path.join(out_root, "staged_pages")
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        (
+            spark.read.parquet(pages_path)
+            .withColumn("bucket", bucket_of(F.col("url"), n_buckets))
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(staged)
+        )
+    return staged
+
+
 def run_job(
     spark: SparkSession,
     pages_path: str,
@@ -39,8 +66,14 @@ def run_job(
     n_buckets: int = 8,
     fail_after_bucket: int | None = None,
     concurrency: int = 1,
+    stage_input: bool = True,
 ) -> LocalCatalog:
     """Extract all uncommitted buckets; returns the catalog.
+
+    ``stage_input`` (default) first writes a bucket-partitioned copy of the
+    input so per-bucket reads partition-prune instead of re-scanning the
+    whole table once per bucket — see `stage_pages`. Pass False to filter
+    the raw input directly (only sensible for tiny inputs or n_buckets=1).
 
     ``concurrency`` > 1 processes buckets from driver threads (Spark actions
     are thread-safe; the scheduler interleaves their stages) — overlapping
@@ -50,9 +83,12 @@ def run_job(
     ``fail_after_bucket`` injects a crash after N bucket commits (tests)."""
     ensure_shipped(spark)
     catalog = LocalCatalog(out_root)
-    pages = spark.read.parquet(pages_path).withColumn(
-        "bucket", bucket_of(F.col("url"), n_buckets)
-    )
+    if stage_input:
+        pages = spark.read.parquet(stage_pages(spark, pages_path, out_root, n_buckets))
+    else:
+        pages = spark.read.parquet(pages_path).withColumn(
+            "bucket", bucket_of(F.col("url"), n_buckets)
+        )
     done = set(catalog.committed_buckets())
     committed_urls = catalog.committed_urls(spark)
     todo = [b for b in range(n_buckets) if b not in done]
@@ -83,15 +119,19 @@ def run_job(
     return catalog
 
 
-def _run_bucket(spark, catalog, pages, committed_urls, b, use_cache: bool = True) -> None:
+def _run_bucket(spark, catalog, pages, committed_urls, b, use_cache: bool = False) -> None:
     t0 = time.perf_counter()
     sub = pages.filter(F.col("bucket") == b).drop("bucket")
     if committed_urls is not None:
         # idempotence even if commit state is partially recovered
         sub = sub.join(committed_urls, "url", "left_anti")
     if use_cache:
-        # the extract DAG fans one scan into one branch per profile — cache
-        # the bucket's pages so the parquet scan + anti-join run once
+        # round-1 relic: the old extract DAG fanned one scan into 16
+        # branches, so caching the bucket was load-bearing. The single-pass
+        # extract consumes `sub` exactly twice (text + html exchange
+        # children) against a partition-pruned staged read, so the cache
+        # now only trades one cheap read for storage-pool pressure — off
+        # by default, kept as a knob for unstaged inputs.
         sub = sub.cache()
     out = extract(sub).cache()
     stats = out.agg(

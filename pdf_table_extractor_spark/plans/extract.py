@@ -97,8 +97,12 @@ def extract(
         # nondeterministic-flagged but constant-true guard
         # (spark_partition_id() >= 0) makes the predicate non-pushable while
         # evaluating identically, so all branches share one exchange/scan.
+        # Null-safe equality on top: plain `=` would infer an
+        # isnotnull(profile) constraint and push THAT below the exchange,
+        # specializing the branch children vs the sentinel's and defeating
+        # exchange reuse between them.
         pinned = F.when(F.spark_partition_id() >= 0, F.lit(name))
-        return F.col("profile") == pinned
+        return F.col("profile").eqNullSafe(pinned)
 
     outs: list[DataFrame] = []
     for name, prof in profiles.items():
@@ -123,6 +127,12 @@ def extract(
             empty_csv = F.when(
                 F.col("profile") == name, F.lit(empty_doc_bytes(prof.sink))
             ).otherwise(empty_csv)
+    # The sentinel prunes its exchange child to a url-only scan — nominally
+    # a third source materialization, but a parquet scan of the url column
+    # alone is ~1% of input bytes. The alternative (canonicalizing the
+    # sentinel's child with the text exchange so ReuseExchange serves it)
+    # was measured 6-9% SLOWER at 8 cores: the sentinel then shuffle-reads
+    # every document's text payload just to throw it away. Skinny scan wins.
     sentinel = salted.select(
         "url",
         profile_out.alias("profile"),
@@ -137,9 +147,11 @@ def extract(
     merged = merged.unionByName(sentinel)
     # One exchange on url (union partitioning claims are unreliable in
     # Spark 4 — this groupBy is the safe barrier), then keep the real row
-    # per url if any branch produced one: struct max orders on __rank first.
+    # per url if any branch produced one. max_by compares only the int rank
+    # (measured ~2× cheaper than max over a struct that leads with the csv
+    # payload in the comparison key).
     picked = merged.groupBy("url").agg(
-        F.max(F.struct("__rank", "profile", "n_rows", "csv")).alias("m")
+        F.max_by(F.struct("profile", "n_rows", "csv"), F.col("__rank")).alias("m")
     )
     return picked.select(
         "url",

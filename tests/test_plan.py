@@ -9,7 +9,10 @@ exactly THREE times, once per column group:
     branch (ReuseExchange dedupes the identical subtrees);
   - scan[url, html]  → one url-salt exchange shared by the layout/lattice
     branches (banestes, stone, itau);
-  - scan[url]        → the sentinel's accounting projection.
+  - scan[url]        → the sentinel's accounting projection (url column
+    only ≈ 1% of input bytes — measured cheaper than serving the sentinel
+    from the text exchange, which drags every text payload through its
+    shuffle read).
 
 This beats a single fat exchange at scale: text branches never shuffle or
 re-read html bytes. Assertions run with AQE disabled so the static
@@ -30,7 +33,7 @@ from pdf_table_extractor_spark.plans.extract import extract
 SF_DIR = "/root/testdata/sf0.001"
 
 # Real (non-reused) exchanges in the shipped plan:
-#   3 salt exchanges (text group, html group, sentinel url projection)
+#   3 salt exchanges (text group, html group, sentinel url-only scan)
 # + 4 post-UDF ENSURE_REQUIREMENTS re-exchanges (bradesco, santander, stone
 #   — their parse UDF drops the partitioning claim before the pack groupBy —
 #   and c6, whose password-unlock UDF does the same)
@@ -69,8 +72,9 @@ def test_three_column_pruned_scans(extract_plan):
 
 
 def test_branches_reuse_salt_exchanges(extract_plan):
-    # 15 profile branches (caixa counts 4 sub-plans) + sentinel = 19
-    # exchange consumers served by 3 materialized exchanges + 16 reuses.
+    # 15 profile branches (caixa counts 4 sub-plans) = 18 exchange
+    # consumers served by 2 materialized exchanges + 16 reuses (the
+    # sentinel has its own skinny url-only exchange).
     assert extract_plan.count("ReusedExchange") == 16
 
 

@@ -57,6 +57,36 @@ def test_rerun_is_noop(spark, tmp_path, pages_path):
     assert before == after  # data untouched byte-for-byte on disk listing
 
 
+def test_staged_input_partition_prunes(spark, tmp_path, pages_path):
+    """stage_pages writes a bucket-partitioned copy once; per-bucket reads
+    must partition-prune (the raw pmod(xxhash64) filter can't push down —
+    at 64 buckets that's a full table re-scan per bucket)."""
+    import os
+
+    from pdf_table_extractor_spark.job import stage_pages
+
+    out = str(tmp_path / "out_staged")
+    staged = stage_pages(spark, pages_path, out, N_BUCKETS)
+    assert os.path.exists(os.path.join(staged, "_SUCCESS"))
+    assert sorted(
+        d for d in os.listdir(staged) if d.startswith("bucket=")
+    ) == [f"bucket={b}" for b in range(N_BUCKETS)]
+    from pyspark.sql import functions as F
+
+    plan = (
+        spark.read.parquet(staged)
+        .filter(F.col("bucket") == 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[1][:120]
+    # idempotent: second call reuses the committed staging
+    mtime = os.path.getmtime(os.path.join(staged, "_SUCCESS"))
+    assert stage_pages(spark, pages_path, out, N_BUCKETS) == staged
+    assert os.path.getmtime(os.path.join(staged, "_SUCCESS")) == mtime
+
+
 def test_concurrent_buckets(spark, tmp_path, pages_path):
     """Driver-thread bucket concurrency: same output, all lineage present."""
     out = str(tmp_path / "out_conc")
