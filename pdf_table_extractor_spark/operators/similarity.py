@@ -169,6 +169,69 @@ def lsh_nearest(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column, as pure
+    DataFrame ops: broadcast the k current centroids, argmax-assign every
+    vector (cosine), recompute each centroid as the element-wise mean of
+    its cell — one broadcast join + one groupBy per iteration, no UDFs,
+    no driver-side loops over data (only k small centroid rows ever reach
+    the driver, exactly like MLlib's implementation strategy).
+
+    Deterministic: seeded by the k lowest-id vectors, fixed iteration
+    count, and a first-min tie-break in the assignment. Empty cells keep
+    their previous centroid. Returns (cent_id, cvec)."""
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cents = (
+        c.orderBy("id")
+        .limit(k)
+        .select(
+            F.row_number().over(Window.orderBy("id")).alias("cent_id"),
+            F.col("v").cast("array<double>").alias("cvec"),
+        )
+    )
+    for _ in range(n_iter):
+        bc = F.broadcast(cents)
+        w = Window.partitionBy("id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
+        assigned = (
+            c.crossJoin(bc)
+            .withColumn("ccos", cosine(F.col("v"), F.col("cvec")))
+            .withColumn("crk", F.row_number().over(w))
+            .filter(F.col("crk") == 1)
+            .select("cent_id", "v")
+        )
+        # element-wise mean per cell via posexplode + partial-aggregated
+        # avg: the shuffle carries only k×dim partial sums, never whole
+        # cells (a collect_list of a cell's vectors would OOM at scale)
+        updated = (
+            assigned.select("cent_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cent_id", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("cent_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cvec")
+            )
+        )
+        # empty cells keep their previous centroid (left join + coalesce)
+        cents = (
+            cents.alias("old")
+            .join(updated.alias("new"), "cent_id", "left")
+            .select(
+                "cent_id",
+                F.coalesce(F.col("new.cvec"), F.col("old.cvec")).alias("cvec"),
+            )
+        )
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -177,23 +240,33 @@ def ivf_topk(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: assign every vector to its
     nearest centroid cell, search queries only inside their `n_probe`
     closest cells.
 
-    Centroids here are the `n_centroids` lowest-id corpus vectors —
-    deterministic and cheap (a production run plugs k-means centroids into
-    the same shape). The centroid table broadcasts; cell assignment is a
+    ``kmeans_iters`` > 0 trains the centroids with that many distributed
+    Lloyd's iterations (`kmeans_centroids`) — balanced cells, the
+    production configuration. 0 uses the `n_centroids` lowest-id corpus
+    vectors directly (cheap, deterministic, fine for contract tests).
+    Either way the centroid table broadcasts; cell assignment is a
     broadcast-join argmax, and the search is an equi-join on cell id — the
     same shuffle-friendly shape as the LSH variant, with recall controlled
     by n_probe instead of bucket bits.
     """
-    cents = F.broadcast(
-        corpus.orderBy(id_col).limit(n_centroids).select(
-            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
+    if kmeans_iters > 0:
+        cents = F.broadcast(
+            kmeans_centroids(
+                corpus, n_centroids, kmeans_iters, id_col=id_col, vec_col=vec_col
+            )
         )
-    )
+    else:
+        cents = F.broadcast(
+            corpus.orderBy(id_col).limit(n_centroids).select(
+                F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
+            )
+        )
 
     def assign(df: DataFrame, n_cells: int) -> DataFrame:
         """top-`n_cells` centroid ids per vector by cosine."""

@@ -162,3 +162,19 @@ def test_ivf_topk(vecs):
     approx = similarity.ivf_topk(vecs, vecs.filter("vec_id = 0"), n_centroids=8, n_probe=3, k=1).collect()
     # the perturbed twin (30) is so close that IVF with multi-probe finds it
     assert approx and approx[0].neighbor_id == exact[0].neighbor_id == 30
+
+
+def test_kmeans_centroids_and_trained_ivf(vecs):
+    cents = similarity.kmeans_centroids(vecs, k=4, n_iter=2).collect()
+    assert len(cents) == 4
+    assert sorted(c.cent_id for c in cents) == [1, 2, 3, 4]
+    dim = len(vecs.first().embedding)
+    assert all(len(c.cvec) == dim for c in cents)
+    # deterministic across runs
+    again = similarity.kmeans_centroids(vecs, k=4, n_iter=2).collect()
+    assert {c.cent_id: list(c.cvec) for c in cents} == {c.cent_id: list(c.cvec) for c in again}
+    # trained IVF still finds the perturbed twin of vector 0
+    approx = similarity.ivf_topk(
+        vecs, vecs.filter("vec_id = 0"), n_centroids=4, n_probe=2, k=1, kmeans_iters=2
+    ).collect()
+    assert approx and approx[0].neighbor_id == 30
