@@ -38,27 +38,24 @@ def layout_lines(pages: DataFrame) -> DataFrame:
     Output: (url, page_no, y, date_txt, desc_txt, value_txt).
     """
     # Parse on scan partitions (input splits balance the UDF work), THEN
-    # salt-repartition the doc-sized block rows: ArrowEvalPython nodes drop
+    # salt-repartition the word rows: python eval nodes drop
     # outputPartitioning, so a pre-UDF repartition would be re-shuffled —
     # placing the exchange here makes it the branch's ONLY shuffle (the
     # groupBy/window/serializer keys all contain url → subset rule).
+    # word_rows is the flat-columnar producer (primitive Arrow arrays, no
+    # array<struct> + explode round-trip — ~3× cheaper python stage).
+    from pdf_table_extractor_spark.operators.blocks import word_rows
+
     n_part = int(pages.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    blocks = pages.select("url", parse_blocks("html").alias("bs")).repartition(
-        n_part, F.col("url")
-    )
-    words = (
-        blocks.select("url", F.explode("bs").alias("b"))
-        .filter(F.col("b.kind") == "word")
-        .select(
-            "url",
-            F.col("b.page_no").alias("page_no"),
-            # Spark round() is HALF_UP while the reference's Python round()
-            # is banker's; fixture tops keep fractional parts away from .5
-            # so both agree (documented divergence).
-            F.round(F.col("b.top"), 0).alias("y"),
-            F.col("b.x0").alias("x0"),
-            F.col("b.text").alias("text"),
-        )
+    words = word_rows(pages).repartition(n_part, F.col("url")).select(
+        "url",
+        "page_no",
+        # Spark round() is HALF_UP while the reference's Python round()
+        # is banker's; fixture tops keep fractional parts away from .5
+        # so both agree (documented divergence).
+        F.round(F.col("top"), 0).alias("y"),
+        "x0",
+        "text",
     )
     ws = F.array_sort(F.collect_list(F.struct("x0", "text")))
     agg = words.groupBy("url", "page_no", "y").agg(ws.alias("ws"))

@@ -33,6 +33,29 @@ _VALUE = re.compile(r"(\d{1,3}(?:\.\d{3})*,\d{2}-?)")
 _DATE = re.compile(r"^(\d{2}/\d{2}(?:/\d{2,4})?)\b")
 _HDR_SALDO = re.compile(r"^\s*SALDO (ANTERIOR|EM \d{2}/\d{2}/\d{4})")
 _GLUE = re.compile(r"(\d{6,})(\d{1,3}(?:\.\d{3})*,\d{2}-?)")
+# doc number immediately preceding the value literal (see _find_doc): the
+# round-1 form re-built `re.search(r"(\d{6,})...sep..." + re.escape(raw))`
+# per ROW — a fresh regex compile for every transaction.
+_DOC_PRE = re.compile(r"(\d{6,})(?:\s+|\s*-\s*)?$")
+_SALDO_EM = re.compile(r"^\s*SALDO EM \d{2}/\d{2}(?:/\d{2,4})?\s*$", re.IGNORECASE)
+
+
+def _find_doc(joined: str, raw: str) -> str:
+    """First occurrence of `raw` in `joined` directly preceded by a ≥6-digit
+    run (optionally separated by spaces/hyphen) → that digit run.
+    Equivalent to re.search(r"(\\d{6,})(?:\\s+|\\s*-\\s*)?" + re.escape(raw))
+    without the per-row regex compile: the prefix-anchored search returns
+    the same greedy digit run, and occurrences are scanned left-to-right
+    like re.search's leftmost-match rule."""
+    start = 0
+    while True:
+        p = joined.find(raw, start)
+        if p < 0:
+            return ""
+        m = _DOC_PRE.search(joined, 0, p)
+        if m and m.end() == p:
+            return m.group(1)
+        start = p + 1
 
 
 def _santander_doc(text: str) -> list[tuple[str, str, float, str]]:
@@ -79,8 +102,7 @@ def _santander_doc(text: str) -> list[tuple[str, str, float, str]]:
             if vm:
                 raw = vm.group(1)
                 lanc = joined[: joined.rfind(raw)].strip()
-                docm = re.search(r"(\d{6,})(?:\s+|\s*-\s*)?" + re.escape(raw), joined)
-                doc = docm.group(1) if docm else ""
+                doc = _find_doc(joined, raw)
                 if any(k in lanc.lower() for k in SANTANDER_KEYWORDS):
                     val = "-" + raw.replace("-", "").rstrip("-")
                 else:
@@ -99,7 +121,7 @@ def _santander_doc(text: str) -> list[tuple[str, str, float, str]]:
         seen.add(key)
         if "saldo anterior" in lanc.lower():
             continue
-        if re.match(r"^\s*SALDO EM \d{2}/\d{2}(?:/\d{2,4})?\s*$", lanc, re.IGNORECASE):
+        if _SALDO_EM.match(lanc):
             continue
         out.append((data, lanc, amount, doc))
     return out
