@@ -13,7 +13,7 @@ identical input bytes.
 Env knobs:
   SPARK_GRAFT_SF_DIR   testdata dir            (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[N] parallelism    (default 32)
-  SPARK_GRAFT_BENCH_DOCS  corpus size          (default 20000)
+  SPARK_GRAFT_BENCH_DOCS  corpus size          (default 100000)
 """
 
 from __future__ import annotations
@@ -106,13 +106,16 @@ def main() -> None:
         "extract_docs_per_sec": round(docs_per_sec, 1),
         "cpus": cpus,
     }
-    # surface the dedicated scaling-evidence run (tools/bench_scaling.py)
-    scaling_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling_2_8.json"
-    )
-    if os.path.exists(scaling_path):
-        with open(scaling_path) as f:
-            payload["scaling"] = json.load(f)
+    # surface the dedicated scaling-evidence run (tools/bench_scaling.py
+    # writes BENCH/scaling_result.json; scaling_2_8.json is the round-1
+    # fallback name)
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    for fname in ("scaling_result.json", "scaling_2_8.json"):
+        scaling_path = os.path.join(bench_dir, fname)
+        if os.path.exists(scaling_path):
+            with open(scaling_path) as f:
+                payload["scaling"] = json.load(f)
+            break
     print(json.dumps(payload))
 
 
