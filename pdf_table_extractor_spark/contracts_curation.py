@@ -319,6 +319,94 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textquality.rolling_fingerprint(load(spark, sf_dir, "documents"))
 
 
+def _pii_sql() -> str:
+    from pdf_table_extractor_spark.operators.textquality import (
+        PII_EMAIL,
+        PII_IPV4,
+        PII_PHONE,
+    )
+
+    e, i, p = PII_EMAIL, PII_IPV4, PII_PHONE
+    return f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '{e}', '<EMAIL>', 'g'), '{i}', '<IP>', 'g'), '{p}', '<PHONE>', 'g')
+             AS clean_text,
+           len(regexp_extract_all(text, '{e}')) AS n_emails,
+           len(regexp_extract_all(text, '{i}')) AS n_ipv4,
+           len(regexp_extract_all(text, '{p}')) AS n_phones
+    FROM documents
+    """
+
+
+@contract("q_pii_scrub", _pii_sql())
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textquality.pii_scrub(load(spark, sf_dir, "documents"))
+
+
+@contract(
+    "q_gopher_quality",
+    f"""
+    WITH toks AS ({TOKS}),
+    base AS (
+      SELECT t.doc_id,
+             len(t.t) AS n_tokens,
+             ROUND(CAST(list_sum(list_transform(t.t, x -> len(x))) AS DOUBLE)
+                   / GREATEST(len(t.t), 1), 6) AS mean_word_len,
+             ROUND(len(list_filter(string_split(d.text, chr(10)),
+                                   l -> regexp_matches(trim(l), '^[-*•]'))) * 1.0
+                   / GREATEST(len(string_split(d.text, chr(10))), 1), 6) AS bullet_frac
+      FROM toks t JOIN documents d ON d.doc_id = t.doc_id
+    ),
+    uni AS (
+      SELECT doc_id, tok, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY 1, 2
+    ),
+    mx AS (
+      SELECT doc_id, ROUND(MAX(c) * 1.0 / SUM(c), 6) AS max_unigram_frac
+      FROM uni GROUP BY 1
+    )
+    SELECT b.doc_id, b.n_tokens, b.mean_word_len, b.bullet_frac,
+           COALESCE(mx.max_unigram_frac, 0.0) AS max_unigram_frac,
+           CAST(b.mean_word_len >= 3 AND b.mean_word_len <= 10
+                AND COALESCE(mx.max_unigram_frac, 0.0) <= 0.2
+                AND b.bullet_frac < 0.9 AS INT) AS passes_gopher
+    FROM base b LEFT JOIN mx ON mx.doc_id = b.doc_id
+    """,
+)
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = textquality.gopher_quality(load(spark, sf_dir, "documents"))
+    return out.withColumn("passes_gopher", F.col("passes_gopher").cast("int"))
+
+
+@contract(
+    "q_contamination",
+    SHINGLES
+    + """
+    , bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20),
+    dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+    tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM dsh GROUP BY 1),
+    hit AS (
+      SELECT d.doc_id, COUNT(*) AS n_contaminated
+      FROM dsh d JOIN bench b ON d.s = b.s GROUP BY 1
+    )
+    SELECT doc.doc_id,
+           COALESCE(tot.n_shingles, 0) AS n_shingles,
+           COALESCE(hit.n_contaminated, 0) AS n_contaminated,
+           ROUND(COALESCE(hit.n_contaminated, 0) * 1.0
+                 / GREATEST(COALESCE(tot.n_shingles, 0), 1), 6) AS contamination_ratio
+    FROM documents doc
+    LEFT JOIN tot ON tot.doc_id = doc.doc_id
+    LEFT JOIN hit ON hit.doc_id = doc.doc_id
+    """,
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination: docs 0-19 act as the 'benchmark' corpus;
+    every document reports its distinct-shingle overlap with them."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.contamination(docs, docs.filter(F.col("doc_id") < 20))
+
+
 @contract(
     "q_extract_pipeline",
     # Full byte-level oracle: tools/gen_extract_expected.py runs the

@@ -168,3 +168,46 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def contamination(
+    df: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination check: per document, how many of its distinct
+    word k-shingles appear in the benchmark corpus `bench` (any text
+    column named `text_col`). The benchmark shingle set is distinct-ed and
+    broadcast — at 100 TB the corpus side stays a scan + broadcast-hash
+    semi-join, no shuffle of the corpus. Output: (id, n_shingles,
+    n_contaminated, contamination_ratio)."""
+    bench_sh = F.broadcast(
+        bench.select(F.explode(shingles(F.col(text_col), k)).alias("s")).distinct()
+    )
+    doc_sh = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("s")
+    ).distinct()
+    totals = doc_sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    hits = (
+        doc_sh.join(bench_sh, "s", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    out = (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        )
+    )
+    return out.withColumn(
+        "contamination_ratio",
+        F.round(
+            F.col("n_contaminated") / F.greatest(F.col("n_shingles"), F.lit(1)), 6
+        ),
+    )

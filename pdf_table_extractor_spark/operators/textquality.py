@@ -121,3 +121,76 @@ def rolling_fingerprint(
         F.array_min(wins).alias("min_window_md5"),
         F.size(wins).alias("n_windows"),
     )
+
+
+# PII patterns chosen to mean the same thing in Java regex (Spark) and RE2
+# (DuckDB): no lookaround, no backrefs; leftmost-first alternation only.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE = r"\+\d{2}[ ]?\(?\d{2}\)?[ ]?\d{4,5}-?\d{4}"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII redaction for training corpora: count + replace emails, IPv4
+    addresses, and international-format phone numbers with typed tokens.
+    Fixed scrub order (email → ipv4 → phone) so counts are taken on the
+    original text and replacements can't create new matches. Pure Catalyst
+    regexps — scan-speed, oracle-reproducible."""
+    text = F.col(text_col)
+    clean = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    clean = F.regexp_replace(clean, PII_IPV4, "<IP>")
+    clean = F.regexp_replace(clean, PII_PHONE, "<PHONE>")
+    return df.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        F.regexp_count(text, F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(text, F.lit(PII_IPV4)).alias("n_ipv4"),
+        F.regexp_count(text, F.lit(PII_PHONE)).alias("n_phones"),
+    )
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher/C4-style repetition and shape filters: mean word length,
+    bullet-line fraction, most-common-token fraction, and the composite
+    pass flag (3 ≤ mean_word_len ≤ 10, max_unigram_frac ≤ 0.2,
+    bullet_frac < 0.9). The unigram mode is an explode + two partially
+    aggregated groupBys — the shuffle carries (doc, token) partial counts,
+    never token lists."""
+    text = F.col(text_col)
+    toks = tokens(text)
+    n_tokens = F.size(toks)
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    bullet = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]")))
+    base = df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        F.round(
+            F.aggregate(
+                toks, F.lit(0.0), lambda acc, t: acc + F.length(t)
+            ) / F.greatest(n_tokens, F.lit(1)),
+            6,
+        ).alias("mean_word_len"),
+        F.round(bullet / F.greatest(n_lines, F.lit(1)), 6).alias("bullet_frac"),
+    )
+    tok_counts = (
+        df.select(F.col(id_col), F.explode(tokens(text)).alias("tok"))
+        .groupBy(id_col, "tok")
+        .count()
+        .groupBy(id_col)
+        .agg(F.max("count").alias("max_cnt"), F.sum("count").alias("tot_cnt"))
+        .select(
+            F.col(id_col),
+            F.round(F.col("max_cnt") / F.col("tot_cnt"), 6).alias("max_unigram_frac"),
+        )
+    )
+    out = base.join(tok_counts, id_col, "left").withColumn(
+        "max_unigram_frac", F.coalesce(F.col("max_unigram_frac"), F.lit(0.0))
+    )
+    passes = (
+        (F.col("mean_word_len") >= 3)
+        & (F.col("mean_word_len") <= 10)
+        & (F.col("max_unigram_frac") <= 0.2)
+        & (F.col("bullet_frac") < 0.9)
+    )
+    return out.withColumn("passes_gopher", passes)

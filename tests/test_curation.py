@@ -178,3 +178,41 @@ def test_kmeans_centroids_and_trained_ivf(vecs):
         vecs, vecs.filter("vec_id = 0"), n_centroids=4, n_probe=2, k=1, kmeans_iters=2
     ).collect()
     assert approx and approx[0].neighbor_id == 30
+
+
+def test_pii_scrub(spark):
+    rows = [
+        (0, "contact me at jane.doe+x@mail.example.com or +55 (11) 98765-4321"),
+        (1, "server at 192.168.10.1 responded"),
+        (2, "no pii in this one"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in textquality.pii_scrub(df).collect()}
+    assert out[0].n_emails == 1 and out[0].n_phones == 1
+    assert "<EMAIL>" in out[0].clean_text and "<PHONE>" in out[0].clean_text
+    assert "jane" not in out[0].clean_text and "98765" not in out[0].clean_text
+    assert out[1].n_ipv4 == 1 and "<IP>" in out[1].clean_text
+    assert out[2].clean_text == "no pii in this one"
+    assert (out[2].n_emails, out[2].n_ipv4, out[2].n_phones) == (0, 0, 0)
+
+
+def test_gopher_quality(spark):
+    rows = [
+        (0, "a perfectly normal sentence with reasonably varied words here today"),
+        (1, "spam " * 50),                     # one token dominates
+        (2, "- item\n- item\n- item\n- item"),  # all bullets
+    ]
+    df = spark.createDataFrame([(i, t.strip()) for i, t in rows], "doc_id long, text string")
+    out = {r.doc_id: r for r in textquality.gopher_quality(df).collect()}
+    assert out[0].passes_gopher
+    assert not out[1].passes_gopher and out[1].max_unigram_frac == 1.0
+    assert not out[2].passes_gopher and out[2].bullet_frac == 1.0
+
+
+def test_contamination(docs):
+    # bench = doc 0; doc 1 is an exact copy (ratio 1), doc 3 unrelated (0)
+    bench = docs.filter("doc_id = 0")
+    out = {r.doc_id: r for r in dedup.contamination(docs, bench).collect()}
+    assert out[1].contamination_ratio == 1.0
+    assert out[3].n_contaminated == 0 and out[3].contamination_ratio == 0.0
+    assert 0 < out[2].contamination_ratio < 1  # near-dup partially overlaps
