@@ -100,3 +100,66 @@ def test_segmentation_reassembles(spark, items):
     assert " ".join(r.txt for r in joined) == " ".join(t for _, t in items)
     # number of segments == number of start markers
     assert len(joined) == sum(1 for s, _ in items if s)
+
+
+LATIN = "aàáâãäåbcçdeèéêëfghiìíîïnñoòóôõöøuùúûüyßæœłđ ÁÉÍÓÚÄÖÜÑÇ"
+
+
+@given(st.lists(st.text(alphabet=LATIN, min_size=0, max_size=30), min_size=1, max_size=30))
+@SET
+def test_transliterate_agrees_with_jvm_fold(spark, texts):
+    """The pandas-UDF fallback and the JVM translate fold are the same
+    function on Latin input, and both produce pure ASCII."""
+    from pdf_table_extractor_spark.functions import textops
+    from pdf_table_extractor_spark.operators import tables
+
+    df = spark.createDataFrame([(t,) for t in texts], "s string")
+    got = df.select(
+        tables.ascii_fold(F.col("s")).alias("jvm"),
+        textops.transliterate(F.col("s")).alias("py"),
+    ).collect()
+    for r in got:
+        assert r.jvm == r.py
+        assert r.jvm.isascii() or r.jvm == ""
+
+
+pii_piece = st.one_of(
+    st.text(alphabet="abc xyz.,", min_size=1, max_size=12),
+    st.builds(lambda a, b: f"{a}@{b}.com", st.text("ab", min_size=1, max_size=5),
+              st.text("cd", min_size=1, max_size=5)),
+    st.builds(lambda a, b, c, d: f"{a}.{b}.{c}.{d}",
+              *([st.integers(0, 255)] * 4)),
+)
+
+
+@given(st.lists(st.lists(pii_piece, min_size=1, max_size=6), min_size=1, max_size=20))
+@SET
+def test_pii_counts_match_python_re(spark, docs):
+    import re
+
+    from pdf_table_extractor_spark.operators import textquality as tq
+
+    texts = [" ".join(p) for p in docs]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r.doc_id: r for r in tq.pii_scrub(df).collect()}
+    for i, t in enumerate(texts):
+        assert got[i].n_emails == len(re.findall(tq.PII_EMAIL, t)), t
+        assert got[i].n_ipv4 == len(re.findall(tq.PII_IPV4, t)), t
+
+
+@given(st.lists(st.lists(st.sampled_from(["spark", "data", "fast", "a", "-", "pipeline"]),
+                         min_size=1, max_size=40), min_size=1, max_size=15))
+@SET
+def test_gopher_unigram_matches_counter(spark, docs):
+    from collections import Counter
+
+    from pdf_table_extractor_spark.operators import textquality as tq
+
+    texts = [" ".join(toks) for toks in docs]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r.doc_id: r for r in tq.gopher_quality(df).collect()}
+    for i, toks in enumerate(docs):
+        c = Counter(toks)
+        expect = round(max(c.values()) / sum(c.values()), 6)
+        assert abs(got[i].max_unigram_frac - expect) < 1e-9
+        assert got[i].n_tokens == len(toks)
