@@ -408,6 +408,64 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @contract(
+    "q_multimodal_meta",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS id, 'text' AS kind,
+           length(text) AS n_bytes, md5(text) AS checksum,
+           1 + ascii(substr(text, 1, 1)) AS width,
+           1 + ascii(substr(text, 2, 1)) AS height
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing under the driver gate: documents.text
+    recast as an opaque binary payload (the table carries no real media;
+    text bytes are ASCII so the oracle can mirror the deterministic fake
+    decoder byte-for-byte)."""
+    from pdf_table_extractor_spark.operators import multimodal
+
+    d = load(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.lit("text").alias("kind"),
+        F.encode("text", "UTF-8").alias("data"),
+    )
+    return multimodal.decode_media(media)
+
+
+@contract(
+    "q_multimodal_frames",
+    """
+    WITH m AS (
+      SELECT CAST(doc_id AS VARCHAR) AS id, text,
+             CAST(floor(length(text) / 16) AS INT) AS n_frames
+      FROM documents
+    )
+    SELECT id,
+           unnest(generate_series(0, n_frames - 1, 2)) AS frame_no,
+           md5(substr(text, unnest(generate_series(0, n_frames - 1, 2)) * 16 + 1, 16))
+             AS frame_checksum
+    FROM m
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (every 2nd 16-byte block as a 'frame'):
+    checksums only in the contract — raw binary formats differently across
+    the two engines' pandas bridges."""
+    from pdf_table_extractor_spark.operators import multimodal
+
+    d = load(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.lit("text").alias("kind"),
+        F.encode("text", "UTF-8").alias("data"),
+    )
+    return multimodal.sample_frames(media, frame_bytes=16, every=2).select(
+        "id", "frame_no", "frame_checksum"
+    )
+
+
+@contract(
     "q_extract_pipeline",
     # Full byte-level oracle: tools/gen_extract_expected.py runs the
     # independent pure-pandas golden oracle (tests/oracle.py) over the SAME
