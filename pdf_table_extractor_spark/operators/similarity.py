@@ -52,17 +52,27 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k: (query_id, rank, neighbor_id). `queries` is expected to
-    be small → broadcast; ties broken by neighbor id for determinism."""
+    be small → broadcast; ties broken by neighbor id for determinism.
+
+    Norms are projected per ROW before the join (same fold → bit-identical
+    cosine) instead of recomputed per PAIR — at N corpus × Q queries that
+    removes O(N·Q·dim) redundant work from the scored stage."""
     q = F.broadcast(
         queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            norm(F.col(vec_col)).alias("qn"),
         )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
     scored = (
         c.crossJoin(q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn("cos", dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -149,17 +159,25 @@ def lsh_nearest(
         n = n_rows if n_rows is not None else df.count()
         bits = bits_for(n, target_bucket_rows)
     withb = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sign_bucket(F.col(vec_col), bits).alias("bkt")
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("n"),
+        sign_bucket(F.col(vec_col), bits).alias("bkt"),
     )
     probing = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("n"),
         F.explode(probe_buckets(F.col(vec_col), bits, n_probe)).alias("bkt"),
     )
     l, r = probing.alias("l"), withb.alias("r")
+    # per-row norms projected before the join: same fold → bit-identical
+    # cosine, O(bucket²·dim) less work inside the bucket join
     scored = (
         l.join(r, (F.col("l.bkt") == F.col("r.bkt")) & (F.col("l.id") != F.col("r.id")))
-        .withColumn("cos", cosine(F.col("l.v"), F.col("r.v")))
+        .withColumn(
+            "cos",
+            dot(F.col("l.v"), F.col("r.v")) / (F.col("l.n") * F.col("r.n")),
+        )
     )
     w = Window.partitionBy(F.col("l.id")).orderBy(F.col("cos").desc(), F.col("r.id"))
     return (
@@ -316,15 +334,20 @@ def near_dup_pairs(
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("n"),
         (F.col(scope_col) if scope_col else F.lit(1)).alias("scope"),
     )
     l, r = base.alias("l"), base.alias("r")
+    # per-row norms before the scoped self-join (bit-identical cosine,
+    # O(pairs·dim) less arithmetic)
     return (
         l.join(
             r,
             (F.col("l.scope") == F.col("r.scope")) & (F.col("l.id") < F.col("r.id")),
         )
-        .withColumn("cos", cosine(F.col("l.v"), F.col("r.v")))
+        .withColumn(
+            "cos", dot(F.col("l.v"), F.col("r.v")) / (F.col("l.n") * F.col("r.n"))
+        )
         .filter(F.col("cos") >= threshold)
         .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
     )
