@@ -52,8 +52,7 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_signatures(load(spark, sf_dir, "documents"), n_hashes=4)
 
 
-@contract(
-    "q_dedup_minhash",
+MINHASH_PAIRS_SQL = (
     SHINGLES
     + """
     , sig AS (
@@ -71,8 +70,11 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM bands l JOIN bands r
       ON l.band_idx = r.band_idx AND l.band_key = r.band_key
      AND l.doc_id < r.doc_id
-    """,
+    """
 )
+
+
+@contract("q_dedup_minhash", MINHASH_PAIRS_SQL)
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = dedup.minhash_signatures(load(spark, sf_dir, "documents"), n_hashes=4)
     return dedup.lsh_candidates(sig, n_hashes=4, band_size=1)
@@ -344,9 +346,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textquality.pii_scrub(load(spark, sf_dir, "documents"))
 
 
-@contract(
-    "q_gopher_quality",
-    f"""
+GOPHER_SQL = f"""
     WITH toks AS ({TOKS}),
     base AS (
       SELECT t.doc_id,
@@ -372,8 +372,10 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AND COALESCE(mx.max_unigram_frac, 0.0) <= 0.2
                 AND b.bullet_frac < 0.9 AS INT) AS passes_gopher
     FROM base b LEFT JOIN mx ON mx.doc_id = b.doc_id
-    """,
-)
+    """
+
+
+@contract("q_gopher_quality", GOPHER_SQL)
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = textquality.gopher_quality(load(spark, sf_dir, "documents"))
     return out.withColumn("passes_gopher", F.col("passes_gopher").cast("int"))
@@ -405,6 +407,61 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     every document reports its distinct-shingle overlap with them."""
     docs = load(spark, sf_dir, "documents")
     return dedup.contamination(docs, docs.filter(F.col("doc_id") < 20))
+
+
+def _curation_sql() -> str:
+    pii = _pii_counts_fragment()
+    return f"""
+    WITH lang AS ({_lang_sql()}),
+    gopher AS ({GOPHER_SQL}),
+    pairs AS ({MINHASH_PAIRS_SQL}),
+    scal AS (
+      SELECT doc_id, md5(text) AS text_md5,
+             ROUND(0.4 * LEAST(len(string_split({SQ}, ' ')) / 100.0, 1.0)
+                   + 0.3 * (1.0 - length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                            / GREATEST(length(text), 1))
+                   + 0.3 * (len(list_filter(string_split({SQ}, ' '),
+                       x -> list_contains(['the','and','of','data','value','order','key','fast','slow'], x)))
+                            / GREATEST(len(string_split({SQ}, ' ')), 1)), 6) AS quality_score,
+             {pii} AS n_pii,
+             ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS dup_rank
+      FROM documents
+    ),
+    cand AS (SELECT a AS doc_id FROM pairs UNION SELECT b AS doc_id FROM pairs)
+    SELECT s.doc_id, s.text_md5, s.dup_rank,
+           CAST(s.dup_rank > 1 AS INT) AS is_exact_dup,
+           CASE WHEN cand.doc_id IS NOT NULL THEN 1 ELSE 0 END AS near_dup_candidate,
+           lang.lang_guess, s.quality_score, gopher.passes_gopher, s.n_pii,
+           CAST(s.dup_rank = 1 AND gopher.passes_gopher = 1 AS INT) AS keep
+    FROM scal s
+    JOIN lang ON lang.doc_id = s.doc_id
+    JOIN gopher ON gopher.doc_id = s.doc_id
+    LEFT JOIN cand ON cand.doc_id = s.doc_id
+    """
+
+
+def _pii_counts_fragment() -> str:
+    from pdf_table_extractor_spark.operators.textquality import (
+        PII_EMAIL,
+        PII_IPV4,
+        PII_PHONE,
+    )
+
+    return (
+        f"len(regexp_extract_all(text, '{PII_EMAIL}'))"
+        f" + len(regexp_extract_all(text, '{PII_IPV4}'))"
+        f" + len(regexp_extract_all(text, '{PII_PHONE}'))"
+    )
+
+
+@contract("q_curation_pipeline", _curation_sql())
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pass (plans/curation.curate_docs): exact-dup
+    rank, MinHash near-dup candidacy, language guess, quality score, Gopher
+    filters, PII counts, final keep decision — one plan, one oracle."""
+    from pdf_table_extractor_spark.plans.curation import curate_docs
+
+    return curate_docs(load(spark, sf_dir, "documents"))
 
 
 @contract(

@@ -27,6 +27,19 @@ def _hits(toks: Column, words: list[str]) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
 
 
+def lang_guess_expr(toks: Column) -> Column:
+    """Argmax language over the marker hit counts (ties → earlier key, no
+    hits → 'und') as a single expression, reusable inside fused plans."""
+    best = F.lit("und")
+    best_hits = F.lit(0)
+    for lang, words in LANG_MARKERS.items():  # first language wins ties
+        h = _hits(toks, words)
+        is_better = h > best_hits
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_hits = F.when(is_better, h).otherwise(best_hits)
+    return best
+
+
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-doc marker-word hit counts + argmax language (ties → earlier key,
     no hits → 'und')."""
@@ -42,6 +55,23 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         best_hits = F.when(is_better, F.col(f"{lang}_hits")).otherwise(best_hits)
     return out.select(
         id_col, *[f"{lang}_hits" for lang in LANG_MARKERS], best.alias("lang_guess")
+    )
+
+
+def quality_score_expr(text: Column) -> Column:
+    """The composite quality score as one expression (same literal op order
+    as quality_features / the SQL oracle → bit-identical doubles)."""
+    toks = tokens(text)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text)
+    punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    stop = _hits(toks, LANG_MARKERS["en"])
+    stop_ratio = stop / F.greatest(n_tokens, F.lit(1))
+    return (
+        F.lit(0.4) * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.3) * stop_ratio
     )
 
 

@@ -1,0 +1,95 @@
+"""The composed training-data curation pass: one gate-verified plan that
+takes a corpus of documents and emits, per document, everything a filtering
+stage needs — exact-dup rank, MinHash near-dup candidacy, language guess,
+quality score, Gopher repetition/shape filters, PII counts, and the final
+keep decision.
+
+Shuffle budget (100 TB framing):
+- one projection computes every scalar feature (md5, lang, quality, PII
+  counts) in a single pass over the text — no repeated scans;
+- exact dedup = one window over hash(text_md5) (rank within duplicate
+  group, deterministic keeper = lowest id);
+- Gopher's unigram mode = explode + two partially-aggregated groupBys
+  (shuffle carries (doc, token) partial counts);
+- MinHash/LSH candidacy = the dedup module's banded self-join, flagged
+  back onto documents via a left-semi-shaped join on id.
+The id-keyed joins co-partition after the first exchange; everything else
+is expression-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pdf_table_extractor_spark.operators import dedup, textquality
+
+
+def curate_docs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 4,
+    band_size: int = 1,
+) -> DataFrame:
+    """df(id, text, ...) → one curation row per document:
+
+    (id, text_md5, dup_rank, is_exact_dup, near_dup_candidate, lang_guess,
+     quality_score, passes_gopher, n_pii, keep)
+
+    ``keep`` = canonical copy (dup_rank 1) AND passes the Gopher filters.
+    Flags are ints (not booleans) so external SQL oracles hash identically.
+    """
+    text = F.col(text_col)
+    scalar = df.select(
+        F.col(id_col),
+        F.md5(text).alias("text_md5"),
+        textquality.lang_guess_expr(dedup.tokens(text)).alias("lang_guess"),
+        F.round(textquality.quality_score_expr(text), 6).alias("quality_score"),
+        (
+            F.regexp_count(text, F.lit(textquality.PII_EMAIL))
+            + F.regexp_count(text, F.lit(textquality.PII_IPV4))
+            + F.regexp_count(text, F.lit(textquality.PII_PHONE))
+        ).alias("n_pii"),
+    )
+    w = Window.partitionBy("text_md5").orderBy(id_col)
+    scalar = scalar.withColumn("dup_rank", F.row_number().over(w)).withColumn(
+        "is_exact_dup", (F.col("dup_rank") > 1).cast("int")
+    )
+
+    gopher = textquality.gopher_quality(df, text_col=text_col, id_col=id_col).select(
+        id_col, F.col("passes_gopher").cast("int").alias("passes_gopher")
+    )
+
+    sig = dedup.minhash_signatures(
+        df, text_col=text_col, id_col=id_col, n_hashes=n_hashes
+    )
+    pairs = dedup.lsh_candidates(sig, id_col=id_col, n_hashes=n_hashes, band_size=band_size)
+    cand = (
+        pairs.select(F.col("a").alias(id_col))
+        .unionByName(pairs.select(F.col("b").alias(id_col)))
+        .distinct()
+        .withColumn("near_dup_candidate", F.lit(1))
+    )
+
+    out = (
+        scalar.join(gopher, id_col, "left")
+        .join(cand, id_col, "left")
+        .withColumn("near_dup_candidate", F.coalesce("near_dup_candidate", F.lit(0)))
+        .withColumn("passes_gopher", F.coalesce("passes_gopher", F.lit(0)))
+    )
+    return out.withColumn(
+        "keep",
+        ((F.col("dup_rank") == 1) & (F.col("passes_gopher") == 1)).cast("int"),
+    ).select(
+        id_col,
+        "text_md5",
+        "dup_rank",
+        "is_exact_dup",
+        "near_dup_candidate",
+        "lang_guess",
+        "quality_score",
+        "passes_gopher",
+        "n_pii",
+        "keep",
+    )

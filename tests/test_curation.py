@@ -216,3 +216,27 @@ def test_contamination(docs):
     assert out[1].contamination_ratio == 1.0
     assert out[3].n_contaminated == 0 and out[3].contamination_ratio == 0.0
     assert 0 < out[2].contamination_ratio < 1  # near-dup partially overlaps
+
+
+def test_curate_docs_pipeline(spark):
+    from pdf_table_extractor_spark.plans.curation import curate_docs
+
+    good = ("a perfectly normal sentence with reasonably varied words here "
+            "today about data and the order of the value records")
+    rows = [
+        (0, good),
+        (1, good),              # exact dup of 0 → dropped
+        (2, good + " slightly changed tail words"),  # near dup candidate
+        (3, "spam " * 60),       # fails gopher
+        (4, "o saldo de extrato para uma conta que não existe agora mesmo"),
+    ]
+    df = spark.createDataFrame([(i, t.strip()) for i, t in rows], "doc_id long, text string")
+    out = {r.doc_id: r for r in curate_docs(df).collect()}
+    assert len(out) == 5  # one curation row per doc, always
+    assert out[0].keep == 1 and out[0].dup_rank == 1
+    assert out[1].is_exact_dup == 1 and out[1].keep == 0
+    assert out[0].text_md5 == out[1].text_md5
+    assert out[2].near_dup_candidate == 1
+    assert out[3].passes_gopher == 0 and out[3].keep == 0
+    assert out[4].lang_guess == "pt"
+    assert all(0 <= r.quality_score <= 1 for r in out.values())
