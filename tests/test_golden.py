@@ -73,3 +73,31 @@ def test_noise_passthrough(corpus, extracted):
     for url in noise["url"]:
         r = extracted[url]
         assert r.profile == "" and r.n_rows == 0 and r.csv is None
+
+
+def test_extract_degenerate_rows(spark):
+    """Crawl reality: null/empty text or html must flow through to the
+    sentinel (or extract normally), never crash a 100-TB job."""
+    import pandas as pd
+
+    from pdf_table_extractor_spark.plans.extract import extract
+
+    rows = pd.DataFrame(
+        {
+            "url": [
+                "https://h.example/cef/000001",      # known profile, null text
+                "https://h.example/banestes/000002",  # layout profile, null html
+                "https://h.example/unknown/000003",   # noise
+                "https://h.example/cef/000004",       # empty text
+            ],
+            "warc_ts": pd.Timestamp("2024-01-01"),
+            "html": [None, None, b"", b""],
+            "text": [None, "x", None, ""],
+            "lang": "pt",
+        }
+    )
+    out = {r.url: r for r in extract(spark.createDataFrame(rows), num_partitions=4).collect()}
+    assert len(out) == 4  # every url accounted exactly once
+    for r in out.values():
+        assert r.n_rows == 0 and r.csv is None
+    assert out["https://h.example/unknown/000003"].profile == ""

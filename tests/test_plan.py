@@ -117,3 +117,25 @@ def test_broadcast_join(spark):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_url_salt_breaks_host_skew(spark):
+    """North-rule skew claim: pages clustered on ONE host spread evenly
+    across partitions because the salt hashes the full url, not the host."""
+    from pyspark.sql import functions as F
+
+    from pdf_table_extractor_spark.plans.extract import salt_repartition
+
+    one_host = spark.range(4000).select(
+        F.concat(F.lit("https://host000.example/cef/"), F.col("id").cast("string")).alias("url")
+    )
+    parts = (
+        salt_repartition(one_host, 16)
+        .select(F.spark_partition_id().alias("p"))
+        .groupBy("p")
+        .count()
+        .collect()
+    )
+    sizes = [r["count"] for r in parts]
+    assert len(sizes) >= 14  # nearly every partition populated
+    assert max(sizes) < 3 * (4000 / 16)  # no partition hoards the host
