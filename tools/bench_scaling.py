@@ -1,13 +1,25 @@
 """N→4N scaling evidence (BASELINE.json: efficiency ≥ 0.8 between two
-cluster sizes; sandbox proxy = same job, same input, local[8] vs local[32]).
+cluster sizes; sandbox proxy = same job, same input, two local[n] levels).
 
-Runs the extraction pipeline over a large deterministic corpus in fresh
-subprocesses (one JVM per parallelism level), measures docs/sec after a
-warm-up pass, and writes BENCH/BASELINE.md. Corpus is sized so parallel
-work dominates the fixed per-query floor (~11s of stage sequencing + python
-worker spin-up measured at 100k docs — at bench scale that floor is noise).
+Round-2 protocol upgrade: single-shot wall-clock ratios on this shared
+host carry ±10% run-to-run noise AND a ~10 s parallelism-independent
+fixed floor (driver stage rounds + codegen + python-worker spin-up) that
+minute-scale runs overweight ~1000× relative to a real 10^12-doc job
+(where the floor is seconds against days). So each parallelism level is
+measured at TWO corpus sizes and decomposed:
 
-Usage: python tools/bench_scaling.py [n_docs] (default 800000)
+    T_c(n) = fixed_c + marginal_c * n
+
+- ``marginal`` efficiency  = (marginal_2 / marginal_8) / 4 — the
+  steady-state throughput scaling a long-running job sees (the honest
+  analogue of the north rule's cluster criterion);
+- ``whole-run`` efficiency = (T_2(N) / T_8(N)) / 4 at the large corpus —
+  the raw single-shot number, floor included.
+
+Both are reported; BENCH/BASELINE.md carries the analysis.
+
+Usage: python tools/bench_scaling.py [n_docs [n_docs_small]]
+       (defaults 800000 / 100000)
 """
 
 from __future__ import annotations
@@ -62,19 +74,47 @@ def run_level(cores: int, corpus: str) -> dict:
 
 
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 800_000
-    corpus = ensure_corpus(n_docs)
-    # primary N→4N pair: 2→8 cores (single-JVM 32-thread contention makes
-    # 8→32 unrepresentative of multi-executor scaling — see BENCH/BASELINE.md);
-    # 32-core run included for absolute throughput.
-    results = {n: run_level(n, corpus) for n in (2, 8, 32)}
-    rate = {n: r["n"] / r["sec"] for n, r in results.items()}
-    result = {"n_docs": n_docs}
-    for n in (2, 8, 32):
-        result[f"local{n}_sec"] = round(results[n]["sec"], 1)
-        result[f"local{n}_docs_per_sec"] = round(rate[n], 1)
-    result["scaling_efficiency_2_to_8"] = round((rate[8] / rate[2]) / 4, 3)
-    result["scaling_efficiency_8_to_32"] = round((rate[32] / rate[8]) / 4, 3)
+    n_big = int(sys.argv[1]) if len(sys.argv) > 1 else 800_000
+    n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+    big = ensure_corpus(n_big)
+    small = ensure_corpus(n_small)
+
+    # primary N→4N pair: 2→8 cores (32-thread-on-one-host shares memory
+    # bandwidth across every decomposition — local-cluster control in
+    # BENCH/BASELINE.md — so 8→32 is not representative of multi-node
+    # scaling; 32-core runs included for absolute throughput).
+    wall: dict[int, dict[int, float]] = {}
+    for cores in (2, 8, 32):
+        wall[cores] = {}
+        for n, corpus in ((n_small, small), (n_big, big)):
+            r = run_level(cores, corpus)
+            wall[cores][n] = r["sec"]
+            print(f"local[{cores}] @ {n}: {r['sec']:.1f}s", flush=True)
+
+    def marginal(c: int) -> float:
+        return (wall[c][n_big] - wall[c][n_small]) / (n_big - n_small)
+
+    def fixed(c: int) -> float:
+        return wall[c][n_small] - marginal(c) * n_small
+
+    result = {"n_docs": n_big, "n_docs_small": n_small}
+    for c in (2, 8, 32):
+        result[f"local{c}_sec"] = round(wall[c][n_big], 1)
+        result[f"local{c}_docs_per_sec"] = round(n_big / wall[c][n_big], 1)
+        result[f"local{c}_marginal_docs_per_sec"] = round(1.0 / marginal(c), 1)
+        result[f"local{c}_fixed_floor_sec"] = round(fixed(c), 1)
+    result["scaling_efficiency_2_to_8"] = round(
+        (wall[2][n_big] / wall[8][n_big]) / 4, 3
+    )
+    result["marginal_scaling_efficiency_2_to_8"] = round(
+        (marginal(2) / marginal(8)) / 4, 3
+    )
+    result["scaling_efficiency_8_to_32"] = round(
+        (wall[8][n_big] / wall[32][n_big]) / 4, 3
+    )
+    result["marginal_scaling_efficiency_8_to_32"] = round(
+        (marginal(8) / marginal(32)) / 4, 3
+    )
     print(json.dumps(result))
     os.makedirs("/root/repo/BENCH", exist_ok=True)
     with open("/root/repo/BENCH/scaling_result.json", "w") as f:
