@@ -141,10 +141,9 @@ def extract(
         F.lit(0).alias("__rank"),
     )
 
-    merged = outs[0]
-    for o in outs[1:]:
+    merged = sentinel  # profiles={} degenerates to pure noise passthrough
+    for o in outs:
         merged = merged.unionByName(o)
-    merged = merged.unionByName(sentinel)
     # One exchange on url (union partitioning claims are unreliable in
     # Spark 4 — this groupBy is the safe barrier), then keep the real row
     # per url if any branch produced one. max_by compares only the int rank
