@@ -137,3 +137,86 @@ def ascii_fold(col: Column) -> Column:
     for s, d in _FOLD_MULTI:
         col = F.regexp_replace(col, s, d)
     return F.translate(col, _FOLD_SRC, _FOLD_DST)
+
+
+TABLE_SPANS_SCHEMA = (
+    "url string, page_no int, mode string, x0 double, top double, "
+    "x1 double, bottom double, n_rows int, n_cols int"
+)
+
+
+def table_spans(pages, stream_config: dict | None = None):
+    """pages(url, html, ...) → one row per detected tabular REGION — the
+    north star's "table spans" payload written back next to the extracted
+    text. Two detectors, mirroring the row extractors:
+
+    - lattice: vertical-ruling groups define column borders and their
+      horizontal companions the row borders (same clustering as
+      statemachines._stone_doc); span = border bounding box.
+    - stream: when a geometry config is supplied (camelot-style areas +
+      column separators), the configured area clipped to the words it
+      actually contains, with the observed y-cluster count as n_rows.
+
+    Flat-columnar mapInPandas like blocks.word_rows — primitive Arrow
+    arrays, no struct round-trips."""
+    import pandas as pd
+
+    from pdf_table_extractor_spark.markup import parse as parse_markup
+
+    def gen(batches):
+        for b in batches:
+            rows: list[tuple] = []
+            for url, raw in zip(b["url"], b["html"]):
+                if raw is None:
+                    continue
+                words, rulings = parse_markup(bytes(raw))
+                # lattice spans from ruling groups
+                groups: dict[tuple, list[float]] = {}
+                horiz: dict[int, list] = {}
+                for r in rulings:
+                    if r.x0 == r.x1:
+                        groups.setdefault((r.page_no, r.top, r.bottom), []).append(r.x0)
+                    elif r.top == r.bottom:
+                        horiz.setdefault(r.page_no, []).append(r.top)
+                for (page, top, bottom), xs in sorted(groups.items()):
+                    xs = sorted(set(xs))
+                    ys = sorted(
+                        {y for y in horiz.get(page, []) if top <= y <= bottom}
+                    )
+                    if len(xs) < 2 or len(ys) < 2:
+                        continue
+                    rows.append(
+                        (url, page, "lattice", xs[0], ys[0], xs[-1], ys[-1],
+                         len(ys) - 1, len(xs) - 1)
+                    )
+                # stream spans from configured areas
+                if stream_config is not None and words:
+                    for page in sorted({w.page_no for w in words}):
+                        cfg = (
+                            stream_config["page_1"]
+                            if page == 1
+                            else stream_config["page_2_end"]
+                        )
+                        ax0, atop, ax1, abot = cfg["area"]
+                        pw = [
+                            w for w in words
+                            if w.page_no == page
+                            and ax0 <= (w.x0 + w.x1) / 2 <= ax1
+                            and atop <= (w.top + w.bottom) / 2 <= abot
+                        ]
+                        if not pw:
+                            continue
+                        n_y = len({round(w.top, 0) for w in pw})
+                        rows.append(
+                            (url, page, "stream",
+                             min(w.x0 for w in pw), min(w.top for w in pw),
+                             max(w.x1 for w in pw), max(w.bottom for w in pw),
+                             n_y, len(cfg["columns"]) + 1)
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=["url", "page_no", "mode", "x0", "top", "x1",
+                         "bottom", "n_rows", "n_cols"],
+            )
+
+    return pages.select("url", "html").mapInPandas(gen, schema=TABLE_SPANS_SCHEMA)

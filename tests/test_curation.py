@@ -240,3 +240,48 @@ def test_curate_docs_pipeline(spark):
     assert out[3].passes_gopher == 0 and out[3].keep == 0
     assert out[4].lang_guess == "pt"
     assert all(0 <= r.quality_score <= 1 for r in out.values())
+
+
+def test_table_spans(spark):
+    """'Table spans' payload (north star): lattice spans from ruling
+    borders, stream spans from configured areas — verified against an
+    independent recomputation on the synthetic stone/itau docs."""
+    from pdf_table_extractor_spark import synth
+    from pdf_table_extractor_spark.markup import parse as parse_markup
+    from pdf_table_extractor_spark.operators.tables import table_spans
+    from pdf_table_extractor_spark.synth import ITAU_GEOM
+
+    docs = [synth.make_doc("stone", i) for i in range(40, 46)] + [
+        synth.make_doc("itau", i) for i in range(50, 56)
+    ]
+    pages = spark.createDataFrame(
+        [(d["url"], d["html"]) for d in docs], "url string, html binary"
+    )
+    got = table_spans(pages, stream_config=ITAU_GEOM).collect()
+    by_url: dict = {}
+    for r in got:
+        by_url.setdefault(r.url, []).append(r)
+    for d in docs:
+        spans = by_url.get(d["url"], [])
+        words, rulings = parse_markup(bytes(d["html"]))
+        if "/stone/" in d["url"]:
+            from pdf_table_extractor_spark.operators.statemachines import _stone_doc
+
+            spans = [s for s in spans if s.mode == "lattice"]
+            assert spans, d["url"]
+            for s in spans:
+                page_vxs = {r.x0 for r in rulings
+                            if r.page_no == s.page_no and r.x0 == r.x1}
+                assert s.x0 in page_vxs and s.x1 in page_vxs and s.x1 > s.x0
+                assert s.n_cols >= 1 and s.n_rows >= 1
+            # cross-operator consistency: the row extractor emits exactly
+            # the rows the spans account for
+            assert sum(s.n_rows for s in spans) == len(_stone_doc(bytes(d["html"])))
+        else:
+            stream = [s for s in spans if s.mode == "stream"]
+            assert stream, d["url"]
+            for s in stream:
+                assert s.n_cols == len(
+                    (ITAU_GEOM["page_1"] if s.page_no == 1 else ITAU_GEOM["page_2_end"])["columns"]
+                ) + 1
+                assert s.x1 > s.x0 and s.bottom > s.top and s.n_rows >= 2
