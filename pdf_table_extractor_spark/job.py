@@ -23,7 +23,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pdf_table_extractor_spark.plans.extract import extract
+from pdf_table_extractor_spark.plans.extract import extract, extract_spans
 from pdf_table_extractor_spark.ship import ensure_shipped
 from pdf_table_extractor_spark.sources.catalog import LocalCatalog
 
@@ -67,6 +67,7 @@ def run_job(
     fail_after_bucket: int | None = None,
     concurrency: int = 1,
     stage_input: bool = True,
+    emit_spans: bool = False,
 ) -> LocalCatalog:
     """Extract all uncommitted buckets; returns the catalog.
 
@@ -103,7 +104,8 @@ def run_job(
                     # the storage pool (measured: 8×50k-doc cached buckets
                     # stalled an 8g heap); the extra scans are cheaper.
                     lambda b: _run_bucket(
-                        spark, catalog, pages, committed_urls, b, use_cache=False
+                        spark, catalog, pages, committed_urls, b,
+                        use_cache=False, emit_spans=emit_spans,
                     ),
                     todo,
                 )
@@ -112,14 +114,17 @@ def run_job(
 
     n_done_this_run = 0
     for b in todo:
-        _run_bucket(spark, catalog, pages, committed_urls, b)
+        _run_bucket(spark, catalog, pages, committed_urls, b, emit_spans=emit_spans)
         n_done_this_run += 1
         if fail_after_bucket is not None and n_done_this_run >= fail_after_bucket:
             raise RuntimeError(f"injected failure after {n_done_this_run} buckets")
     return catalog
 
 
-def _run_bucket(spark, catalog, pages, committed_urls, b, use_cache: bool = False) -> None:
+def _run_bucket(
+    spark, catalog, pages, committed_urls, b,
+    use_cache: bool = False, emit_spans: bool = False,
+) -> None:
     t0 = time.perf_counter()
     sub = pages.filter(F.col("bucket") == b).drop("bucket")
     if committed_urls is not None:
@@ -134,6 +139,7 @@ def _run_bucket(spark, catalog, pages, committed_urls, b, use_cache: bool = Fals
         # by default, kept as a knob for unstaged inputs.
         sub = sub.cache()
     out = extract(sub).cache()
+    spans = extract_spans(sub) if emit_spans else None
     stats = out.agg(
         F.count("*").alias("n_pages"),
         F.count("csv").alias("n_ok"),
@@ -144,6 +150,7 @@ def _run_bucket(spark, catalog, pages, committed_urls, b, use_cache: bool = Fals
         out,
         b,
         {
+            **({"n_spans": spans.count()} if spans is not None else {}),
             "n_pages": stats.n_pages,
             "n_ok": stats.n_ok,
             "n_empty": stats.n_pages - stats.n_ok,
@@ -151,6 +158,7 @@ def _run_bucket(spark, catalog, pages, committed_urls, b, use_cache: bool = Fals
             "bytes_out": int(stats.bytes_out),
             "wall_ms": int((time.perf_counter() - t0) * 1000),
         },
+        spans_df=spans,
     )
     out.unpersist()
     if use_cache:
@@ -163,11 +171,15 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--buckets", type=int, default=8)
     ap.add_argument("--concurrency", type=int, default=1)
+    ap.add_argument("--spans", action="store_true", help="also commit table-span rows per bucket")
     args = ap.parse_args()
     from pdf_table_extractor_spark.session import build_spark
 
     spark = build_spark(app_name="extract-job")
-    catalog = run_job(spark, args.pages, args.out, args.buckets, concurrency=args.concurrency)
+    catalog = run_job(
+        spark, args.pages, args.out, args.buckets,
+        concurrency=args.concurrency, emit_spans=args.spans,
+    )
     print(f"committed buckets: {catalog.committed_buckets()}")
     for row in catalog.lineage_rows():
         print(row)

@@ -158,3 +158,21 @@ def extract(
         F.col("m.n_rows").alias("n_rows"),
         F.col("m.csv").alias("csv"),
     )
+
+
+def extract_spans(pages: DataFrame) -> DataFrame:
+    """Table-span side output (north rule: "writes extracted text plus
+    TABLE SPANS back to Iceberg"): one row per detected tabular region —
+    lattice spans from the rulings actually present on any document, plus
+    stream spans for the profile with configured geometry (itau). A
+    separate small plan the job commits next to the extracted rows; docs
+    without tables simply contribute no rows."""
+    from pdf_table_extractor_spark.operators.tables import table_spans
+    from pdf_table_extractor_spark.synth import ITAU_GEOM
+
+    lattice = table_spans(pages)  # no stream config → lattice only
+    itau = pages.filter(profile_of(F.col("url")) == "itau")
+    stream = table_spans(itau, stream_config=ITAU_GEOM).filter(
+        F.col("mode") == "stream"
+    )
+    return lattice.unionByName(stream)

@@ -8,6 +8,7 @@ abstraction doesn't leak into the pipeline (SURVEY §7.3).
 Layout under ``root``::
 
     data/bucket=<b>/*.parquet      committed output rows for bucket b
+    spans/bucket=<b>/*.parquet     committed table-span rows (optional)
     lineage/bucket=<b>.json        per-bucket counters (lineage row)
     _manifests/bucket=<b>.json     commit marker — written LAST, atomically
 
@@ -30,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 class LocalCatalog:
     def __init__(self, root: str):
         self.root = root
-        for d in ("data", "lineage", "_manifests"):
+        for d in ("data", "spans", "lineage", "_manifests"):
             os.makedirs(os.path.join(root, d), exist_ok=True)
 
     # -- commit state -------------------------------------------------------
@@ -46,12 +47,22 @@ class LocalCatalog:
     def bucket_path(self, bucket: int) -> str:
         return os.path.join(self.root, "data", f"bucket={bucket}")
 
+    def spans_path(self, bucket: int) -> str:
+        return os.path.join(self.root, "spans", f"bucket={bucket}")
+
     # -- write path ---------------------------------------------------------
 
     def commit_bucket(
-        self, df: DataFrame, bucket: int, lineage: dict, attempt: int = 1
+        self,
+        df: DataFrame,
+        bucket: int,
+        lineage: dict,
+        attempt: int = 1,
+        spans_df: DataFrame | None = None,
     ) -> None:
-        """Stage parquet → fsync lineage → atomic manifest rename."""
+        """Stage parquet (+ optional span rows) → fsync lineage → atomic
+        manifest rename. Spans are staged BEFORE the manifest, so they are
+        exactly as atomic as the data: no manifest → both retried."""
         final = self.bucket_path(bucket)
         tmp = os.path.join(self.root, "data", f"_tmp-{bucket}-{attempt}")
         if os.path.exists(tmp):
@@ -60,6 +71,15 @@ class LocalCatalog:
         if os.path.exists(final):
             shutil.rmtree(final)
         os.replace(tmp, final)
+        if spans_df is not None:
+            sfinal = self.spans_path(bucket)
+            stmp = os.path.join(self.root, "spans", f"_tmp-{bucket}-{attempt}")
+            if os.path.exists(stmp):
+                shutil.rmtree(stmp)
+            spans_df.write.mode("overwrite").parquet(stmp)
+            if os.path.exists(sfinal):
+                shutil.rmtree(sfinal)
+            os.replace(stmp, sfinal)
         lineage = dict(lineage, bucket=bucket, attempt=attempt, committed_at=time.time())
         lpath = os.path.join(self.root, "lineage", f"bucket={bucket}.json")
         with open(lpath, "w") as f:
@@ -74,6 +94,16 @@ class LocalCatalog:
 
     def read_data(self, spark: SparkSession) -> DataFrame | None:
         paths = [self.bucket_path(b) for b in self.committed_buckets()]
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
+    def read_spans(self, spark: SparkSession) -> DataFrame | None:
+        paths = [
+            self.spans_path(b)
+            for b in self.committed_buckets()
+            if os.path.exists(self.spans_path(b))
+        ]
         if not paths:
             return None
         return spark.read.parquet(*paths)

@@ -107,3 +107,21 @@ def test_iceberg_catalog_gates_cleanly(spark):
     assert iceberg_available(spark) is False
     with pytest.raises(NotImplementedError, match="Iceberg catalog"):
         IcebergCatalog(spark, "ice.db.extracted", "ice.db.lineage")
+
+
+def test_job_emits_table_spans(spark, tmp_path, pages_path):
+    """North rule: 'writes extracted text plus table spans back' — the job
+    commits span rows per bucket, atomically with the data (no manifest →
+    both retried), and lineage carries the span counter."""
+    out = str(tmp_path / "out_spans")
+    cat = run_job(spark, pages_path, out, n_buckets=2, emit_spans=True)
+    spans = cat.read_spans(spark)
+    assert spans is not None
+    rows = spans.collect()
+    assert rows, "synthetic corpus contains stone/itau docs → spans expected"
+    assert {r.mode for r in rows} == {"lattice", "stream"}
+    assert all(r.x1 > r.x0 and r.bottom > r.top for r in rows)
+    stone_urls = {r.url for r in rows if r.mode == "lattice"}
+    assert all("/stone/" in u for u in stone_urls)
+    lineage = cat.lineage_rows()
+    assert sum(l["n_spans"] for l in lineage) == len(rows)
