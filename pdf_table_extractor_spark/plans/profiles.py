@@ -463,14 +463,72 @@ CAIXA_FMTS = [
 CAIXA_SKIP = ["SALDO DIA", "SALDO ANTERIOR", "TOTAL", "Data Mov", "Histórico", "Valor"]
 
 
-def _caixa_branch(datepat: str):
-    """(matched, data, desc, bal) struct for one date-format's 3-pattern
-    cascade, with the reference's skip-word-continues-to-next-pattern quirk
-    (conversor_caixa.py:138-185)."""
-    line = F.col("line")
-    p1 = rf"({datepat})\s+(\d+|\w+)\s+(.*?)\s+([\d\.,]+\s*[DC]?)\s+([\d\.,]+\s*[DC]?)"
-    p2 = rf"({datepat})\s+(.*?)\s+([\d\.,]+\s*[DC]?)\s+([\d\.,]+\s*[DC]?)"
-    p3 = rf"({datepat})(.+)"
+# Cascade pattern tails (group 1 = the date; conversor_caixa.py:138-185)
+CAIXA_TAILS = [
+    (r"\s+(\d+|\w+)\s+(.*?)\s+([\d\.,]+\s*[DC]?)\s+([\d\.,]+\s*[DC]?)", [1, 3, 5]),
+    (r"\s+(.*?)\s+([\d\.,]+\s*[DC]?)\s+([\d\.,]+\s*[DC]?)", [1, 2, 4]),
+    (r"(.+)", [1, 2]),
+]
+
+
+def _caixa_cascade(flt: DataFrame, pat_cols) -> DataFrame:
+    """Add ``rec`` = (data, desc, bal) struct for the 3-pattern cascade,
+    with the reference's skip-word-continues-to-next-pattern quirk
+    (conversor_caixa.py:138-185).
+
+    ``pat_cols``: the three wrapped whole-line pattern COLUMNS (the date
+    regex varies per document format; data-driven patterns keep the 4-format
+    dispatch out of the expression tree — see build_caixa).
+
+    Each pattern is executed ONCE per line: a whole-line regexp_replace
+    rewrites the first match to its capture groups NUL-joined (input text
+    never contains NUL, so `split` recovers the groups and a 1-element
+    result means no match), instead of the naive rlike + per-group
+    regexp_extract (~5 executions of the same backtracking-heavy pattern).
+
+    Structured as CHAINED PROJECTIONS, not one nested expression: every
+    intermediate below is referenced several times downstream (the skip
+    predicate alone reads each desc 6×), and inside a when-cascade those
+    references defeat codegen subexpression elimination — the fully inlined
+    tree grew past Janino's 64KB method limit and silently fell back to
+    interpreted execution. Multi-referenced projection outputs are exactly
+    what CollapseProject refuses to re-inline, so each is computed once."""
+    NUL = "\x00"
+    df = flt
+    for i, (pc, (_tail, groups)) in enumerate(zip(pat_cols, CAIXA_TAILS)):
+        repl = NUL.join(f"${g}" for g in groups)
+        # try_element_at: the no-match case (1-element array) must yield
+        # NULL, not an ANSI out-of-bounds error.
+        parts = F.split(F.regexp_replace(F.col("line"), pc, F.lit(repl)), NUL)
+        df = df.withColumn(f"_g{i}", parts)
+    g = [F.col(f"_g{i}") for i in range(3)]
+    df = (
+        df.withColumn("_d1", F.try_element_at(g[0], F.lit(1)))
+        .withColumn("_h1", F.trim(F.try_element_at(g[0], F.lit(2))))
+        .withColumn("_b1", F.trim(F.try_element_at(g[0], F.lit(3))))
+        .withColumn("_d2", F.try_element_at(g[1], F.lit(1)))
+        .withColumn("_h2", F.trim(F.try_element_at(g[1], F.lit(2))))
+        .withColumn("_b2", F.trim(F.try_element_at(g[1], F.lit(3))))
+        .withColumn("_d3", F.try_element_at(g[2], F.lit(1)))
+        .withColumn("_rest", F.trim(F.try_element_at(g[2], F.lit(2))))
+    )
+    rest = F.col("_rest")
+    df = df.withColumn(
+        "_balm", F.regexp_extract(rest, r"([\d\.,]+\s*[DC]?)\s*$", 1)
+    ).withColumn("_bal3", F.trim(F.col("_balm")))
+    balm, bal3 = F.col("_balm"), F.col("_bal3")
+    # desc = rest.rsplit(bal, 1)[0].strip() — split at the LAST occurrence,
+    # located via reverse+instr (the balance is an end-anchored match).
+    rpos = F.instr(F.reverse(rest), F.reverse(bal3))
+    last_start = F.length(rest) - rpos - F.length(bal3) + 2
+    df = df.withColumn(
+        "_h3",
+        F.when(
+            balm != "", F.trim(F.substr(rest, F.lit(1), last_start - 1))
+        ).otherwise(rest),
+    ).withColumn(
+        "_b3", F.when(balm != "", bal3).otherwise(F.lit("Não identificado"))
+    )
 
     def skip(desc):
         cond = F.lit(False)
@@ -478,34 +536,26 @@ def _caixa_branch(datepat: str):
             cond = cond | desc.contains(w)
         return cond
 
-    d1, desc1, bal1 = (
-        F.regexp_extract(line, p1, 1),
-        F.trim(F.regexp_extract(line, p1, 3)),
-        F.trim(F.regexp_extract(line, p1, 5)),
+    mk = lambda i: F.struct(  # noqa: E731
+        F.col(f"_d{i}").alias("d"), F.col(f"_h{i}").alias("h"), F.col(f"_b{i}").alias("b")
     )
-    d2, desc2, bal2 = (
-        F.regexp_extract(line, p2, 1),
-        F.trim(F.regexp_extract(line, p2, 2)),
-        F.trim(F.regexp_extract(line, p2, 4)),
+    rec = (
+        F.when((F.size(g[0]) > 1) & ~skip(F.col("_h1")), mk(1))
+        .when((F.size(g[1]) > 1) & ~skip(F.col("_h2")), mk(2))
+        .when((F.size(g[2]) > 1) & ~skip(F.col("_h3")), mk(3))
     )
-    d3 = F.regexp_extract(line, p3, 1)
-    rest = F.trim(F.regexp_extract(line, p3, 2))
-    balm = F.regexp_extract(rest, r"([\d\.,]+\s*[DC]?)\s*$", 1)
-    bal3 = F.trim(balm)
-    # desc = rest.rsplit(bal, 1)[0].strip() — split at the LAST occurrence,
-    # located via reverse+instr (the balance is an end-anchored match).
-    rpos = F.instr(F.reverse(rest), F.reverse(bal3))
-    last_start = F.length(rest) - rpos - F.length(bal3) + 2
-    desc3 = F.when(
-        balm != "", F.trim(F.substr(rest, F.lit(1), last_start - 1))
-    ).otherwise(rest)
-    bal3_out = F.when(balm != "", bal3).otherwise(F.lit("Não identificado"))
-
-    mk = lambda d, h, b: F.struct(d.alias("d"), h.alias("h"), b.alias("b"))  # noqa: E731
-    return (
-        F.when(line.rlike(p1) & ~skip(desc1), mk(d1, desc1, bal1))
-        .when(line.rlike(p2) & ~skip(desc2), mk(d2, desc2, bal2))
-        .when(line.rlike(p3) & ~skip(desc3), mk(d3, desc3, bal3_out))
+    # Constant-true nondeterministic guard: Filter-through-Project pushdown
+    # only requires the project FIELDS to be deterministic, so a plain rec
+    # column lets the downstream isnotnull(rec) filter sink through every
+    # projection above, substituting the FULL cascade tree into one Filter
+    # predicate (measured: 70 element_at copies — evaluated a second time
+    # per line and past Janino's 64KB method limit → the whole stage
+    # silently fell back to interpreted execution). Tainting rec pins the
+    # filter above this projection, where it reads the attribute.
+    df = df.withColumn("rec", F.when(F.spark_partition_id() >= 0, rec))
+    return df.drop(
+        "_g0", "_g1", "_g2", "_d1", "_h1", "_b1", "_d2", "_h2", "_b2",
+        "_d3", "_rest", "_balm", "_bal3", "_h3", "_b3",
     )
 
 
@@ -518,43 +568,53 @@ def build_caixa(pages: DataFrame) -> DataFrame:
     # match wins after reversal) mirrors conversor_caixa.py:46-67.
     pages = pages.withColumn("fmt", fmt).filter(F.col("fmt").isNotNull())
 
-    # One sub-plan per date format (union) instead of a 4-way CASE over the
-    # full 3-pattern cascade: the fused expression tree of all formats blew
-    # Janino's 64KB method limit → whole-stage codegen fell back to the
-    # interpreter for the entire branch (measured; SURVEY §4 'codegen').
-    # The salt exchange on pages is shared across sub-plans (ReuseExchange).
-    parts = []
-    for key, pat, java_fmt in CAIXA_FMTS:
-        sub = pages.filter(F.col("fmt") == key)
-        lines = sub.select(
-            "url", F.posexplode(F.split("text", "\n")).alias("line_no", "line")
-        ).withColumn("line", F.trim("line"))
-        recs = (
-            lines.filter((F.col("line") != "") & F.col("line").rlike(pat))
-            .withColumn("rec", _caixa_branch(pat))
-            .filter(F.col("rec").isNotNull())
-            .withColumn("data_parsed", F.try_to_date(F.col("rec.d"), java_fmt))
+    # Single-plan dispatch on the sniffed format. The round-1 design was
+    # one sub-plan per format unioned — needed because the fused cascade
+    # blew Janino's 64KB method limit — but each sub-plan shuffle-READ the
+    # whole shared branch exchange: 4× payload amplification (measured ~6s
+    # of the 12s caixa branch at 100k docs), plus a union whose unreliable
+    # partitioning claim forced a round-robin barrier exchange. Here the
+    # format only picks the PATTERN STRING (a 4-literal CASE per cascade
+    # step) and the cascade itself is written once over those pattern
+    # columns, so the expression tree stays far under the codegen limit and
+    # the branch is a zero-extra-exchange text path: shared salt exchange →
+    # explode → cascade → window → serializer groupBy, all url-partitioned.
+    lines = pages.select(
+        "url", "fmt", F.posexplode(F.split("text", "\n")).alias("line_no", "line")
+    ).withColumn("line", F.trim("line"))
+
+    def by_fmt(mk, as_lit: bool = True):
+        """CASE fmt WHEN <key> THEN mk(datepat, java_fmt) — string results
+        wrapped as literals by default."""
+        out = None
+        for key, pat, java_fmt in CAIXA_FMTS:
+            c = F.col("fmt") == key
+            v = mk(pat, java_fmt)
+            v = F.lit(v) if as_lit else v
+            out = F.when(c, v) if out is None else out.when(c, v)
+        return out
+
+    flt = lines.filter(
+        (F.col("line") != "")
+        & F.regexp_like(F.col("line"), by_fmt(lambda pat, _: pat))
+    )
+    pat_cols = [
+        by_fmt(lambda pat, _, tail=tail: rf"^.*?({pat}){tail}.*$")
+        for tail, _groups in CAIXA_TAILS
+    ]
+    recs = (
+        _caixa_cascade(flt, pat_cols)
+        .filter(F.col("rec").isNotNull())
+        .withColumn(
+            "data_parsed",
+            by_fmt(lambda _, jf: F.try_to_date(F.col("rec.d"), jf), as_lit=False),
         )
-        # any unparseable date in the doc → whole Data column stays strings
-        # (conversor_caixa.py:243-247 catches the apply() and keeps the
-        # column). Window sits INSIDE the sub-branch: each url lives in
-        # exactly one format sub-plan, and post-union partitioning would be
-        # 'unknown' to Catalyst → extra exchange.
-        w = Window.partitionBy("url")
-        recs = recs.withColumn(
-            "dates_ok", F.min(F.col("data_parsed").isNotNull().cast("int")).over(w) == 1
-        )
-        parts.append(recs)
-    recs = parts[0]
-    for p in parts[1:]:
-        recs = recs.unionByName(p)
-    # Round-robin barrier: the 4-way union's claimed url-partitioning is
-    # inconsistent with its actual partition count (observed: downstream
-    # co-partitioned joins zip 64-vs-256 and throw). A round-robin
-    # repartition is never optimizer-elided and resets the claim; the
-    # serializer's own groupBy exchange then re-establishes url hashing.
-    recs = recs.repartition(
-        int(pages.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    )
+    # any unparseable date in the doc → whole Data column stays strings
+    # (conversor_caixa.py:243-247 catches the apply() and keeps the column)
+    w = Window.partitionBy("url")
+    recs = recs.withColumn(
+        "dates_ok", F.min(F.col("data_parsed").isNotNull().cast("int")).over(w) == 1
     )
     bal = F.col("rec.b")
     cleaned = F.regexp_replace(bal, r"[^\d\.,\-+CD]", "")

@@ -72,10 +72,11 @@ def test_three_column_pruned_scans(extract_plan):
 
 
 def test_branches_reuse_salt_exchanges(extract_plan):
-    # 15 profile branches (caixa counts 4 sub-plans) = 18 exchange
-    # consumers served by 2 materialized exchanges + 16 reuses (the
-    # sentinel has its own skinny url-only exchange).
-    assert extract_plan.count("ReusedExchange") == 16
+    # 15 profile branches (caixa is a single sub-plan since the data-driven
+    # pattern dispatch — round 2) = 15 exchange consumers served by 2
+    # materialized exchanges + 13 reuses (the sentinel has its own skinny
+    # url-only exchange).
+    assert extract_plan.count("ReusedExchange") == 13
 
 
 def test_exchange_budget(extract_plan):
