@@ -8,6 +8,24 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def pin(col: Column) -> Column:
+    """Constant-true nondeterministic guard around an expensive computed
+    column that a downstream ``.filter()`` will read.
+
+    Filter-through-Project pushdown only requires the project FIELDS to be
+    deterministic, so a predicate on a plain computed column sinks below
+    its defining projection with the full expression tree substituted into
+    the Filter — the column is then evaluated twice per row (once in the
+    filter, once in the projection), and a large tree duplicated across
+    several conjuncts can push the generated method past Janino's 64KB
+    limit, silently dropping the whole stage to interpreted execution
+    (measured on the caixa cascade: 70 element_at copies in one predicate).
+    Wrapping the value in a nondeterministic-flagged but constant-true
+    branch pins downstream filters above the projection, where they read
+    the attribute. Same idiom as the extract() branch dispatch."""
+    return F.when(F.spark_partition_id() >= 0, col)
+
+
 def squeeze_ws(col: Column) -> Column:
     """`re.sub(r'\\s+', ' ', s).strip()` (conversor_bbmod1.py:91,
     conversor_sicoobmod2.py:42,57)."""

@@ -90,16 +90,27 @@ PAGBANK_PAT = r"(\d{2}/\d{2}/\d{4})\s+(.+?)\s+(-?R?\$\s?[\d\.]+,\d{2})"
 
 
 def build_pagbank(pages: DataFrame) -> DataFrame:
-    g = lambda i: F.regexp_extract_all("text", F.lit(PAGBANK_PAT), i)  # noqa: E731
-    zipped = pages.select(
-        "url", F.arrays_zip(g(1), g(2), g(3)).alias("ms")
-    ).select("url", F.posexplode("ms").alias("row_no", "m"))
+    # ONE full-text findall (group 0), then group recovery per ~40-char
+    # match string. The previous arrays_zip(g(1), g(2), g(3)) form ran the
+    # regex over the whole document 3× — and the optimizer's inferred
+    # pre-Generate filter (size(ms) > 0) duplicated all three again, for 6
+    # full-text scans per doc. textops.pin keeps that inferred filter on
+    # the attribute. Re-matching a match string standalone yields the same
+    # groups: the money tail is delimited by the exact `,\d{2}` suffix, so
+    # no decomposition depends on characters past the match.
+    ms = F.regexp_extract_all("text", F.lit(PAGBANK_PAT), 0)
+    zipped = pages.select("url", textops.pin(ms).alias("ms")).select(
+        "url", F.posexplode("ms").alias("row_no", "m")
+    )
+    NUL = "\x00"
+    parts = F.split(F.regexp_replace("m", PAGBANK_PAT, f"$1{NUL}$2{NUL}$3"), NUL)
+    zipped = zipped.withColumn("parts", parts)
     return zipped.select(
         "url",
         "row_no",
-        F.col("m").getField("0").alias("data"),
-        F.col("m").getField("1").alias("descricao"),
-        F.col("m").getField("2").alias("valor"),
+        F.try_element_at("parts", F.lit(1)).alias("data"),
+        F.try_element_at("parts", F.lit(2)).alias("descricao"),
+        F.try_element_at("parts", F.lit(3)).alias("valor"),
     )
 
 
@@ -245,7 +256,7 @@ def build_bbmod1(pages: DataFrame) -> DataFrame:
     valor = F.when(sign == "-", -amount).otherwise(amount)
     desc = textops.squeeze_ws(F.regexp_replace("joined", BB1_END, ""))
     return (
-        recs.withColumn("valor", F.coalesce(valor, F.lit(0.0)))
+        recs.withColumn("valor", textops.pin(F.coalesce(valor, F.lit(0.0))))
         .withColumn("lancamento", desc)
         .filter(F.col("valor") != 0.0)
         .select("url", "rec_ln", "data", "lancamento", "valor")
@@ -293,8 +304,8 @@ def build_bbmod2(pages: DataFrame) -> DataFrame:
     amount = F.trim(F.regexp_replace(F.translate(num, ".", ""), ",", ".")).try_cast("double")
     valor = F.coalesce(F.when(cd == "D", -amount).otherwise(amount), F.lit(0.0))
     return (
-        recs.withColumn("valor", valor)
-        .withColumn("lancamento", textops.squeeze_ws(F.col("joined")))
+        recs.withColumn("valor", textops.pin(valor))
+        .withColumn("lancamento", textops.pin(textops.squeeze_ws(F.col("joined"))))
         .filter(~F.col("lancamento").contains("Saldo Anterior") & (F.col("valor") != 0.0))
         .select("url", "rec_ln", "data", "lancamento", "valor")
     )
@@ -331,8 +342,8 @@ def build_sicoob1(pages: DataFrame) -> DataFrame:
         F.regexp_extract(stripped, SIC1_VALUE, 2) == "D", F.concat(F.lit("-"), body)
     ).otherwise(body)
     return (
-        lines.withColumn("lancamento", F.trim(lanc))
-        .withColumn("has_value", has_value)
+        lines.withColumn("lancamento", textops.pin(F.trim(lanc)))
+        .withColumn("has_value", textops.pin(has_value))
         .filter(F.col("has_value") & F.col("data").isNotNull() & (F.col("lancamento") != ""))
         .select("url", "line_no", "data", "lancamento", valor.alias("valor"))
     )
@@ -361,14 +372,21 @@ def build_sicoob2(pages: DataFrame) -> DataFrame:
         F.posexplode(F.split(F.trim(t), r"\n(?=\d{2}/\d{2})")).alias("block_no", "block"),
     )
     flat = F.trim(F.regexp_replace(F.trim(F.regexp_replace("block", r"\n", " ")), r"\s{2,}", " "))
-    blocks = blocks.withColumn("flat", flat).filter(~F.col("flat").contains("SALDO DO DIA"))
+    # textops.pin: the SALDO filter (and every later filter conjunct) would
+    # otherwise push below this projection and re-inline the normalization
+    # chain per conjunct (measured: 48 regexp_replace copies in the plan).
+    blocks = blocks.withColumn("flat", textops.pin(flat)).filter(
+        ~F.col("flat").contains("SALDO DO DIA")
+    )
     # Evaluate the (unanchored, alternation-heavy) value regex ONCE per
     # block and re-match the groups on the ~15-char result instead of the
     # whole block: SIC2_VALUE over digit-dense text backtracks at every
     # position, and the naive form ran it 4× per block (rlike + 3 group
     # extracts) — this cut the branch from 23.9s to <converted> on the
     # 48k-doc bench slice. First-match semantics are identical.
-    blocks = blocks.withColumn("vfull", F.regexp_extract("flat", SIC2_VALUE, 0))
+    blocks = blocks.withColumn(
+        "vfull", textops.pin(F.regexp_extract("flat", SIC2_VALUE, 0))
+    )
     has_val = F.col("vfull") != ""
     has_date = F.col("flat").rlike(r"^\d{2}/\d{2}")
     vfull = F.col("vfull")
@@ -382,7 +400,7 @@ def build_sicoob2(pages: DataFrame) -> DataFrame:
     data = F.concat(F.regexp_extract("flat", r"^(\d{2}/\d{2})", 1), F.lit("/"), F.col("year"))
     return (
         blocks.filter(has_val & has_date)
-        .withColumn("lancamento", desc)
+        .withColumn("lancamento", textops.pin(desc))
         .filter(F.col("lancamento") != "")
         .select("url", "block_no", data.alias("data"), "lancamento", valor.alias("valor"))
     )
@@ -408,7 +426,9 @@ def build_c6(pages: DataFrame) -> DataFrame:
         F.nullif(F.regexp_extract("text", r"(?U)Período \d{1,2} de \w+ de (\d{4})", 1), F.lit("")),
         F.nullif(F.regexp_extract("text", r"(?U)exportado no dia \d{1,2} de \w+ de (\d{4})", 1), F.lit("")),
     )
-    pages = pages.withColumn("year", year).filter(F.col("year").isNotNull())
+    pages = pages.withColumn("year", textops.pin(year)).filter(
+        F.col("year").isNotNull()
+    )
     lines = pages.select(
         "url", "year", F.posexplode(F.split(F.col("text"), "\n")).alias("line_no", "line")
     ).withColumn("line", F.trim("line"))
@@ -432,9 +452,9 @@ def build_c6(pages: DataFrame) -> DataFrame:
     amount = F.coalesce(body, F.lit(0.0))
     amount = F.when(val_txt.contains("-"), -F.abs(amount)).otherwise(amount)
     recs = (
-        lines.withColumn("has_txn", has_txn)
-        .withColumn("lancamento", desc)
-        .withColumn("valor", amount)
+        lines.withColumn("has_txn", textops.pin(has_txn))
+        .withColumn("lancamento", textops.pin(desc))
+        .withColumn("valor", textops.pin(amount))
         .filter(
             F.col("has_txn")
             & F.col("data").isNotNull()
