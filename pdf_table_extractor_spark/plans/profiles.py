@@ -647,28 +647,22 @@ def build_caixa(pages: DataFrame) -> DataFrame:
     )
     saldo = c3.try_cast("double")
     saldo = F.when(is_debit & (saldo > 0), -saldo).otherwise(saldo)
+    # Pre-render the Data column so the sink takes the batch-wide fast
+    # path (was a per-doc `prepare`, the serializer's slow path): when the
+    # whole doc parsed, pandas' Datetime64Formatter renders a midnight-only
+    # datetime64 column as bare ISO dates — byte-equal to date_format
+    # 'yyyy-MM-dd' (both quoted under QUOTE_NONNUMERIC); otherwise the raw
+    # string carries through (conversor_caixa.py:243-247 fallback).
+    data_out = F.when(
+        F.col("dates_ok"), F.date_format(F.col("data_parsed"), "yyyy-MM-dd")
+    ).otherwise(F.col("rec.d"))
     return recs.select(
         "url",
         "line_no",
-        F.col("rec.d").alias("data_str"),
-        "data_parsed",
-        "dates_ok",
+        data_out.alias("data_out"),
         F.col("rec.h").alias("historico"),
         saldo.alias("saldo"),
     )
-
-
-def _caixa_prepare(pdf):
-    import pandas as pd
-
-    out = pd.DataFrame()
-    if len(pdf) and bool(pdf["dates_ok"].iloc[0]):
-        out["Data"] = pd.to_datetime(pdf["data_parsed"])
-    else:
-        out["Data"] = pdf["data_str"].astype(object)
-    out["Histórico"] = pdf["historico"].astype(object)
-    out["Saldo"] = pdf["saldo"].astype("float64")
-    return out
 
 
 # ---------------------------------------------------------------------------
@@ -971,13 +965,12 @@ PROFILES: dict[str, Profile] = {
         build_caixa,
         Sink(
             columns=["Data", "Histórico", "Saldo"],
-            source_cols=["data_str", "historico", "saldo"],
+            source_cols=["data_out", "historico", "saldo"],
             order_by=["line_no"],
             sep=",",
             decimal=".",
+            float_cols=["Saldo"],
             quoting=__import__("csv").QUOTE_NONNUMERIC,
-            prepare=_caixa_prepare,
-            extra_cols=("data_parsed", "dates_ok"),
         ),
     ),
     "ofx": Profile(
