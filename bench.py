@@ -110,12 +110,20 @@ def main() -> None:
     # writes BENCH/scaling_result.json; scaling_2_8.json is the round-1
     # fallback name)
     bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
-    for fname in ("scaling_result.json", "scaling_2_8.json"):
-        scaling_path = os.path.join(bench_dir, fname)
-        if os.path.exists(scaling_path):
-            with open(scaling_path) as f:
-                payload["scaling"] = json.load(f)
-            break
+    for key, names in (
+        ("scaling", ("scaling_result.json", "scaling_2_8.json")),
+        ("scaling_1_to_4", ("scaling_1_4.json",)),
+    ):
+        for fname in names:
+            scaling_path = os.path.join(bench_dir, fname)
+            if os.path.exists(scaling_path):
+                with open(scaling_path) as f:
+                    evidence = json.load(f)
+                # medians + controls only; raw reps stay in BENCH/
+                evidence.pop("reps", None)
+                evidence.pop("protocol", None)
+                payload[key] = evidence
+                break
     print(json.dumps(payload))
 
 

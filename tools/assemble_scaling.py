@@ -1,0 +1,108 @@
+"""Assemble the repeated-measurement scaling evidence into
+BENCH/scaling_result.json.
+
+Protocol (BENCH/BASELINE.md): single-shot wall ratios on this shared host
+are +-0.08 in efficiency, so `tools/bench_scaling.py` is run as a campaign
+of independent reps (fresh JVMs, identical corpus) and the headline is the
+MEDIAN over reps of both the whole-run and the marginal (4-point
+decomposition) efficiency, with every raw rep preserved in the artifact.
+
+Usage: python tools/assemble_scaling.py rep1.json [rep2.json ...]
+       (each arg: a bench_scaling.py output JSON, or a campaign log whose
+        last line is that JSON)
+
+Hardware controls are carried forward from the round-2 measurement session
+(tools snippets in BENCH/BASELINE.md): they characterize the HOST, not the
+build, and are re-measured only when the host changes.
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+
+HARDWARE_CONTROLS = {
+    "single_thread_cpu_slowdown_8_active_vs_2": 1.008,
+    "single_thread_cpu_slowdown_32_active_vs_2": 1.317,
+    "memory_copy_slowdown_8_active_vs_2": 1.79,
+    "memory_copy_slowdown_32_active_vs_2": 4.16,
+    "local_cluster_4x8_docs_per_sec": 18752,
+    "single_jvm_local32_docs_per_sec_same_build": 24393,
+}
+
+PROTOCOL = (
+    "campaign of independent reps (fresh JVMs, same parquet corpus); each rep "
+    "is a 4-point decomposition T_c(n) = fixed_c + marginal_c*n at two corpus "
+    "sizes per parallelism level; headline = median over reps of whole-run AND "
+    "marginal (steady-state) efficiency; raw reps preserved below. Repetition "
+    "is required because this shared host shows +-15% interference bursts "
+    "(see BENCH/BASELINE.md controls)."
+)
+
+
+def load_rep(path: str) -> dict:
+    with open(path) as f:
+        text = f.read().strip()
+    try:
+        return json.loads(text)
+    except json.JSONDecodeError:
+        for line in reversed(text.splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+    raise ValueError(f"no JSON rep found in {path}")
+
+
+def main() -> None:
+    argv = sys.argv[1:]
+    dest = "/root/repo/BENCH/scaling_result.json"
+    if argv and argv[0] == "--out":
+        dest = f"/root/repo/BENCH/{argv[1]}"
+        argv = argv[2:]
+    reps = [load_rep(p) for p in argv]
+    if not reps:
+        raise SystemExit("usage: assemble_scaling.py [--out name.json] rep.json [...]")
+
+    levels = sorted(
+        int(k[len("local"):-len("_sec")])
+        for k in reps[0]
+        if k.startswith("local")
+        and k.endswith("_sec")
+        and k[len("local"):-len("_sec")].isdigit()
+    )
+    pairs = [(lo, hi) for lo, hi in zip(levels, levels[1:])]
+
+    out = {
+        "n_docs": reps[0]["n_docs"],
+        "n_docs_small": reps[0]["n_docs_small"],
+        "levels": levels,
+        "protocol": PROTOCOL,
+        "reps": reps,
+    }
+    for c in levels:
+        walls = [r[f"local{c}_sec"] for r in reps if r.get(f"local{c}_sec")]
+        out[f"median_local{c}_sec"] = round(statistics.median(walls), 1)
+        out[f"median_local{c}_docs_per_sec"] = round(
+            statistics.median(r[f"local{c}_docs_per_sec"] for r in reps), 1
+        )
+        out[f"median_local{c}_marginal_docs_per_sec"] = round(
+            statistics.median(r[f"local{c}_marginal_docs_per_sec"] for r in reps), 1
+        )
+    for lo, hi in pairs:
+        whole = [r[f"scaling_efficiency_{lo}_to_{hi}"] for r in reps]
+        marg = [r[f"marginal_scaling_efficiency_{lo}_to_{hi}"] for r in reps]
+        out[f"scaling_efficiency_{lo}_to_{hi}"] = round(statistics.median(whole), 3)
+        out[f"marginal_scaling_efficiency_{lo}_to_{hi}"] = round(
+            statistics.median(marg), 3
+        )
+    out["hardware_controls"] = HARDWARE_CONTROLS
+
+    print(json.dumps({k: v for k, v in out.items() if k not in ("reps", "protocol")}, indent=2))
+    with open(dest, "w") as f:
+        json.dump(out, f, indent=2)
+    print(f"wrote {dest}")
+
+
+if __name__ == "__main__":
+    main()
