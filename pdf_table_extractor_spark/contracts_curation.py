@@ -552,3 +552,118 @@ def q_extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = synth.synth_spark(s2, 120, parallelism=8)
     out = extract(pages, num_partitions=8)
     return out.select("url", "profile", F.md5("csv").alias("csv_md5"))
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate classification (north-star "text/link-density boilerplate
+# classifier"): the operator is generic over (url, block_idx, block_text);
+# the contract derives a block frame deterministically from `documents`
+# (8 docs = one page, each doc truncated to (doc_id % 29)+1 words so the
+# corpus exercises every branch of the decision tree) and anchors are the
+# high-frequency lexicon words — both sides reconstruct identically.
+# ---------------------------------------------------------------------------
+
+_BP_ANCHOR = r"\b(?:spark|data|query|scan)\b"
+
+_BP_BLOCKS_SQL = r"""
+WITH docs AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents WHERE trim(text) <> ''
+), blocks AS (
+  SELECT doc_id // 8 AS url, doc_id % 8 AS block_idx,
+         list_slice(t, 1, CAST(doc_id % 29 + 1 AS INT)) AS bt
+  FROM docs
+), feats AS (
+  SELECT url, block_idx,
+         len(bt) AS num_words,
+         len(list_filter(bt, w -> w IN ('spark','data','query','scan'))) AS anchor_words,
+         array_to_string(bt, ' ') AS block_text
+  FROM blocks
+), lab AS (
+  SELECT url, block_idx, num_words, anchor_words, block_text,
+         CAST(anchor_words AS DOUBLE) / num_words AS ld,
+         lag(num_words, 1, 0) OVER w AS prev_words,
+         lead(num_words, 1, 0) OVER w AS next_words,
+         lag(CAST(anchor_words AS DOUBLE) / num_words, 1, 0.0) OVER w AS prev_ld
+  FROM feats
+  WINDOW w AS (PARTITION BY url ORDER BY block_idx)
+), cls AS (
+  SELECT url, block_idx, num_words, anchor_words, prev_words, next_words, block_text,
+         (ld <= 0.333333 AND (
+            (prev_ld <= 0.555556
+             AND (num_words > 16 OR next_words > 15 OR prev_words > 4))
+            OR (prev_ld > 0.555556 AND (num_words > 40 OR next_words > 17))
+         )) AS is_content
+  FROM lab
+)
+"""
+
+
+def _bp_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").where(F.trim("text") != "")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+    )
+    n = (F.col("doc_id") % 29 + 1).cast("int")
+    return docs.select(
+        F.expr("doc_id div 8").alias("url"),
+        (F.col("doc_id") % 8).alias("block_idx"),
+        F.array_join(F.slice(toks, F.lit(1), n), " ").alias("block_text"),
+    )
+
+
+@contract(
+    "q_boilerplate_label",
+    _BP_BLOCKS_SQL
+    + """
+    SELECT url, block_idx,
+           CAST(num_words AS BIGINT) AS num_words,
+           CAST(anchor_words AS BIGINT) AS anchor_words,
+           CAST(prev_words AS BIGINT) AS prev_words,
+           CAST(next_words AS BIGINT) AS next_words,
+           CAST(is_content AS BIGINT) AS content
+    FROM cls
+    """,
+)
+def q_boilerplate_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_table_extractor_spark.operators import boilerplate
+
+    labeled = boilerplate.classify_blocks(
+        boilerplate.block_features(
+            _bp_blocks(spark, sf_dir), anchor_pattern=_BP_ANCHOR
+        )
+    )
+    return labeled.select(
+        "url",
+        "block_idx",
+        F.col("num_words").cast("long").alias("num_words"),
+        F.col("anchor_words").cast("long").alias("anchor_words"),
+        F.col("prev_words").cast("long").alias("prev_words"),
+        F.col("next_words").cast("long").alias("next_words"),
+        F.col("is_content").cast("long").alias("content"),
+    )
+
+
+@contract(
+    "q_boilerplate_main",
+    _BP_BLOCKS_SQL
+    + """
+    SELECT url,
+           coalesce(string_agg(block_text, chr(10) || chr(10) ORDER BY block_idx)
+                    FILTER (WHERE is_content), '') AS main_text,
+           CAST(count(*) FILTER (WHERE is_content) AS BIGINT) AS n_content_blocks
+    FROM cls GROUP BY url
+    """,
+)
+def q_boilerplate_main(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_table_extractor_spark.operators import boilerplate
+
+    labeled = boilerplate.classify_blocks(
+        boilerplate.block_features(
+            _bp_blocks(spark, sf_dir), anchor_pattern=_BP_ANCHOR
+        )
+    )
+    return boilerplate.main_content(labeled).select(
+        "url", "main_text", F.col("n_content_blocks").cast("long").alias("n_content_blocks")
+    )
