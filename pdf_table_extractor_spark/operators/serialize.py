@@ -50,9 +50,16 @@ class Sink:
     # Extra record columns a custom `prepare` reads beyond source_cols
     # (e.g. caixa's parsed-date + doc-flag columns).
     extra_cols: tuple[str, ...] = ()
+    # Raw-text mode (webpage main-content profile): the document bytes are
+    # source_cols[0]'s values rejoined with a blank line — boilerpipe's
+    # plain-text render — instead of a CSV table. Zero records → b"".
+    raw: bool = False
 
 
 def render_csv(pdf: pd.DataFrame, sink: Sink) -> bytes:
+    if sink.raw:
+        body = "\n\n".join(pdf[sink.source_cols[0]]).encode("utf-8")
+        return (b"\xef\xbb\xbf" + body) if sink.utf8_sig else body
     if sink.prepare is not None:
         out = sink.prepare(pdf)
     else:
@@ -153,6 +160,18 @@ def serialize(
 
     @pandas_udf("n_rows int, csv binary")
     def render_batch(recs_col: pd.Series) -> pd.DataFrame:
+        if sink.raw:
+            src = sink.source_cols[0]
+            bom = b"\xef\xbb\xbf" if sink.utf8_sig else b""
+            n_rows, csvs = [], []
+            for recs in recs_col:
+                texts = [r[src] for r in recs if r["__real"] == 1]
+                n_rows.append(len(texts))
+                if not texts and not emit_empty:
+                    csvs.append(None)
+                else:
+                    csvs.append(bom + "\n\n".join(texts).encode("utf-8"))
+            return pd.DataFrame({"n_rows": n_rows, "csv": csvs})
         if fast_path:
             out = _render_batchwide(recs_col, fields, sink, emit_empty)
             if out is not None:

@@ -844,6 +844,23 @@ def _stone_prepare(pdf):
     return pd.DataFrame([list(c) for c in pdf["cells"]])
 
 
+# ---------------------------------------------------------------------------
+# webpage — generic boilerpipe main-content profile (north rule: "HTML
+# boilerplate strip ... text/link-density boilerplate classifier"). Pure
+# Catalyst: the blank-line block split, shallow features, and the
+# NumWordsRules tree all run inside whole-stage codegen off the shared
+# url-salt text exchange; the per-url neighbour window and the pack groupBy
+# both inherit the salt's hash partitioning, so the branch adds NO exchange.
+# ---------------------------------------------------------------------------
+
+def build_webpage(pages: DataFrame) -> DataFrame:
+    from pdf_table_extractor_spark.operators import boilerplate
+
+    blocks = boilerplate.page_blocks(pages)
+    labeled = boilerplate.classify_blocks(boilerplate.block_features(blocks))
+    return labeled.filter("is_content").select("url", "block_idx", "block_text")
+
+
 def build_santander(pages: DataFrame) -> DataFrame:
     from pdf_table_extractor_spark.operators.statemachines import santander_records
 
@@ -1018,6 +1035,20 @@ PROFILES: dict[str, Profile] = {
             utf8_sig=False,
             prepare=_itau_prepare,
             postprocess=_itau_postprocess,
+        ),
+    ),
+    "webpage": Profile(
+        "webpage",
+        build_webpage,
+        # always emit bytes per url, even b"" for all-boilerplate pages —
+        # the north rule gates on "byte-identical extracted text per url"
+        emit_empty=True,
+        sink=Sink(
+            columns=["main_text"],
+            source_cols=["block_text"],
+            order_by=["block_idx"],
+            utf8_sig=False,
+            raw=True,
         ),
     ),
 }

@@ -614,6 +614,87 @@ def gen_ofx(rng: random.Random):
     return lines, None, [], None
 
 
+# ---------------------------------------------------------------------------
+# webpage — generic Common-Crawl-style page for the boilerpipe main-content
+# profile (north rule: "HTML boilerplate strip"). Blocks are blank-line
+# separated; word counts and link densities are drawn to straddle every
+# NumWordsRules threshold (4/16/40 words, 1/3 and 0.5556 link density) so
+# the classifier's whole tree is exercised by the golden gate.
+# ---------------------------------------------------------------------------
+
+WEB_WORDS = (
+    "data systems engine spark shuffle partition column vector query table "
+    "stream batch cluster executor memory disk network latency throughput "
+    "index scan join filter window state checkpoint snapshot commit merge "
+    "page host crawl fetch parse render block token anchor layout density"
+).split()
+
+NAV_LABELS = ["home", "news", "docs", "blog", "about", "contact", "login"]
+
+
+def _wp_sentence(rng: random.Random, n: int) -> str:
+    return " ".join(rng.choice(WEB_WORDS) for _ in range(n))
+
+
+def _wp_wrap(sent: str, width: int = 12) -> str:
+    toks = sent.split(" ")
+    return "\n".join(
+        " ".join(toks[i : i + width]) for i in range(0, len(toks), width)
+    )
+
+
+def _wp_link(rng: random.Random) -> str:
+    return (
+        f"https://site{rng.randint(0, 99):02d}.example/"
+        f"{rng.choice(NAV_LABELS)}/{rng.randint(0, 999)}"
+    )
+
+
+def gen_webpage(rng: random.Random):
+    """Generic web page: nav / headline / paragraphs / related-links /
+    footer blocks. ~6% are link-farm pages whose every block is
+    boilerplate (the profile's emit-empty path)."""
+    if rng.random() < 0.06:
+        blocks = [
+            " ".join(_wp_link(rng) for _ in range(rng.randint(2, 6)))
+            for _ in range(rng.randint(2, 5))
+        ]
+    else:
+        blocks = [
+            # nav bar: links only (link density 1.0)
+            " ".join(_wp_link(rng) for _ in range(rng.randint(3, 7))),
+            # headline: short plain words (content iff the lead paragraph
+            # is long enough — the prev_ld > 0.5556 tree branch)
+            _wp_sentence(rng, rng.randint(2, 9)),
+        ]
+        for _ in range(rng.randint(1, 6)):
+            n = rng.randint(8, 80)
+            sent = _wp_sentence(rng, n)
+            if rng.random() < 0.3:  # occasional inline link
+                toks = sent.split(" ")
+                toks[rng.randrange(len(toks))] = _wp_link(rng)
+                sent = " ".join(toks)
+            blocks.append(_wp_wrap(sent))
+            if rng.random() < 0.25:
+                # teaser/caption around the 4/16-word thresholds
+                blocks.append(_wp_sentence(rng, rng.randint(3, 18)))
+        if rng.random() < 0.6:
+            # related links: alternating word+link lines (ld ~ 0.5)
+            blocks.append(
+                "\n".join(
+                    f"{rng.choice(WEB_WORDS)} {_wp_link(rng)}"
+                    for _ in range(rng.randint(2, 5))
+                )
+            )
+        blocks.append(f"copyright 2024 {_wp_link(rng)} all rights reserved")
+    lines: list[str] = []
+    for b in blocks:
+        if lines:
+            lines.append("")
+        lines.extend(b.split("\n"))
+    return lines, None, [], None
+
+
 GENERATORS = {
     "banestes": gen_banestes,
     "pagbank": gen_pagbank,
@@ -630,6 +711,7 @@ GENERATORS = {
     "bradesco": gen_bradesco,
     "stone": gen_stone,
     "itau": gen_itau,
+    "webpage": gen_webpage,
 }
 
 NOISE_LANGS = ["en", "es", "de"]

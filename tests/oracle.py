@@ -805,6 +805,39 @@ def oracle_ofx(text: str, html: bytes) -> bytes | None:
     return _csv_bytes(pd.DataFrame(rows, columns=["Data", "Descrição", "Valor"]), sep=";")
 
 
+_WP_ANCHOR = re.compile(r"https?://\S+")
+
+
+def oracle_webpage(text: str, html: bytes) -> bytes | None:
+    """Independent re-derivation of boilerpipe's NumWordsRulesClassifier
+    (Kohlschuetter et al., WSDM 2010 — published thresholds) + plain-text
+    rendering: blank-line blocks, (words, link-density) shallow features
+    with prev/next context, content blocks rejoined with a blank line.
+    All-boilerplate pages yield b'' (the profile always writes bytes)."""
+    feats = []
+    for idx, block in enumerate(re.split(r"\n{2,}", text)):
+        if block.strip(" ") == "":  # mirror Spark trim: spaces only
+            continue
+        squeezed = re.sub(r"\s+", " ", block).strip(" ")
+        n_words = 0 if squeezed == "" else len(squeezed.split(" "))
+        n_anchor = len(_WP_ANCHOR.findall(block))
+        ld = 0.0 if n_words == 0 else n_anchor / n_words
+        feats.append((block, n_words, ld))
+    kept = []
+    for i, (block, nw, ld) in enumerate(feats):
+        prev_w, prev_ld = (feats[i - 1][1], feats[i - 1][2]) if i else (0, 0.0)
+        next_w = feats[i + 1][1] if i + 1 < len(feats) else 0
+        if ld > 0.333333:
+            keep = False
+        elif prev_ld <= 0.555556:
+            keep = nw > 16 or next_w > 15 or prev_w > 4
+        else:
+            keep = nw > 40 or next_w > 17
+        if keep:
+            kept.append(block)
+    return "\n\n".join(kept).encode("utf-8")
+
+
 ORACLES = {
     "banestes": oracle_banestes,
     "pagbank": oracle_pagbank,
@@ -821,6 +854,7 @@ ORACLES = {
     "bradesco": oracle_bradesco,
     "stone": oracle_stone,
     "itau": oracle_itau,
+    "webpage": oracle_webpage,
 }
 
 
