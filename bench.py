@@ -36,6 +36,8 @@ HEADLINE = [
     "q_locale_number",
     "q_split_explode",
     "q_sort",
+    "q_line_dedup",
+    "q_auto_columns",
 ]
 
 

@@ -829,3 +829,176 @@ def q_split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("sentence") != "")
     )
+
+
+@contract(
+    "q_auto_columns",
+    """
+    WITH w AS (
+      SELECT CAST(l_orderkey % 100 AS BIGINT) AS url,
+             CAST(l_orderkey % 7 AS BIGINT) AS page_no,
+             CAST((l_partkey % 40) * 10 AS BIGINT) AS x0,
+             CAST((l_partkey % 40) * 10 + 5 + (l_suppkey % 4) * 12 AS BIGINT) AS x1
+      FROM lineitem
+    ),
+    m AS (
+      SELECT *, CASE WHEN x0 > COALESCE(MAX(x1) OVER (
+               PARTITION BY url, page_no ORDER BY x0, x1
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1000000) + 4
+             THEN 1 ELSE 0 END AS s
+      FROM w
+    ),
+    b AS (
+      SELECT *, SUM(s) OVER (PARTITION BY url, page_no ORDER BY x0, x1
+               ROWS UNBOUNDED PRECEDING) - 1 AS col_no
+      FROM m
+    )
+    SELECT url, page_no, CAST(col_no AS INT) AS col_no,
+           MIN(x0) AS band_x0, MAX(x1) AS band_x1, COUNT(*) AS n_words
+    FROM b GROUP BY url, page_no, col_no
+    """,
+)
+def q_auto_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automatic whitespace-gap column detection (north star: word-to-column
+    alignment as SORTED INTERVAL MERGING; the auto-detect complement of the
+    configured camelot geometry, conversor_itau.py:99-108): word x-intervals
+    derived deterministically from lineitem, merged into maximal bands by
+    the gaps-and-islands plan in operators/tables.column_bands. Integer
+    coordinates keep the hash comparison exact."""
+    from pdf_table_extractor_spark.operators.tables import column_bands
+
+    li = load(spark, sf_dir, "lineitem")
+    x0 = (F.col("l_partkey") % 40) * 10
+    words = li.select(
+        (F.col("l_orderkey") % 100).cast("long").alias("url"),
+        (F.col("l_orderkey") % 7).cast("long").alias("page_no"),
+        x0.cast("long").alias("x0"),
+        (x0 + 5 + (F.col("l_suppkey") % 4) * 12).cast("long").alias("x1"),
+    )
+    return column_bands(words, tol=4.0)
+
+
+@contract(
+    "q_line_dedup",
+    """
+    WITH d AS (
+      SELECT doc_id, list_transform(range((len(string_split(text, ' '))+2)//3),
+               i -> array_to_string((string_split(text, ' '))[(i*3+1):(i*3+3)], ' ')) AS chunks
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id,
+             CAST(generate_subscripts(chunks, 1) - 1 AS INT) AS line_no,
+             unnest(chunks) AS line
+      FROM d
+    ),
+    c AS (SELECT line FROM e GROUP BY line HAVING count(DISTINCT doc_id) >= 2)
+    SELECT doc_id, line_no, line FROM e ANTI JOIN c USING (line)
+    """,
+)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style template-line removal (Wenzek et al. 2020): 3-word chunk
+    lines counted across the corpus, every instance of a line seen in >= 2
+    distinct documents dropped. One md5-keyed hash aggregate + one anti
+    join, both map-side-combined and AQE-skew-splittable
+    (operators/dedup.drop_common_lines)."""
+    from pdf_table_extractor_spark.operators.dedup import chunk_frame, drop_common_lines
+
+    d = load(spark, sf_dir, "documents")
+    return drop_common_lines(chunk_frame(d, n_words=3), min_docs=2).select(
+        "doc_id", "line_no", "line"
+    )
+
+
+@contract(
+    "q_url_canonicalize",
+    r"""
+    WITH u AS (
+      SELECT doc_id,
+        (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' ELSE 'HTTP://' END)
+        || 'WWW.Site' || CAST(doc_id % 5 AS VARCHAR) || '.COM.BR'
+        || (CASE WHEN doc_id % 2 = 0 THEN (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE ':80' END) ELSE '' END)
+        || '/Articles/' || CAST(doc_id AS VARCHAR)
+        || (CASE doc_id % 4
+              WHEN 0 THEN '/'
+              WHEN 1 THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+              WHEN 2 THEN '?id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=x#Section2'
+              ELSE '#top' END) AS url
+      FROM documents
+    ),
+    s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') AS u FROM u),
+    parts AS (
+      SELECT doc_id,
+        lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+        regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '', 'g') AS rest,
+        lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^@/?#]*@)?([^:/?#]*)', 1)) AS host
+      FROM s1
+    ),
+    p2 AS (
+      SELECT doc_id, scheme, host,
+        CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+             WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+             ELSE auth END AS auth,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          rest, '([?&])(?:utm_[A-Za-z]+|fbclid|gclid|msclkid)=[^&]*', '\1', 'g'),
+          '\?&+', '?', 'g'), '&&+', '&', 'g'), '[?&]+$', '', 'g') AS rest
+      FROM parts
+    ),
+    p3 AS (
+      SELECT doc_id, scheme, host, auth,
+             regexp_replace(rest, '([^/])/$', '\1', 'g') AS rest
+      FROM p2
+    ),
+    lab AS (
+      SELECT doc_id, scheme || '://' || auth || rest AS canon_url, host,
+             string_split(host, '.') AS labels
+      FROM p3
+    )
+    SELECT doc_id, canon_url, host,
+      CASE WHEN len(labels) <= 2 THEN host
+           WHEN labels[len(labels)-1] || '.' || labels[len(labels)] IN
+                ('co.uk','org.uk','ac.uk','gov.uk','com.br','net.br','org.br','gov.br',
+                 'com.au','net.au','org.au','co.jp','ne.jp','or.jp','co.in','co.za',
+                 'com.mx','com.cn','com.ar')
+           THEN labels[len(labels)-2] || '.' || labels[len(labels)-1] || '.' || labels[len(labels)]
+           ELSE labels[len(labels)-1] || '.' || labels[len(labels)] END AS domain
+    FROM lab
+    """,
+)
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical crawl-key normalization (CCNet/RefinedWeb pre-dedup step):
+    scheme/host case folding, default ports, fragments, tracking params,
+    trailing slash — plus host + registrable-domain extraction. Synthetic
+    urls derived deterministically from doc_id exercise every rule; the
+    oracle mirrors each regex in DuckDB's RE2 dialect
+    (operators/urls.canonicalize_url)."""
+    from pdf_table_extractor_spark.operators import urls
+
+    d = load(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    sid = doc_id.cast("string")
+    scheme = F.when(doc_id % 3 == 0, "HTTPS://").otherwise("HTTP://")
+    port = F.when(
+        doc_id % 2 == 0, F.when(doc_id % 3 == 0, ":443").otherwise(":80")
+    ).otherwise("")
+    tail = (
+        F.when(doc_id % 4 == 0, F.lit("/"))
+        .when(doc_id % 4 == 1, F.concat(F.lit("?utm_source=feed&id="), sid))
+        .when(doc_id % 4 == 2, F.concat(F.lit("?id="), sid, F.lit("&utm_campaign=x#Section2")))
+        .otherwise(F.lit("#top"))
+    )
+    url = F.concat(
+        scheme, F.lit("WWW.Site"), (doc_id % 5).cast("string"), F.lit(".COM.BR"),
+        port, F.lit("/Articles/"), sid, tail,
+    )
+    host = urls.host_of(F.col("url"))
+    return (
+        d.select(doc_id, url.alias("url"))
+        .select(
+            "doc_id",
+            urls.canonicalize_url(F.col("url")).alias("canon_url"),
+            host.alias("host"),
+            urls.registered_domain(host).alias("domain"),
+        )
+    )

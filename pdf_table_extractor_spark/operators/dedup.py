@@ -211,3 +211,96 @@ def contamination(
             F.col("n_contaminated") / F.greatest(F.col("n_shingles"), F.lit(1)), 6
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-level cross-corpus dedup (CCNet-style, Wenzek et al. 2020: drop the
+# lines that repeat across many documents — navigation chrome, cookie
+# banners, boilerplate the block classifier can't see because it IS the
+# page template). Unit is a (id, line_no, line) frame, same generic shape
+# the boilerplate operator scores, produced by `line_frame` (regex split)
+# or `chunk_frame` (fixed word windows for corpora without line structure).
+#
+# Scale (10^12 docs): the count is one hash aggregate with map-side partial
+# combine, keyed on md5(line) so the shuffle carries 32-byte keys instead
+# of arbitrary-length text; the removal is a left-anti equi-join on the
+# same key (AQE skew-split applies — empty/ubiquitous lines are exactly the
+# skewed keys). Both stages hash-partition on the key, nothing is
+# collected to the driver.
+# ---------------------------------------------------------------------------
+
+
+def line_frame(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pattern: str = r"\n",
+) -> DataFrame:
+    """(id, line_no, line): one row per regex-split line, empties dropped
+    (document order kept in line_no, gaps where empties were)."""
+    return (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), pattern)).alias("line_no", "line"),
+        )
+        .where(F.trim("line") != "")
+    )
+
+
+def chunk_frame(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_words: int = 3,
+) -> DataFrame:
+    """(id, line_no, line) by non-overlapping n-word windows — the line
+    unit for corpora whose text carries no newline structure."""
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = (F.size(toks) + (n_words - 1)).cast("long") / n_words
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.floor(n_chunks).cast("int") - 1),
+        lambda i: F.array_join(F.slice(toks, i * n_words + 1, n_words), " "),
+    )
+    return docs.select(
+        F.col(id_col), F.posexplode(chunks).alias("line_no", "line")
+    )
+
+
+def common_lines(
+    lines: DataFrame, *, min_docs: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """(line_key, n_docs) for lines appearing in >= min_docs distinct
+    documents; line_key = md5(line)."""
+    return (
+        lines.groupBy(F.md5(F.col("line")).alias("line_key"))
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def drop_common_lines(
+    lines: DataFrame, *, min_docs: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """Remove every instance of a line that appears in >= min_docs distinct
+    documents (CCNet's template-line removal), preserving the rest of the
+    frame unchanged."""
+    common = common_lines(lines, min_docs=min_docs, id_col=id_col)
+    keyed = lines.withColumn("__line_key", F.md5(F.col("line")))
+    return (
+        keyed.join(
+            common, keyed["__line_key"] == common["line_key"], "left_anti"
+        ).drop("__line_key")
+    )
+
+
+def reassemble_lines(
+    lines: DataFrame, *, id_col: str = "doc_id", sep: str = "\n"
+) -> DataFrame:
+    """(id, text): lines rejoined in line_no order — the cleaned document
+    after `drop_common_lines`."""
+    packed = F.array_sort(F.collect_list(F.struct("line_no", "line")))
+    return lines.groupBy(id_col).agg(
+        F.array_join(F.transform(packed, lambda s: s["line"]), sep).alias("text")
+    )

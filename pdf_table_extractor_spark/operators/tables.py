@@ -220,3 +220,128 @@ def table_spans(pages, stream_config: dict | None = None):
             )
 
     return pages.select("url", "html").mapInPandas(gen, schema=TABLE_SPANS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Automatic whitespace-gap column detection (north star: "whitespace/
+# ruling-line clustering for tabular region detection ... word-to-column
+# alignment logic as sorted interval merging"). The configured path above
+# mirrors the reference's explicit `columns` separators
+# (conversor_itau.py:99-108); this operator infers them — camelot
+# stream-mode's automatic behavior — by merging the word x-intervals of a
+# page into maximal bands and reading the inter-band gaps as separators.
+#
+# Pure Catalyst gaps-and-islands (no UDF): sort intervals by x0 within a
+# page, track the running max of x1 ("reach"); a word whose x0 clears
+# reach + tol starts a new band; the cumulative count of starts is the
+# band ordinal, which IS the word's column index. Both the window and the
+# downstream groupBys cluster on url-prefixed keys, so everything runs on
+# the extraction pipeline's existing url-salt partitioning with no added
+# exchange.
+# ---------------------------------------------------------------------------
+
+
+def assign_columns(
+    words,
+    *,
+    tol: float = 2.0,
+    part_cols: tuple[str, ...] = ("url", "page_no"),
+):
+    """words(url, page_no, x0, x1, ...) → same rows + ``col_no`` (0-based
+    column ordinal by sorted-interval merging: overlapping-or-near word
+    boxes share a band)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(*part_cols).orderBy("x0", "x1")
+    reach = F.max("x1").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    start = (reach.isNull() | (F.col("x0") > reach + F.lit(tol))).cast("int")
+    out = words.withColumn("__band_start", start)
+    return out.withColumn(
+        "col_no",
+        (F.sum("__band_start").over(w) - 1).cast("int"),
+    ).drop("__band_start")
+
+
+def column_bands(
+    words,
+    *,
+    tol: float = 2.0,
+    part_cols: tuple[str, ...] = ("url", "page_no"),
+):
+    """words → one row per detected column band:
+    (part_cols..., col_no, band_x0, band_x1, n_words). The separators a
+    configured `stream_rows` call would need are the midpoints of adjacent
+    band gaps — this is the auto-detect complement of that operator."""
+    from pyspark.sql import functions as F
+
+    return (
+        assign_columns(words, tol=tol, part_cols=part_cols)
+        .groupBy(*part_cols, "col_no")
+        .agg(
+            F.min("x0").alias("band_x0"),
+            F.max("x1").alias("band_x1"),
+            F.count("*").alias("n_words"),
+        )
+    )
+
+
+def auto_stream_rows(
+    words,
+    *,
+    tol: float = 2.0,
+    row_decimals: int = 0,
+):
+    """words(url, page_no, text, x0, x1, top) → stream-mode table rows
+    (url, page_no, row_no, cells) with INFERRED columns: y-cluster rows on
+    rounded top (the same clustering `stream_rows_doc` applies), bin each
+    word by its merged-interval band, join a cell's words x-sorted.
+
+    Cells are dense over the page's detected bands: a row missing words in
+    some column carries '' there, mirroring camelot's rectangular output."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    cols = assign_columns(words, tol=tol).withColumn(
+        "y_key", F.round(F.col("top"), row_decimals)
+    )
+    # per-page band count AND per-row ordinal off the same url partitioning
+    wpage = Window.partitionBy("url", "page_no")
+    cols = cols.withColumn("n_cols", F.max("col_no").over(wpage) + 1)
+    cell = (
+        cols.groupBy("url", "page_no", "n_cols", "y_key", "col_no")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("x0", "text"))),
+                    lambda s: s["text"],
+                ),
+                " ",
+            ).alias("cell")
+        )
+    )
+    wrow = Window.partitionBy("url", "page_no").orderBy("y_key")
+    rows = (
+        cell.groupBy("url", "page_no", "n_cols", "y_key")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("col_no", "cell"))).alias("found")
+        )
+        .withColumn("row_no", (F.dense_rank().over(wrow) - 1).cast("int"))
+    )
+    # densify: one entry per band ordinal, '' where the row has no words
+    dense = F.transform(
+        F.sequence(F.lit(0), F.col("n_cols") - 1),
+        lambda i: F.coalesce(
+            F.element_at(
+                F.map_from_arrays(
+                    F.transform(F.col("found"), lambda s: s["col_no"]),
+                    F.transform(F.col("found"), lambda s: s["cell"]),
+                ),
+                i,
+            ),
+            F.lit(""),
+        ),
+    )
+    return rows.select(
+        "url", "page_no", "row_no", dense.alias("cells")
+    )

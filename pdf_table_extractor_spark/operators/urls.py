@@ -1,0 +1,88 @@
+"""URL canonicalization + host tooling for crawl curation.
+
+Common-Crawl pipelines (CCNet, RefinedWeb, Dolma) dedup and filter on a
+CANONICAL url before anything touches the payload: scheme/host case,
+default ports, fragments, and tracking parameters are presentation noise
+that splits one logical page into many crawl keys. Everything here is
+pure Catalyst (regexp/translate at scan speed, no UDF), and every rule is
+expressible in ANSI-ish regex SQL so the DuckDB contract can mirror it
+bit-for-bit.
+
+Regex dialect note: rules avoid lookarounds (DuckDB's RE2 has none) and
+backreference syntax differences stay inside each engine's own dialect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Query parameters that never identify content (click/campaign tracking).
+TRACKING_PARAMS = r"(?:utm_[A-Za-z]+|fbclid|gclid|msclkid)"
+
+#: Two-label public suffixes common in web corpora; a third label is the
+#: registrable domain under these. (Heuristic subset of the PSL — the full
+#: list is data, not code, and would ship as a broadcast table.)
+SECOND_LEVEL_SUFFIXES = [
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.br", "net.br", "org.br", "gov.br",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "co.in", "co.za", "com.mx", "com.cn", "com.ar",
+]
+
+_SCHEME = r"^[A-Za-z][A-Za-z0-9+.-]*://"
+
+
+def host_of(url: Column | str) -> Column:
+    """Lowercased host (authority minus userinfo and port)."""
+    h = F.regexp_extract(url, _SCHEME + r"(?:[^@/?#]*@)?([^:/?#]*)", 1)
+    return F.lower(h)
+
+
+def registered_domain(host: Column) -> Column:
+    """Registrable domain by the last-two-labels heuristic, extended to
+    three labels for the configured two-label public suffixes."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    # try_element_at: when() does NOT short-circuit vectorized evaluation,
+    # so a plain element_at(-2) would throw under Spark 4 ANSI mode for
+    # single-label hosts even though the n <= 2 branch wins there.
+    last2 = F.concat_ws(
+        ".", F.try_element_at(labels, F.lit(-2)), F.try_element_at(labels, F.lit(-1))
+    )
+    last3 = F.concat_ws(".", F.try_element_at(labels, F.lit(-3)), last2)
+    return (
+        F.when(n <= 2, host)
+        .when(last2.isin(SECOND_LEVEL_SUFFIXES) & (n >= 3), last3)
+        .otherwise(last2)
+    )
+
+
+def canonicalize_url(url: Column | str) -> Column:
+    """Canonical crawl key. Rules, in order (each a single global regex):
+
+    1. strip the fragment (``#...``);
+    2. lowercase scheme and authority (path/query case is significant);
+    3. drop the scheme's default port (``:80`` http, ``:443`` https);
+    4. remove tracking query params (`TRACKING_PARAMS`), then collapse the
+       separator debris (``?&`` → ``?``, trailing ``?``/``&`` dropped);
+    5. drop a single trailing slash unless the path is exactly ``/``.
+
+    Urls without a scheme pass through unchanged (crawl noise stays
+    byte-stable rather than half-normalized)."""
+    u = F.regexp_replace(url, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    auth = F.lower(F.regexp_extract(u, _SCHEME + r"([^/?#]*)", 1))
+    rest = F.regexp_replace(u, _SCHEME + r"[^/?#]*", "")
+    auth = F.when(scheme == "http", F.regexp_replace(auth, r":80$", "")).otherwise(
+        F.when(scheme == "https", F.regexp_replace(auth, r":443$", "")).otherwise(auth)
+    )
+    rest = F.regexp_replace(rest, r"([?&])" + TRACKING_PARAMS + r"=[^&]*", r"$1")
+    rest = F.regexp_replace(rest, r"\?&+", "?")
+    rest = F.regexp_replace(rest, r"&&+", "&")
+    rest = F.regexp_replace(rest, r"[?&]+$", "")
+    rest = F.regexp_replace(rest, r"([^/])/$", r"$1")
+    return F.when(
+        scheme == "", F.col(url) if isinstance(url, str) else url
+    ).otherwise(F.concat(scheme, F.lit("://"), auth, rest))
