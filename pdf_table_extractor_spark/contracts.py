@@ -366,8 +366,8 @@ def q_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM flagged
     )
-    SELECT user_id, session_id, COUNT(*) AS n_events,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS session_cents
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS session_cents
     FROM seg GROUP BY user_id, session_id
     """,
 )

@@ -667,3 +667,77 @@ def q_boilerplate_main(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boilerplate.main_content(labeled).select(
         "url", "main_text", F.col("n_content_blocks").cast("long").alias("n_content_blocks")
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain-level curation (RefinedWeb/Dolma: no single domain may dominate
+# the training mix). Synthetic urls are derived deterministically from
+# doc_id; the oracle derives the expected registrable domain analytically
+# from the same arithmetic — an INDEPENDENT derivation, so the contract
+# cross-checks the engine's host/PSL extraction end to end (the regex
+# rules themselves are mirrored in q_url_canonicalize).
+# ---------------------------------------------------------------------------
+
+_DOMAIN_URL_SQL = """
+  SELECT doc_id, text,
+    'http://www.site' || CAST(doc_id % 7 AS VARCHAR)
+      || (CASE doc_id % 3 WHEN 0 THEN '.com.br' WHEN 1 THEN '.co.uk' ELSE '.com' END)
+      || '/p/' || CAST(doc_id AS VARCHAR) AS url,
+    'site' || CAST(doc_id % 7 AS VARCHAR)
+      || (CASE doc_id % 3 WHEN 0 THEN '.com.br' WHEN 1 THEN '.co.uk' ELSE '.com' END)
+      AS domain
+  FROM documents
+"""
+
+
+def _domain_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc_id = F.col("doc_id")
+    url = F.concat(
+        F.lit("http://www.site"),
+        (doc_id % 7).cast("string"),
+        F.when(doc_id % 3 == 0, ".com.br")
+        .when(doc_id % 3 == 1, ".co.uk")
+        .otherwise(".com"),
+        F.lit("/p/"),
+        doc_id.cast("string"),
+    )
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", "text", url.alias("url")
+    )
+
+
+@contract(
+    "q_domain_stats",
+    "WITH d AS (" + _DOMAIN_URL_SQL + r""")
+    SELECT domain, COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+    FROM d GROUP BY domain
+    """,
+)
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registrable-domain corpus statistics (operators/urls.domain_stats):
+    the aggregation behind domain-share caps and per-domain quality calls."""
+    from pdf_table_extractor_spark.operators import urls
+
+    return urls.domain_stats(_domain_docs(spark, sf_dir))
+
+
+@contract(
+    "q_domain_cap",
+    "WITH d AS (" + _DOMAIN_URL_SQL + """),
+    r AS (
+      SELECT doc_id, url,
+             row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rk
+      FROM d
+    )
+    SELECT doc_id, url FROM r WHERE rk <= 5
+    """,
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain balance cap (operators/urls.domain_cap): deterministically
+    keep the 5 lowest-doc_id documents per registrable domain."""
+    from pdf_table_extractor_spark.operators import urls
+
+    return urls.domain_cap(_domain_docs(spark, sf_dir), max_docs=5).select(
+        "doc_id", "url"
+    )

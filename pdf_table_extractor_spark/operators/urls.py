@@ -59,6 +59,55 @@ def registered_domain(host: Column) -> Column:
     )
 
 
+def domain_stats(
+    docs,
+    *,
+    url_col: str = "url",
+    text_col: str = "text",
+):
+    """Per-registrable-domain corpus statistics: (domain, n_docs,
+    n_tokens) — the aggregation behind RefinedWeb/Dolma-style domain-level
+    filtering decisions (kill list, share caps, per-domain quality).
+
+    Scale: one hash aggregate keyed on the derived domain, map-side
+    combined; the few mega-domains that dominate a crawl are exactly the
+    skewed keys AQE's skew handling splits."""
+    dom = registered_domain(host_of(F.col(url_col)))
+    ws_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    return docs.groupBy(dom.alias("domain")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(ws_tokens.cast("long")).alias("n_tokens"),
+    )
+
+
+def domain_cap(
+    docs,
+    *,
+    max_docs: int,
+    url_col: str = "url",
+    order_col: str = "doc_id",
+):
+    """Keep at most ``max_docs`` documents per registrable domain (a
+    standard crawl-balance step: no single domain may dominate the
+    training mix), deterministically — lowest ``order_col`` wins.
+
+    Scale: one window keyed on domain. A window cannot be skew-split, so
+    for pathological mega-domains run `domain_stats` first and route only
+    rows from over-cap domains through the window (the under-cap majority
+    needs no ranking); that two-phase refinement keeps this operator's
+    semantics and is a straight composition of the two functions."""
+    from pyspark.sql import Window
+
+    dom = registered_domain(host_of(F.col(url_col)))
+    w = Window.partitionBy("__domain").orderBy(order_col)
+    return (
+        docs.withColumn("__domain", dom)
+        .withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") <= max_docs)
+        .drop("__domain", "__rank")
+    )
+
+
 def canonicalize_url(url: Column | str) -> Column:
     """Canonical crawl key. Rules, in order (each a single global regex):
 

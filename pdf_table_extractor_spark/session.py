@@ -56,6 +56,13 @@ def build_spark(
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8388608"),
         )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Shuffle/spill/broadcast codec. Default lz4; zstd trades CPU
+        # (abundant at high core counts) for bytes over the memory bus —
+        # A/B-able via env on the scaling protocol (tools/bench_codec.py).
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

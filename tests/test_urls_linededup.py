@@ -87,3 +87,24 @@ def test_line_dedup_single_shuffle_topology(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_domain_stats_and_cap(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "http://www.ex.com/1"),
+            (2, "d e", "http://blog.ex.com/2"),
+            (3, "f", "http://other.co.uk/3"),
+            (4, "g h", "http://www.ex.com/4"),
+        ],
+        "doc_id long, text string, url string",
+    )
+    stats = {
+        r["domain"]: (r["n_docs"], r["n_tokens"])
+        for r in urls.domain_stats(docs).collect()
+    }
+    assert stats == {"ex.com": (3, 7), "other.co.uk": (1, 1)}
+    capped = sorted(
+        r["doc_id"] for r in urls.domain_cap(docs, max_docs=2).collect()
+    )
+    assert capped == [1, 2, 3]  # doc 4 is ex.com's third
