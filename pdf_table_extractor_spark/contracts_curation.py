@@ -741,3 +741,94 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urls.domain_cap(_domain_docs(spark, sf_dir), max_docs=5).select(
         "doc_id", "url"
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup (Lee et al. 2022) + fuzzy-dedup components: the
+# two operators that turn pair/passage-level duplication signals into
+# actual corpus edits. Oracles re-derive everything from scratch in
+# DuckDB (n-gram coverage via the same running-max window; components
+# via a recursive-CTE transitive closure — which also proves the
+# bounded-round Spark propagation reached the true fixpoint on this
+# graph).
+# ---------------------------------------------------------------------------
+
+
+@contract(
+    "q_dedup_substring",
+    rf"""
+    WITH toks AS (SELECT doc_id, string_split({SQ}, ' ') AS t FROM documents),
+    grams0 AS (
+      SELECT doc_id,
+             list_transform(range(greatest(len(t) - 4, 0)),
+                            i -> array_to_string(t[(i+1):(i+5)], ' ')) AS g
+      FROM toks
+    ),
+    grams AS (
+      SELECT doc_id,
+             CAST(generate_subscripts(g, 1) - 1 AS INT) AS pos,
+             unnest(g) AS gram
+      FROM grams0
+    ),
+    keyed AS (SELECT doc_id, pos, md5(gram) AS gram_key FROM grams),
+    dup AS (
+      SELECT gram_key FROM keyed GROUP BY gram_key
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    starts AS (SELECT DISTINCT doc_id, pos FROM keyed JOIN dup USING (gram_key)),
+    tok AS (
+      SELECT doc_id,
+             CAST(generate_subscripts(t, 1) - 1 AS INT) AS i,
+             unnest(t) AS tok
+      FROM toks
+    ),
+    flag AS (
+      SELECT k.doc_id, k.i, k.tok, s.pos IS NOT NULL AS st
+      FROM tok k LEFT JOIN starts s ON s.doc_id = k.doc_id AND s.pos = k.i
+    ),
+    cov AS (
+      SELECT *, MAX(CASE WHEN st THEN i + 5 END) OVER (
+        PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS cu
+      FROM flag
+    )
+    SELECT doc_id,
+      COALESCE(string_agg(tok, ' ' ORDER BY i) FILTER (WHERE cu IS NULL OR i >= cu), '') AS clean_text,
+      CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      CAST(COUNT(*) FILTER (WHERE cu IS NOT NULL AND i < cu) AS BIGINT) AS n_dropped
+    FROM cov GROUP BY doc_id
+    """,
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-passage removal anchored at word
+    5-grams (operators/dedup.drop_duplicated_spans)."""
+    return dedup.drop_duplicated_spans(
+        load(spark, sf_dir, "documents"), n=5, min_docs=2
+    )
+
+
+@contract(
+    "q_dedup_cc",
+    f"""
+    WITH RECURSIVE pairs AS ({MINHASH_PAIRS_SQL}),
+    edges AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION
+      SELECT b AS src, a AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT DISTINCT src AS id, src AS r FROM edges
+      UNION
+      SELECT e.src AS id, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+    )
+    SELECT id, CAST(MIN(r) AS BIGINT) AS label FROM reach GROUP BY id
+    """,
+)
+def q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component labels of the MinHash candidate graph
+    (operators/dedup.cc_labels); the oracle's recursive closure proves
+    the propagate-then-jump loop hit the exact fixpoint."""
+    sig = dedup.minhash_signatures(load(spark, sf_dir, "documents"), n_hashes=4)
+    prs = dedup.lsh_candidates(sig, n_hashes=4, band_size=1)
+    return dedup.cc_labels(prs).select(
+        "id", F.col("label").cast("long").alias("label")
+    )

@@ -304,3 +304,199 @@ def reassemble_lines(
     return lines.groupBy(id_col).agg(
         F.array_join(F.transform(packed, lambda s: s["line"]), sep).alias("text")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better"): remove the PASSAGES that repeat across
+# documents, not whole documents. The reference method builds a corpus
+# suffix array; the Spark-first equivalent anchors matches at a fixed
+# word-gram length n — every token covered by an n-gram that also occurs
+# in >= min_docs documents is cut, so any shared substring of >= n words
+# is removed end to end (suffix-array maximal matches differ only below
+# the n-token threshold).
+#
+# Scale: one explode (n-grams with positions, md5 keys), one hash
+# aggregate for the duplicated-gram set, one equi-join back, and one
+# per-doc window for interval coverage — the same running-max
+# gaps-and-islands shape as tables.assign_columns. All shuffles key on
+# 32-byte hashes or doc ids; no driver collection; skewed keys (the
+# ubiquitous grams) are exactly what AQE skew handling splits.
+# ---------------------------------------------------------------------------
+
+
+def ngram_positions(
+    docs: DataFrame,
+    *,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, pos, gram_key): every overlapping word n-gram with its 0-based
+    start token position; gram_key = md5 of the space-joined gram."""
+    toks = tokens(F.col(text_col))
+    nt = F.size(toks)
+    idx = F.sequence(F.lit(1), nt - (n - 1))
+    grams = F.when(
+        nt >= n,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "gram")
+    ).select(id_col, "pos", F.md5("gram").alias("gram_key"))
+
+
+def drop_duplicated_spans(
+    docs: DataFrame,
+    *,
+    n: int = 5,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, clean_text, n_tokens, n_dropped): documents with every
+    cross-document duplicated passage (shared word n-gram runs) removed.
+
+    Coverage is computed without materializing intervals: a token i is
+    covered iff some duplicated gram starts at p <= i with p + n > i,
+    i.e. iff the running max of (start + n) over starts <= i exceeds i —
+    one window pass per document."""
+    from pyspark.sql import Window
+
+    pos = ngram_positions(docs, n=n, id_col=id_col, text_col=text_col)
+    dup = (
+        pos.groupBy("gram_key")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("gram_key")
+    )
+    starts = pos.join(dup, "gram_key").select(
+        F.col(id_col), F.col("pos").alias("i"), F.lit(1).alias("__start")
+    )
+    tok = docs.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("i", "tok")
+    )
+    flagged = tok.join(starts, [id_col, "i"], "left")
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cover = F.max(F.when(F.col("__start") == 1, F.col("i") + n)).over(w)
+    keep = cover.isNull() | (F.col("i") >= cover)
+    kept = flagged.withColumn("__keep", keep)
+    packed = F.array_sort(
+        F.collect_list(F.when(F.col("__keep"), F.struct("i", "tok")))
+    )
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(packed, lambda s: s["tok"]), " "
+        ).alias("clean_text"),
+        F.count("*").alias("n_tokens"),
+        F.sum((~F.col("__keep")).cast("long")).alias("n_dropped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy-dedup cluster labeling: LSH emits candidate PAIRS; turning pairs
+# into keep/drop decisions needs the connected components of the
+# candidate graph (SlimPajama/Dolma pipelines do exactly this). Each
+# round does (a) one-hop min-label propagation (equi-join + min-agg on
+# the id key) and (b) a pointer-jump — label <- label(label) — which
+# doubles the effective hop distance per round, so convergence is
+# O(log diameter) rounds, not O(diameter). A fixpoint check (changed
+# count per round) exits early and guarantees the EXACT component min,
+# not a bounded approximation; localCheckpoint truncates the iterative
+# lineage so the per-round plan stays flat. No driver-side graph, no
+# collect; at 10^12 edges each round is two shuffles of (id, label)
+# pairs. The contract asserts exactness vs DuckDB's recursive-CTE
+# transitive closure on the real MinHash candidate graph.
+# ---------------------------------------------------------------------------
+
+
+def cc_labels(
+    pairs: DataFrame,
+    *,
+    max_iter: int = 25,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """(id, label): exact connected-component label (the component's min
+    doc id) for every node that appears in a candidate pair.
+
+    Propagate-then-jump converges in O(log d) rounds (d = component
+    diameter); the loop exits at the first round with zero label
+    changes, so max_iter=25 covers diameters beyond any real corpus."""
+    a, b = F.col(a_col), F.col(b_col)
+    edges = (
+        pairs.select(a.alias("src"), b.alias("dst"))
+        .union(pairs.select(b.alias("src"), a.alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        hop = labels.join(nbr, labels["id"] == nbr["src"], "left").select(
+            F.col("id"),
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jump: labels are themselves node ids (min over reached
+        # ids, seeded with own id), so label(label) always resolves.
+        ptr = hop.select(F.col("id").alias("pid"), F.col("label").alias("plabel"))
+        new = (
+            hop.join(ptr, hop["label"] == ptr["pid"], "left")
+            .select(
+                F.col("id"),
+                F.coalesce(F.col("plabel"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def fuzzy_keep(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, label, keep): one representative (the min doc id) per
+    candidate-pair component keeps; docs in no pair keep trivially."""
+    labels = cc_labels(pairs, max_iter=max_iter)
+    joined = docs.select(F.col(id_col)).join(
+        labels, docs[id_col] == labels["id"], "left"
+    )
+    label = F.coalesce(F.col("label"), F.col(id_col))
+    return joined.select(
+        F.col(id_col),
+        label.alias("label"),
+        (label == F.col(id_col)).alias("keep"),
+    )

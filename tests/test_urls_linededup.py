@@ -108,3 +108,57 @@ def test_domain_stats_and_cap(spark):
         r["doc_id"] for r in urls.domain_cap(docs, max_docs=2).collect()
     )
     assert capped == [1, 2, 3]  # doc 4 is ex.com's third
+
+
+def test_drop_duplicated_spans(spark):
+    from pdf_table_extractor_spark.operators.dedup import drop_duplicated_spans
+
+    shared = "one two three four five"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha {shared} beta"),
+            (2, f"{shared} gamma delta"),
+            (3, "totally unrelated text here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in drop_duplicated_spans(docs, n=5, min_docs=2).collect()
+    }
+    assert out[1]["clean_text"] == "alpha beta"
+    assert out[1]["n_dropped"] == 5
+    assert out[2]["clean_text"] == "gamma delta"
+    assert out[3]["clean_text"] == "totally unrelated text here"
+    assert out[3]["n_dropped"] == 0
+
+
+def test_drop_duplicated_spans_overlap_merge(spark):
+    from pdf_table_extractor_spark.operators.dedup import drop_duplicated_spans
+
+    # six shared tokens = two overlapping duplicated 5-grams -> one span
+    shared = "a b c d e f"
+    docs = spark.createDataFrame(
+        [(1, f"x {shared} y"), (2, f"p {shared} q")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in drop_duplicated_spans(docs, n=5, min_docs=2).collect()
+    }
+    assert out[1]["clean_text"] == "x y"
+    assert out[1]["n_dropped"] == 6
+
+
+def test_cc_labels_and_fuzzy_keep(spark):
+    from pdf_table_extractor_spark.operators.dedup import cc_labels, fuzzy_keep
+
+    # components: {1,2,3,4} (chain), {7,9}; 5 isolated
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 9)], "a long, b long"
+    )
+    labels = {r["id"]: r["label"] for r in cc_labels(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7}
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 5, 7, 9)], "doc_id long")
+    keep = {r["doc_id"]: r["keep"] for r in fuzzy_keep(docs, pairs).collect()}
+    assert keep == {1: True, 2: False, 3: False, 4: False, 5: True, 7: True, 9: False}
