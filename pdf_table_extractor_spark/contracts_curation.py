@@ -832,3 +832,159 @@ def q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cc_labels(prs).select(
         "id", F.col("label").cast("long").alias("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / mixing / sharding (operators/sampling.py) +
+# unigram-LM perplexity bucketing + domain blocklist. The sampling
+# variate is md5-hex → uint32 / 2^32 — an exactly-representable dyadic
+# rational both engines compute bit-identically, so membership is
+# hash-exact, not float-tolerant.
+# ---------------------------------------------------------------------------
+
+from pdf_table_extractor_spark.operators import sampling, urls as _urls  # noqa: E402
+
+_U_SQL = (
+    "(('0x' || substr(md5({salt} || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT"
+    " / 4294967296.0)"
+)
+
+
+@contract(
+    "q_hash_split",
+    f"""
+    SELECT doc_id,
+      CASE WHEN {_U_SQL.format(salt="'split'")} < 0.8 THEN 'train'
+           WHEN {_U_SQL.format(salt="'split'")} < 0.9 THEN 'val'
+           ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (sampling.hash_split)."""
+    return sampling.hash_split(
+        load(spark, sf_dir, "documents"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="split",
+    ).select("doc_id", "split")
+
+
+@contract(
+    "q_stratified_sample",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_U_SQL.format(salt="'strat'")} <
+      CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 WHEN 'es' THEN 0.25
+                ELSE 0.0 END
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language retention sampling (sampling.stratified_sample):
+    en halved, de kept, es quartered, others dropped."""
+    return sampling.stratified_sample(
+        load(spark, sf_dir, "documents"),
+        {"en": 0.5, "de": 1.0, "es": 0.25},
+        strata_col="lang",
+        salt="strat",
+    ).select("doc_id", "lang")
+
+
+@contract(
+    "q_temperature_resample",
+    f"""
+    WITH g AS (SELECT lang, COUNT(*)::DOUBLE AS n FROM documents GROUP BY lang),
+    t AS (SELECT SUM(n) AS tot FROM g),
+    w AS (SELECT lang, pow(n / tot, -0.5) AS w FROM g CROSS JOIN t),
+    p AS (SELECT lang, ROUND(w / MAX(w) OVER (), 6) AS keep_prob FROM w)
+    SELECT d.doc_id, d.lang AS grp, p.keep_prob,
+           {_U_SQL.format(salt="'temp'")} < p.keep_prob AS keep
+    FROM documents d JOIN p USING (lang)
+    """,
+)
+def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-2 language rebalancing (sampling.temperature_resample):
+    per-language keep probability p^(1/T-1) normalized to the rarest
+    language, membership by the doc's hash variate."""
+    out = sampling.temperature_resample(
+        load(spark, sf_dir, "documents"),
+        group_expr=F.col("lang"),
+        temperature=2.0,
+        salt="temp",
+    )
+    return out.select(
+        "doc_id", F.col("group").alias("grp"), "keep_prob", "keep"
+    )
+
+
+@contract(
+    "q_assign_shards",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, len(string_split({SQ}, ' ')) AS n FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n,
+             SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      FROM toks
+    )
+    SELECT doc_id, CAST(cum - n AS BIGINT) AS token_offset,
+           CAST((cum - n) // 400 AS BIGINT) AS shard
+    FROM c
+    """,
+)
+def q_assign_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted contiguous sharding (sampling.assign_shards) via the
+    two-level distributed prefix sum; the oracle's single global window
+    cumsum proves the decomposition is exact."""
+    docs = load(spark, sf_dir, "documents")
+    return sampling.assign_shards(
+        docs,
+        tokens_per_shard=400,
+        n_tokens=F.size(dedup.tokens(F.col("text"))),
+        group_size=64,
+    ).select("doc_id", "token_offset", "shard")
+
+
+@contract(
+    "q_unigram_ppl",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({SQ}, ' ')) AS tok FROM documents
+    ),
+    cnt AS (SELECT tok, COUNT(*)::DOUBLE AS c FROM toks GROUP BY tok),
+    tot AS (SELECT SUM(c) AS t FROM cnt),
+    scored AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+             ROUND(AVG(ln(t) - ln(c)), 4) AS nll
+      FROM toks JOIN cnt USING (tok) CROSS JOIN tot GROUP BY doc_id
+    )
+    SELECT doc_id, n_toks, nll,
+           CAST(ntile(3) OVER (ORDER BY nll, doc_id) AS INT) AS bucket
+    FROM scored
+    """,
+)
+def q_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail perplexity bucketing under the
+    corpus's own unigram LM (textquality.unigram_nll + ppl_buckets)."""
+    scored = textquality.unigram_nll(load(spark, sf_dir, "documents"))
+    return textquality.ppl_buckets(scored).select(
+        "doc_id", "n_toks", "nll", "bucket"
+    )
+
+
+@contract(
+    "q_domain_blocklist",
+    "WITH d AS (" + _DOMAIN_URL_SQL + """)
+    SELECT doc_id, url FROM d
+    WHERE domain NOT IN ('site1.co.uk', 'site2.com', 'site5.com.br')
+    """,
+)
+def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1-style domain blocklist filtering (urls.blocklist_filter):
+    broadcast anti-join on the registrable domain, covering subdomains."""
+    blocked = spark.createDataFrame(
+        [("site1.co.uk",), ("site2.com",), ("site5.com.br",)], "domain string"
+    )
+    return _urls.blocklist_filter(_domain_docs(spark, sf_dir), blocked).select(
+        "doc_id", "url"
+    )

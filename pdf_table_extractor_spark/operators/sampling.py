@@ -1,0 +1,199 @@
+"""Deterministic sampling / splitting / resampling / sharding for
+training-data curation.
+
+Every decision here is a pure function of (key, salt) — NO RNG state, so
+results are identical across engines, re-runs, partition layouts, and
+cluster sizes (rerunning a failed 100 TB job must not resample). The
+uniform variate is the first 8 hex chars of md5(salt || key) read as an
+integer over 2^32: an exactly-representable dyadic rational that Spark
+(`conv(hex,16,10)`) and any SQL oracle (`('0x'||hex)::UBIGINT`) agree on
+bit-for-bit, so sample membership is hash-exact — no float-boundary
+drift between engines.
+
+Scale notes per operator live on the functions; nothing here collects to
+the driver and every shuffle keys on doc ids or small coarse-group ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_U32 = 4294967296.0  # 2^32; division by it is exact in doubles
+
+
+def uniform_hash(key: Column, salt: str = "") -> Column:
+    """Deterministic uniform variate in [0, 1): md5-based, exactly
+    reproducible in any engine with md5 + hex→int."""
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") / F.lit(_U32)
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    *,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Keep rows whose hash variate falls below ``fraction``. One narrow
+    filter — predicate-pushdown-friendly, no shuffle, no state."""
+    return df.where(uniform_hash(F.col(key_col), salt) < F.lit(float(fraction)))
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    *,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Add a ``split`` column assigning each row to one named split
+    (train/val/test, ...) by cumulative weight boundaries. Weights are
+    config, not data, so boundaries are driver-side literals; the
+    assignment itself is a narrow projection (no shuffle). Deterministic:
+    a doc keeps its split under any re-run or repartition."""
+    total = float(sum(weights.values()))
+    u = uniform_hash(F.col(key_col), salt)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        branch = F.when(u < F.lit(acc), F.lit(name))
+        expr = branch if expr is None else expr.when(u < F.lit(acc), F.lit(name))
+    expr = F.lit(names[0]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    *,
+    strata_col: str,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum hash sampling (e.g. per-language retention rates).
+    Unlisted strata are dropped (fraction 0). Still a narrow filter —
+    the per-stratum fraction is a literal map lookup, no shuffle."""
+    pairs: list[Column] = []
+    for k, v in fractions.items():
+        pairs.extend([F.lit(k), F.lit(float(v))])
+    frac = F.coalesce(
+        F.try_element_at(F.create_map(*pairs), F.col(strata_col)), F.lit(0.0)
+    )
+    return df.where(uniform_hash(F.col(key_col), salt) < frac)
+
+
+def temperature_weights(
+    df: DataFrame,
+    *,
+    group_col: str,
+    temperature: float,
+    count_col: str = "n_docs",
+) -> DataFrame:
+    """Per-group downsampling probabilities for temperature-based mixing
+    (multinomial sampling with p_g^(1/T), T>1 flattens the mix — the
+    mixture scheme used by multilingual/domain-balanced training sets).
+
+    Input: one row per group with its document count. Output adds
+    ``keep_prob`` — p_g^(1/T - 1) normalized so the largest group's
+    probability is 1 (downsample-only; groups already rare keep all
+    docs). Probabilities are rounded to 6 decimals so both engines in a
+    contract agree bit-for-bit after their own pow/ln evaluations.
+
+    Scale: the group table is tiny (domains/languages), so the two
+    1-row aggregates (total, max weight) are broadcast cross-joins —
+    no data-table shuffle at all."""
+    alpha = 1.0 / float(temperature) - 1.0
+    n = F.col(count_col).cast("double")
+    tot = df.select(F.sum(count_col).cast("double").alias("__tot"))
+    with_w = df.crossJoin(F.broadcast(tot)).withColumn(
+        "__w", F.pow(n / F.col("__tot"), F.lit(alpha))
+    )
+    mx = with_w.select(F.max("__w").alias("__mx"))
+    return (
+        with_w.crossJoin(F.broadcast(mx))
+        .withColumn("keep_prob", F.round(F.col("__w") / F.col("__mx"), 6))
+        .drop("__tot", "__w", "__mx")
+    )
+
+
+def temperature_resample(
+    docs: DataFrame,
+    *,
+    group_expr: Column,
+    temperature: float,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-downsample a document table: derive per-group keep
+    probabilities from the observed group sizes and keep each doc iff its
+    hash variate < its group's probability. Adds (``group``,
+    ``keep_prob``, ``keep``); callers filter on ``keep``.
+
+    Scale: one hash aggregate over the docs (map-side combined) to get
+    group sizes, then a BROADCAST join of the tiny weight table back —
+    the corpus itself is never shuffled."""
+    grouped = docs.groupBy(group_expr.alias("group")).agg(
+        F.count("*").alias("n_docs")
+    )
+    probs = temperature_weights(
+        grouped, group_col="group", temperature=temperature
+    ).select("group", "keep_prob")
+    u = uniform_hash(F.col(key_col), salt)
+    return (
+        docs.withColumn("group", group_expr)
+        .join(F.broadcast(probs), "group")
+        .withColumn("keep", u < F.col("keep_prob"))
+    )
+
+
+def assign_shards(
+    docs: DataFrame,
+    *,
+    tokens_per_shard: int,
+    n_tokens: Column,
+    order_col: str = "doc_id",
+    group_size: int = 1 << 20,
+) -> DataFrame:
+    """Token-budgeted output sharding: documents in ``order_col`` order
+    are packed into contiguous shards of ``tokens_per_shard`` tokens
+    (shard = the doc's starting token offset // budget — offset-based, so
+    assignment is a pure function of the prefix sums and every engine
+    agrees exactly; integer arithmetic throughout).
+
+    The global prefix sum is computed WITHOUT a single-partition window
+    over the data: docs get a coarse contiguous group g = order//G, the
+    per-group totals (N/G rows — 10^6 rows for 10^12 docs at the default
+    G=2^20) take the only global-ordered window, and the offsets broadcast
+    back; the per-doc running sum is then a window partitioned by g.
+    That is the classic two-level scan: one small shuffle + one
+    broadcast, never all rows on one task."""
+    o = F.col(order_col)
+    with_g = docs.withColumn("__n", n_tokens.cast("long")).withColumn(
+        "__g", F.floor(o / F.lit(int(group_size)))
+    )
+    totals = with_g.groupBy("__g").agg(F.sum("__n").alias("__gt"))
+    w_off = Window.orderBy("__g").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__g", F.coalesce(F.sum("__gt").over(w_off), F.lit(0)).alias("__off")
+    )
+    w_in = (
+        Window.partitionBy("__g")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.col("__off") + F.sum("__n").over(w_in)
+    return (
+        with_g.join(F.broadcast(offsets), "__g")
+        .withColumn("token_offset", (cum - F.col("__n")).cast("long"))
+        .withColumn(
+            "shard",
+            F.floor(F.col("token_offset") / F.lit(int(tokens_per_shard))).cast(
+                "long"
+            ),
+        )
+        .drop("__g", "__n", "__off")
+    )

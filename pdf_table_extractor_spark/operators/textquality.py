@@ -6,7 +6,7 @@ can reproduce them exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pdf_table_extractor_spark.operators.dedup import shingles, squeeze_lower, tokens
@@ -224,3 +224,64 @@ def gopher_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         & (F.col("bullet_frac") < 0.9)
     )
     return out.withColumn("passes_gopher", passes)
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (Wenzek et al. 2020) with a
+# self-trained unigram LM. CCNet scores each document with a KenLM model
+# and splits the corpus into head/middle/tail perplexity buckets; the
+# engine-native equivalent trains the LM on the corpus itself — token
+# counts are one hash aggregate — and scores each document by its mean
+# token negative-log-likelihood. No external model artifact, fully
+# reproducible, and the whole thing is three shuffles keyed on token or
+# doc id (counts aggregate, score join, doc aggregate).
+# ---------------------------------------------------------------------------
+
+
+def unigram_nll(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_toks, nll): mean unigram negative log-likelihood per doc
+    under the corpus's own empirical unigram distribution (higher = more
+    surprising = CCNet 'tail'). nll is rounded to 4 decimals so external
+    oracles agree despite engine-specific float summation order.
+
+    Scale: token counts are a map-side-combined hash aggregate; the
+    score join keys on the token string — Zipf-hot tokens are exactly
+    the skewed keys AQE skew-join splits (or broadcast the top-K vocab
+    and join only the tail). The corpus total is a 1-row broadcast."""
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    cnt = tok.groupBy("tok").agg(F.count("*").cast("double").alias("__c"))
+    tot = cnt.select(F.sum("__c").alias("__t"))
+    scored = (
+        tok.join(cnt, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.round(F.avg(F.log(F.col("__t")) - F.log(F.col("__c"))), 4).alias(
+                "nll"
+            ),
+        )
+    )
+    return scored
+
+
+def ppl_buckets(
+    scored: DataFrame,
+    *,
+    n_buckets: int = 3,
+    score_col: str = "nll",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Add a ``bucket`` column (1 = head/lowest nll ... n = tail) by exact
+    n-tile over (score, id) — deterministic under ties from rounding or
+    duplicated docs.
+
+    Scale: exact ntile is a global-ordered window over DOC-level rows
+    (one row per document, not per token). At 10^12 docs replace with
+    threshold assignment: approx_percentile the score (distributed),
+    broadcast the n-1 boundaries, assign by comparison — identical
+    semantics up to boundary-epsilon, no global sort."""
+    w = Window.orderBy(F.col(score_col), F.col(id_col))
+    return scored.withColumn("bucket", F.ntile(n_buckets).over(w))

@@ -135,3 +135,28 @@ def canonicalize_url(url: Column | str) -> Column:
     return F.when(
         scheme == "", F.col(url) if isinstance(url, str) else url
     ).otherwise(F.concat(scheme, F.lit("://"), auth, rest))
+
+
+def blocklist_filter(
+    docs,
+    blocked,
+    *,
+    url_col: str = "url",
+    domain_col: str = "domain",
+):
+    """Drop documents whose registrable domain appears on a blocklist
+    (UT1/adult-list-style domain filtering, standard in CCNet/RefinedWeb
+    pre-processing). Subdomains are covered for free: the join key is the
+    REGISTRABLE domain of the doc's host, so an entry "site1.co.uk" kills
+    "www.site1.co.uk" and "cdn.a.site1.co.uk" alike.
+
+    Scale: broadcast left-anti equi-join — blocklists are a few million
+    rows at most, so the corpus is never shuffled; the domain derivation
+    is pure codegen at scan speed."""
+    dom = registered_domain(host_of(F.col(url_col)))
+    key = F.col(domain_col).alias("__blocked_dom")
+    return (
+        docs.withColumn("__blocked_dom", dom)
+        .join(F.broadcast(blocked.select(key)), "__blocked_dom", "left_anti")
+        .drop("__blocked_dom")
+    )

@@ -1,0 +1,132 @@
+"""Unit tests for deterministic sampling/splitting/sharding
+(operators/sampling.py), the unigram-LM scorer, and the domain
+blocklist filter."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from pdf_table_extractor_spark.operators import sampling, textquality, urls
+
+
+def _expected_u(key: str, salt: str = "") -> float:
+    return int(hashlib.md5((salt + key).encode()).hexdigest()[:8], 16) / 2**32
+
+
+def test_uniform_hash_matches_python_md5(spark):
+    df = spark.range(50).withColumn(
+        "u", sampling.uniform_hash(F.col("id"), salt="s")
+    )
+    for r in df.collect():
+        assert r["u"] == _expected_u(str(r["id"]), "s")
+
+
+def test_hash_split_deterministic_and_partitioned(spark):
+    df = spark.range(2000)
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {
+        r["id"]: r["split"]
+        for r in sampling.hash_split(df, w, key_col="id").collect()
+    }
+    b = {
+        r["id"]: r["split"]
+        for r in sampling.hash_split(df.repartition(7), w, key_col="id").collect()
+    }
+    assert a == b  # membership survives repartitioning
+    n = len(a)
+    frac_train = sum(v == "train" for v in a.values()) / n
+    assert 0.75 < frac_train < 0.85
+    assert set(a.values()) == {"train", "val", "test"}
+
+
+def test_stratified_sample_drops_unlisted(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "fr") for i in range(100)], "doc_id long, lang string"
+    )
+    out = sampling.stratified_sample(
+        df, {"en": 1.0}, strata_col="lang"
+    ).collect()
+    assert len(out) == 50 and all(r["lang"] == "en" for r in out)
+
+
+def test_temperature_weights_flatten(spark):
+    g = spark.createDataFrame(
+        [("big", 900), ("small", 100)], "grp string, n_docs long"
+    )
+    probs = {
+        r["grp"]: r["keep_prob"]
+        for r in sampling.temperature_weights(
+            g, group_col="n_docs", temperature=2.0
+        ).collect()
+    }
+    assert probs["small"] == 1.0  # rarest group keeps everything
+    assert math.isclose(probs["big"], round(math.sqrt(100 / 900), 6))
+
+
+def test_temperature_resample_uniform_groups_keep_all(spark):
+    df = spark.createDataFrame(
+        [(i, f"g{i % 4}") for i in range(40)], "doc_id long, lang string"
+    )
+    out = sampling.temperature_resample(
+        df, group_expr=F.col("lang"), temperature=2.0
+    ).collect()
+    assert all(r["keep_prob"] == 1.0 and r["keep"] for r in out)
+
+
+def test_assign_shards_exact_and_group_size_invariant(spark):
+    docs = spark.createDataFrame(
+        [(i, "w " * (10 * (i % 3 + 1))) for i in range(30)],
+        "doc_id long, text string",
+    )
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+
+    def run(gs):
+        return sorted(
+            (r["doc_id"], r["token_offset"], r["shard"])
+            for r in sampling.assign_shards(
+                docs, tokens_per_shard=50, n_tokens=n_tok, group_size=gs
+            ).collect()
+        )
+
+    small, big = run(4), run(1000)
+    assert small == big  # the two-level scan is exact for any grouping
+    # doc 0: 10 toks at offset 0; doc 1: 20 toks at offset 10; ...
+    assert small[0] == (0, 0, 0) and small[1] == (1, 10, 0)
+    offs = dict((d, o) for d, o, _ in small)
+    assert offs[2] == 30 and offs[3] == 60  # cumulative 10+20+30
+    assert all(s == o // 50 for _, o, s in small)
+
+
+def test_blocklist_filter_covers_subdomains(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "http://www.bad.com/x"),
+            (2, "http://cdn.a.bad.com/y"),
+            (3, "http://good.com/z"),
+            (4, "https://sub.bad.co.uk/w"),
+        ],
+        "doc_id long, url string",
+    )
+    blocked = spark.createDataFrame([("bad.com",), ("bad.co.uk",)], "domain string")
+    kept = [r["doc_id"] for r in urls.blocklist_filter(docs, blocked).collect()]
+    assert kept == [3]
+
+
+def test_unigram_nll_and_buckets(spark):
+    # corpus: 'a' appears 4x, 'b' 2x, total 6 tokens
+    docs = spark.createDataFrame(
+        [(1, "a a"), (2, "a b"), (3, "a b")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in textquality.unigram_nll(docs).collect()}
+    nll_a = math.log(6 / 4)
+    nll_ab = (math.log(6 / 4) + math.log(6 / 2)) / 2
+    assert out[1]["nll"] == round(nll_a, 4)
+    assert out[2]["nll"] == round(nll_ab, 4) == out[3]["nll"]
+    b = {
+        r["doc_id"]: r["bucket"]
+        for r in textquality.ppl_buckets(textquality.unigram_nll(docs)).collect()
+    }
+    assert b == {1: 1, 2: 2, 3: 3}  # ties broken by doc_id
