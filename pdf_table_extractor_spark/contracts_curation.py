@@ -988,3 +988,123 @@ def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _urls.blocklist_filter(_domain_docs(spark, sf_dir), blocked).select(
         "doc_id", "url"
     )
+
+
+_NGRAM_LIST = (
+    "list_transform(range(greatest(len(t) - {m}, 0)),"
+    " i -> array_to_string(t[(i+1):(i+{n})], ' '))"
+)
+
+
+@contract(
+    "q_repetition_stats",
+    rf"""
+    WITH toks AS (SELECT doc_id, string_split({SQ}, ' ') AS t FROM documents),
+    base AS (SELECT doc_id, len(t) AS nt FROM toks),
+    ln AS (
+      SELECT doc_id, trim(l) AS line
+      FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM documents)
+      WHERE trim(l) <> ''
+    ),
+    plc AS (SELECT doc_id, line, COUNT(*) AS c FROM ln GROUP BY doc_id, line),
+    lstat AS (
+      SELECT doc_id,
+        ROUND(SUM(c - 1)::DOUBLE / SUM(c), 6) AS dup_line_frac,
+        ROUND(SUM((c - 1) * len(line))::DOUBLE / SUM(c * len(line)), 6)
+          AS dup_line_char_frac
+      FROM plc GROUP BY doc_id
+    ),
+    t2 AS (
+      SELECT doc_id, MAX(c) AS mx FROM (
+        SELECT doc_id, g, COUNT(*) AS c FROM (
+          SELECT doc_id, unnest({_NGRAM_LIST.format(m=1, n=2)}) AS g FROM toks
+        ) GROUP BY doc_id, g
+      ) GROUP BY doc_id
+    ),
+    t3 AS (
+      SELECT doc_id, MAX(c) AS mx FROM (
+        SELECT doc_id, g, COUNT(*) AS c FROM (
+          SELECT doc_id, unnest({_NGRAM_LIST.format(m=2, n=3)}) AS g FROM toks
+        ) GROUP BY doc_id, g
+      ) GROUP BY doc_id
+    ),
+    g5 AS (
+      SELECT doc_id, CAST(generate_subscripts(g, 1) - 1 AS INT) AS pos,
+             unnest(g) AS gram
+      FROM (SELECT doc_id, {_NGRAM_LIST.format(m=4, n=5)} AS g FROM toks)
+    ),
+    d5 AS (
+      SELECT doc_id, gram FROM g5 GROUP BY doc_id, gram HAVING COUNT(*) >= 2
+    ),
+    st AS (
+      SELECT DISTINCT g5.doc_id, g5.pos
+      FROM g5 JOIN d5 ON d5.doc_id = g5.doc_id AND d5.gram = g5.gram
+    ),
+    tk AS (SELECT doc_id, CAST(unnest(range(len(t))) AS INT) AS i FROM toks),
+    flag AS (
+      SELECT tk.doc_id, tk.i, st.pos IS NOT NULL AS s
+      FROM tk LEFT JOIN st ON st.doc_id = tk.doc_id AND st.pos = tk.i
+    ),
+    cov AS (
+      SELECT *, MAX(CASE WHEN s THEN i + 5 END) OVER (
+        PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS cu
+      FROM flag
+    ),
+    c5 AS (
+      SELECT doc_id,
+             SUM(CASE WHEN cu IS NOT NULL AND i < cu THEN 1 ELSE 0 END) AS ncov
+      FROM cov GROUP BY doc_id
+    )
+    SELECT b.doc_id, CAST(b.nt AS BIGINT) AS n_toks,
+      COALESCE(l.dup_line_frac, 0.0) AS dup_line_frac,
+      COALESCE(l.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+      ROUND(LEAST(1.0, COALESCE(t2.mx * 2.0 / b.nt, 0.0)), 6) AS top2gram_frac,
+      ROUND(LEAST(1.0, COALESCE(t3.mx * 3.0 / b.nt, 0.0)), 6) AS top3gram_frac,
+      ROUND(COALESCE(c5.ncov::DOUBLE / b.nt, 0.0), 6) AS dup5gram_frac
+    FROM base b
+    LEFT JOIN lstat l USING (doc_id)
+    LEFT JOIN t2 USING (doc_id)
+    LEFT JOIN t3 USING (doc_id)
+    LEFT JOIN c5 USING (doc_id)
+    """,
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-doc repetition signals
+    (textquality.repetition_stats): dup-line fractions, top-2/3-gram
+    dominance, duplicated-5-gram token coverage."""
+    return textquality.repetition_stats(load(spark, sf_dir, "documents"))
+
+
+@contract(
+    "q_latest_capture",
+    """
+    WITH d AS (
+      SELECT doc_id, text,
+             'http://cc.example/p/' || CAST(doc_id % 100 AS VARCHAR) AS url,
+             1700000000000000 + doc_id * 1000000 AS warc_us
+      FROM documents
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY url ORDER BY warc_us DESC, doc_id DESC) AS rk
+      FROM d
+    )
+    SELECT url, doc_id, CAST(warc_us AS BIGINT) AS warc_us, md5(text) AS text_md5
+    FROM r WHERE rk = 1
+    """,
+)
+def q_latest_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-capture-wins crawl merge (urls.latest_capture): one max_by
+    hash aggregate per canonical url, newest warc timestamp wins."""
+    doc_id = F.col("doc_id")
+    d = load(spark, sf_dir, "documents").select(
+        doc_id,
+        "text",
+        F.concat(F.lit("http://cc.example/p/"), (doc_id % 100).cast("string")).alias(
+            "url"
+        ),
+        (F.lit(1700000000000000) + doc_id * 1000000).cast("long").alias("warc_us"),
+    )
+    return _urls.latest_capture(d).select(
+        "url", "doc_id", "warc_us", F.md5("text").alias("text_md5")
+    )

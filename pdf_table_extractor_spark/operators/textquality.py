@@ -285,3 +285,119 @@ def ppl_buckets(
     semantics up to boundary-epsilon, no global sort."""
     w = Window.orderBy(F.col(score_col), F.col(id_col))
     return scored.withColumn("bucket", F.ntile(n_buckets).over(w))
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style intra-document repetition signals (Rae et al. 2021, A1.1):
+# machine-generated and boilerplate pages repeat themselves — duplicate
+# lines, one dominating n-gram, long duplicated n-gram runs. Everything
+# is expression-only aggregates keyed on doc_id / (doc_id, gram): fully
+# map-side-combinable, no window wider than one document, no UDFs.
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(
+    df,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple[int, ...] = (2, 3),
+    dup_n: int = 5,
+) -> DataFrame:
+    """Per-document repetition fractions, all rounded to 6 decimals:
+
+    - ``dup_line_frac`` / ``dup_line_char_frac``: fraction of nonempty
+      lines (and of their characters) that are repeats of an earlier
+      identical line;
+    - ``top{n}gram_frac`` for n in ``top_ns``: fraction of tokens covered
+      by occurrences of the single most frequent token n-gram (capped at
+      1 — overlapping occurrences can exceed the doc);
+    - ``dup{dup_n}gram_frac``: fraction of token positions covered by any
+      {dup_n}-gram that occurs at least twice WITHIN the document
+      (interval coverage by the same running-max window as the
+      cross-document substring dedup — no interval materialization).
+    """
+    from pyspark.sql import Window as W
+
+    text, did = F.col(text_col), F.col(id_col)
+    toks = tokens(text)
+    base = df.select(did, F.size(toks).alias("__nt"))
+
+    # -- line repeats ------------------------------------------------------
+    ln = df.select(
+        did, F.explode(F.split(text, "\n")).alias("__raw")
+    ).select(did, F.trim(F.col("__raw")).alias("__line")).where(F.col("__line") != "")
+    per_line = ln.groupBy(id_col, "__line").agg(F.count("*").alias("__c"))
+    line_stats = per_line.groupBy(id_col).agg(
+        F.round(
+            F.sum(F.col("__c") - 1) / F.sum("__c"), 6
+        ).alias("dup_line_frac"),
+        F.round(
+            F.sum((F.col("__c") - 1) * F.length("__line"))
+            / F.sum(F.col("__c") * F.length("__line")),
+            6,
+        ).alias("dup_line_char_frac"),
+    )
+
+    out = base.join(line_stats, id_col, "left")
+
+    # -- top n-gram dominance ---------------------------------------------
+    for n in top_ns:
+        grams = df.select(
+            did, F.explode(shingles(text, n)).alias("__g")
+        )
+        top = (
+            grams.groupBy(id_col, "__g")
+            .agg(F.count("*").alias("__c"))
+            .groupBy(id_col)
+            .agg(F.max("__c").alias("__mx"))
+        )
+        out = out.join(top, id_col, "left").withColumn(
+            f"top{n}gram_frac",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.coalesce(F.col("__mx") * n / F.col("__nt"), F.lit(0.0)),
+                ),
+                6,
+            ),
+        ).drop("__mx")
+
+    # -- duplicated n-gram coverage ---------------------------------------
+    pos = df.select(did, F.posexplode(shingles(text, dup_n)).alias("__p", "__g"))
+    dup = (
+        pos.groupBy(id_col, "__g")
+        .agg(F.count("*").alias("__c"))
+        .where(F.col("__c") >= 2)
+        .select(id_col, "__g")
+    )
+    starts = pos.join(dup, [id_col, "__g"]).select(
+        did, F.col("__p").alias("__i"), F.lit(1).alias("__s")
+    )
+    tok = df.select(did, F.posexplode(toks).alias("__i", "__t"))
+    w = W.partitionBy(id_col).orderBy("__i").rowsBetween(W.unboundedPreceding, 0)
+    cover = F.max(F.when(F.col("__s") == 1, F.col("__i") + dup_n)).over(w)
+    covered = (
+        tok.join(starts, [id_col, "__i"], "left")
+        .withColumn("__cov", (cover.isNotNull() & (F.col("__i") < cover)).cast("long"))
+        .groupBy(id_col)
+        .agg(F.sum("__cov").alias("__ncov"))
+    )
+    out = out.join(covered, id_col, "left").withColumn(
+        f"dup{dup_n}gram_frac",
+        F.round(F.coalesce(F.col("__ncov") / F.col("__nt"), F.lit(0.0)), 6),
+    )
+    return (
+        out.withColumn("dup_line_frac", F.coalesce("dup_line_frac", F.lit(0.0)))
+        .withColumn(
+            "dup_line_char_frac", F.coalesce("dup_line_char_frac", F.lit(0.0))
+        )
+        .select(
+            id_col,
+            F.col("__nt").cast("long").alias("n_toks"),
+            "dup_line_frac",
+            "dup_line_char_frac",
+            *[f"top{n}gram_frac" for n in top_ns],
+            f"dup{dup_n}gram_frac",
+        )
+    )

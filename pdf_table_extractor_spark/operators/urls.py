@@ -160,3 +160,26 @@ def blocklist_filter(
         .join(F.broadcast(blocked.select(key)), "__blocked_dom", "left_anti")
         .drop("__blocked_dom")
     )
+
+
+def latest_capture(
+    df,
+    *,
+    key_col: str = "url",
+    ts_col: str = "warc_us",
+    tiebreak_col: str = "doc_id",
+):
+    """Latest-capture-wins crawl merge: Common Crawl re-captures the same
+    url across snapshots; training corpora keep one capture per canonical
+    url (usually the newest — CDX-dedup semantics). One hash aggregate:
+    ``max_by(payload-struct, (ts, tiebreak))`` — partial-aggregates
+    map-side (a window equivalent would shuffle + sort every capture),
+    and per the measured gotcha max_by(payload, rank) beats
+    max(struct(rank, payload)) ~2x when the payload is wide."""
+    rank = F.struct(F.col(ts_col), F.col(tiebreak_col))
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    return (
+        df.groupBy(key_col)
+        .agg(F.max_by(payload, rank).alias("__r"))
+        .select("__r.*")
+    )

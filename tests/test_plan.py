@@ -175,3 +175,64 @@ def test_caixa_cascade_single_evaluation(spark):
     )
     opt = build_caixa(pages)._jdf.queryExecution().optimizedPlan().toString()
     assert opt.count("element_at") == 8, opt
+
+
+# ---------------------------------------------------------------------------
+# Scale-shape asserts for the curation operators: broadcasts where a
+# broadcast is the design, and no accidental single-partition exchange
+# over the DATA in the distributed prefix sum.
+# ---------------------------------------------------------------------------
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_blocklist_filter_broadcasts(spark):
+    from pdf_table_extractor_spark.operators import urls
+
+    docs = spark.createDataFrame(
+        [(1, "http://a.com/x")], "doc_id long, url string"
+    )
+    blocked = spark.createDataFrame([("a.com",)], "domain string")
+    plan = _physical(urls.blocklist_filter(docs, blocked))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_temperature_resample_broadcasts_weights(spark):
+    from pdf_table_extractor_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(30)], "doc_id long, lang string"
+    )
+    plan = _physical(
+        sampling.temperature_resample(
+            docs, group_expr=F.col("lang"), temperature=2.0
+        )
+    )
+    # the corpus-side join with the tiny weight table must be broadcast —
+    # the docs themselves are never shuffled for the join
+    assert "BroadcastHashJoin" in plan
+
+
+def test_assign_shards_no_global_data_exchange(spark):
+    from pdf_table_extractor_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(i, "w " * 20) for i in range(100)], "doc_id long, text string"
+    )
+    out = sampling.assign_shards(
+        docs,
+        tokens_per_shard=100,
+        n_tokens=F.size(F.split(F.trim(F.col("text")), r"\s+")),
+        group_size=16,
+    )
+    plan = _physical(out)
+    # offsets join back must be broadcast; the only SinglePartition
+    # exchange feeds the tiny per-group totals window, never the doc rows
+    assert "BroadcastHashJoin" in plan
+    single = [
+        ln for ln in plan.splitlines() if "Exchange SinglePartition" in ln
+    ]
+    assert len(single) <= 1
+    assert re.search(r"hashpartitioning\(__g", plan)

@@ -1,0 +1,74 @@
+"""Unit tests for Gopher-style repetition stats and latest-capture crawl
+merge (the sf contracts cover the corpus; these cover the hand-checkable
+edge semantics: duplicate lines, dominating n-grams, overlapping repeated
+5-gram runs, capture ordering)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pdf_table_extractor_spark.operators import textquality, urls
+
+
+def test_repetition_stats_dup_lines(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world\nhello world\nunique line"),
+            (2, "a b c\nd e f"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textquality.repetition_stats(docs).collect()}
+    # doc 1: 3 lines, one repeat -> 1/3; chars 11+11+11 all len-11 lines
+    assert out[1]["dup_line_frac"] == round(1 / 3, 6)
+    assert out[1]["dup_line_char_frac"] == round(11 / 33, 6)
+    assert out[2]["dup_line_frac"] == 0.0
+
+
+def test_repetition_stats_top_ngram(spark):
+    # "x y" appears 3x in 6 tokens -> top2gram covers 6/6 capped at 1.0
+    docs = spark.createDataFrame(
+        [(1, "x y x y x y"), (2, "a b c d e f")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in textquality.repetition_stats(docs).collect()}
+    assert out[1]["top2gram_frac"] == 1.0
+    assert out[2]["top2gram_frac"] == round(2 / 6, 6)  # all 2-grams unique
+    assert out[2]["top3gram_frac"] == round(3 / 6, 6)
+
+
+def test_repetition_stats_dup5gram_coverage(spark):
+    # 'a b c d e' repeats twice (10 covered tokens of 11)
+    docs = spark.createDataFrame(
+        [(1, "a b c d e a b c d e z"), (2, "p q r s t u v w x y")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textquality.repetition_stats(docs).collect()}
+    assert out[1]["dup5gram_frac"] == round(10 / 11, 6)
+    assert out[2]["dup5gram_frac"] == 0.0
+    assert out[1]["n_toks"] == 11
+
+
+def test_latest_capture_keeps_newest(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "u1", 100, "old"),
+            (2, "u1", 300, "new"),
+            (3, "u1", 200, "mid"),
+            (4, "u2", 50, "only"),
+        ],
+        "doc_id long, url string, warc_us long, text string",
+    )
+    out = {
+        r["url"]: (r["doc_id"], r["text"])
+        for r in urls.latest_capture(df).collect()
+    }
+    assert out == {"u1": (2, "new"), "u2": (4, "only")}
+
+
+def test_latest_capture_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, "u", 100, "a"), (2, "u", 100, "b")],
+        "doc_id long, url string, warc_us long, text string",
+    )
+    (row,) = urls.latest_capture(df).collect()
+    assert row["doc_id"] == 2  # equal ts -> highest tiebreak id wins
