@@ -1108,3 +1108,182 @@ def q_latest_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _urls.latest_capture(d).select(
         "url", "doc_id", "warc_us", F.md5("text").alias("text_md5")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus/term statistics (operators/terms.py)
+# ---------------------------------------------------------------------------
+
+from pdf_table_extractor_spark.operators import terms  # noqa: E402
+
+
+@contract(
+    "q_tfidf_topk",
+    rf"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split({SQ}, ' ')) AS tok FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    n AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),
+    scored AS (
+      SELECT doc_id, tok, ROUND(tf * ln(n / df), 6) AS tfidf
+      FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (
+             PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS INT) AS rank,
+           tok AS token, tfidf
+    FROM scored QUALIFY rank <= 3
+    """,
+)
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (terms.tfidf_topk)."""
+    return terms.tfidf_topk(load(spark, sf_dir, "documents"), k=3)
+
+
+@contract(
+    "q_corpus_stats",
+    rf"""
+    WITH tok AS (
+      SELECT source AS slice, unnest(string_split({SQ}, ' ')) AS tok
+      FROM documents
+    ),
+    pt AS (SELECT slice, tok, COUNT(*) AS c FROM tok GROUP BY slice, tok),
+    ts AS (
+      SELECT slice, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS vocab
+      FROM pt GROUP BY slice
+    ),
+    ds AS (SELECT source AS slice, COUNT(*) AS n_docs FROM documents GROUP BY source)
+    SELECT slice, n_docs, n_tokens, vocab,
+           ROUND(vocab::DOUBLE / n_tokens, 6) AS type_token_ratio,
+           ROUND(n_tokens::DOUBLE / n_docs, 6) AS avg_doc_tokens
+    FROM ds JOIN ts USING (slice)
+    """,
+)
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile (terms.corpus_stats)."""
+    return terms.corpus_stats(load(spark, sf_dir, "documents"), by="source")
+
+
+@contract(
+    "q_pmi_bigrams",
+    rf"""
+    WITH toks AS (SELECT string_split({SQ}, ' ') AS t FROM documents),
+    uni AS (
+      SELECT w, COUNT(*) AS c
+      FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+    ),
+    n AS (SELECT SUM(c)::DOUBLE AS n FROM uni),
+    big AS (
+      SELECT w1, w2, COUNT(*) AS n_pairs FROM (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM toks, unnest(range(1, len(t))) AS r(i)
+      ) GROUP BY w1, w2
+    ),
+    scored AS (
+      SELECT b.w1, b.w2, b.n_pairs,
+             ROUND(ln(b.n_pairs * n.n / (cx.c * cy.c)), 6) AS pmi
+      FROM big b
+      JOIN uni cx ON cx.w = b.w1
+      JOIN uni cy ON cy.w = b.w2
+      CROSS JOIN n
+      WHERE b.n_pairs >= 5
+    )
+    SELECT CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS INT) AS rank,
+           w1, w2, n_pairs, pmi
+    FROM scored QUALIFY rank <= 20
+    """,
+)
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-20 PMI collocations (terms.pmi_bigrams)."""
+    return terms.pmi_bigrams(load(spark, sf_dir, "documents"), k=20, min_count=5)
+
+
+_LINKED_DOCS_SQL = """
+  SELECT doc_id,
+    'http://www.site' || CAST(doc_id % 7 AS VARCHAR)
+      || (CASE doc_id % 3 WHEN 0 THEN '.com.br' WHEN 1 THEN '.co.uk' ELSE '.com' END)
+      || '/p/' || CAST(doc_id AS VARCHAR) AS url,
+    text || ' see http://www.site' || CAST((doc_id * 3 + 1) % 7 AS VARCHAR)
+      || (CASE (doc_id + 1) % 3 WHEN 0 THEN '.com.br' WHEN 1 THEN '.co.uk' ELSE '.com' END)
+      || '/x and https://site' || CAST((doc_id * 5 + 2) % 7 AS VARCHAR)
+      || '.com/y.' AS text
+  FROM documents
+"""
+
+
+def _linked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc_id = F.col("doc_id")
+    tld1 = (
+        F.when((doc_id + 1) % 3 == 0, ".com.br")
+        .when((doc_id + 1) % 3 == 1, ".co.uk")
+        .otherwise(".com")
+    )
+    url = F.concat(
+        F.lit("http://www.site"),
+        (doc_id % 7).cast("string"),
+        F.when(doc_id % 3 == 0, ".com.br")
+        .when(doc_id % 3 == 1, ".co.uk")
+        .otherwise(".com"),
+        F.lit("/p/"),
+        doc_id.cast("string"),
+    )
+    text = F.concat(
+        F.col("text"),
+        F.lit(" see http://www.site"),
+        ((doc_id * 3 + 1) % 7).cast("string"),
+        tld1,
+        F.lit("/x and https://site"),
+        ((doc_id * 5 + 2) % 7).cast("string"),
+        F.lit(".com/y."),
+    )
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", text.alias("text"), url.alias("url")
+    )
+
+
+@contract(
+    "q_link_graph",
+    "WITH d AS (" + _LINKED_DOCS_SQL + r"""),
+    l AS (
+      SELECT
+        CASE
+          WHEN len(string_split(h, '.')) <= 2 THEN h
+          WHEN array_to_string(string_split(h, '.')[-2:], '.') IN
+               ('co.uk','org.uk','ac.uk','gov.uk','com.br','net.br','org.br',
+                'gov.br','com.au','net.au','org.au','co.jp','ne.jp','or.jp',
+                'co.in','co.za','com.mx','com.cn','com.ar')
+            THEN array_to_string(string_split(h, '.')[-3:], '.')
+          ELSE array_to_string(string_split(h, '.')[-2:], '.')
+        END AS src_host,
+        unnest(regexp_extract_all(text, 'https?://[^\s"''<>]+')) AS u
+      FROM (SELECT lower(regexp_extract(url,
+              '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^@/?#]*@)?([^:/?#]*)', 1)) AS h,
+            text FROM d)
+    ),
+    e AS (
+      SELECT src_host,
+        CASE
+          WHEN len(string_split(dh, '.')) <= 2 THEN dh
+          WHEN array_to_string(string_split(dh, '.')[-2:], '.') IN
+               ('co.uk','org.uk','ac.uk','gov.uk','com.br','net.br','org.br',
+                'gov.br','com.au','net.au','org.au','co.jp','ne.jp','or.jp',
+                'co.in','co.za','com.mx','com.cn','com.ar')
+            THEN array_to_string(string_split(dh, '.')[-3:], '.')
+          ELSE array_to_string(string_split(dh, '.')[-2:], '.')
+        END AS dst_host
+      FROM (SELECT src_host, lower(regexp_extract(u,
+              '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^@/?#]*@)?([^:/?#]*)', 1)) AS dh
+            FROM l)
+    )
+    SELECT src_host, dst_host, COUNT(*) AS n_links
+    FROM e GROUP BY src_host, dst_host
+    """,
+)
+def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link graph from URLs embedded in text
+    (urls.link_graph): regex link extraction at scan speed, one
+    (src,dst) hash aggregate."""
+    return _urls.link_graph(_linked_docs(spark, sf_dir))

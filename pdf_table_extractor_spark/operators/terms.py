@@ -1,0 +1,139 @@
+"""Corpus/term statistics: TF-IDF keyword extraction, per-slice corpus
+profiles, PMI collocations. The term-weighting layer a webtext pipeline
+uses for topic tagging, quality slicing, and corpus QA dashboards.
+
+Everything is hash aggregates keyed on (doc, token) / token / bigram —
+map-side-combinable, AQE-skew-splittable (the Zipf head IS the skew), no
+UDFs, no driver-side state. Scores that cross engines are rounded to 6
+decimals and every ranking orders by (rounded score, term) so external
+SQL oracles reproduce ranks exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pdf_table_extractor_spark.operators.dedup import tokens
+
+
+def tfidf_topk(
+    df: DataFrame,
+    *,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, rank, token, tfidf): top-k tokens per document by
+    tf·ln(N/df), rank 1 = highest; ties broken by token string so the
+    ranking is total and engine-independent.
+
+    Scale: one (doc, token) aggregate for tf, one token aggregate for
+    df, an equi-join on token (Zipf-hot tokens → AQE skew split, or
+    broadcast the head vocabulary), and a per-doc top-k window."""
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    tf = tok.groupBy(id_col, "tok").agg(F.count("*").alias("__tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("__df"))
+    n_docs = df.select(F.count("*").cast("double").alias("__n"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("__tf") * F.log(F.col("__n") / F.col("__df")), 6),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "rank", F.col("tok").alias("token"), "tfidf")
+    )
+
+
+def corpus_stats(
+    df: DataFrame,
+    *,
+    by: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-slice corpus profile: (slice, n_docs, n_tokens, vocab,
+    type_token_ratio, avg_doc_tokens). The QA table a curation run
+    publishes per language/source/domain slice.
+
+    Scale: distinct-token counting goes through a (slice, token)
+    pre-aggregate — never count_distinct over raw token rows (that's a
+    single huge hash set per slice); both layers partial-aggregate."""
+    sl = F.col(by)
+    tok = df.select(sl.alias("slice"), F.explode(tokens(F.col(text_col))).alias("tok"))
+    per_tok = tok.groupBy("slice", "tok").agg(F.count("*").alias("__c"))
+    token_side = per_tok.groupBy("slice").agg(
+        F.sum("__c").alias("n_tokens"), F.count("*").alias("vocab")
+    )
+    doc_side = df.groupBy(sl.alias("slice")).agg(F.count("*").alias("n_docs"))
+    return (
+        doc_side.join(token_side, "slice")
+        .withColumn(
+            "type_token_ratio", F.round(F.col("vocab") / F.col("n_tokens"), 6)
+        )
+        .withColumn(
+            "avg_doc_tokens", F.round(F.col("n_tokens") / F.col("n_docs"), 6)
+        )
+    )
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    *,
+    k: int = 20,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """(rank, w1, w2, n_pairs, pmi): the corpus's top-k collocations by
+    pointwise mutual information ln(c_xy·N / (c_x·c_y)), restricted to
+    bigrams seen at least ``min_count`` times (PMI is noise below that).
+
+    Scale: unigram + bigram hash aggregates, two equi-joins on the word
+    key, then a global top-k — expressed as orderBy(...).limit(k), which
+    Spark executes as per-partition top-k + a k-row merge (TakeOrdered),
+    never a full sort; the rank window runs on the k surviving rows."""
+    toks = tokens(F.col(text_col))
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("__c"))
+    )
+    n_uni = uni.select(F.sum("__c").cast("double").alias("__n"))
+    pairs = df.select(
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_pairs"))
+    cx = uni.select(F.col("w").alias("w1"), F.col("__c").alias("__cx"))
+    cy = uni.select(F.col("w").alias("w2"), F.col("__c").alias("__cy"))
+    scored = (
+        big.where(F.col("n_pairs") >= min_count)
+        .join(cx, "w1")
+        .join(cy, "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    F.col("n_pairs") * F.col("__n") / (F.col("__cx") * F.col("__cy"))
+                ),
+                6,
+            ),
+        )
+    )
+    top = scored.orderBy(F.desc("pmi"), "w1", "w2").limit(k)
+    w = Window.orderBy(F.desc("pmi"), "w1", "w2")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "w1", "w2", "n_pairs", "pmi"
+    )

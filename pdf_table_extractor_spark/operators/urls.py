@@ -183,3 +183,56 @@ def latest_capture(
         .agg(F.max_by(payload, rank).alias("__r"))
         .select("__r.*")
     )
+
+
+#: Bare-URL matcher (RE2-compatible: no lookarounds) for link extraction
+#: from plain text / extracted main content.
+URL_RE = r"""https?://[^\s"'<>]+"""
+
+
+def link_graph(
+    docs,
+    *,
+    text_col: str = "text",
+    src_url_col: str = "url",
+):
+    """Host-level link graph from URLs embedded in document text:
+    (src_host, dst_host, n_links). The input to PageRank-style quality
+    priors, spam-cluster detection, and crawl frontier scoring.
+
+    Scale: regexp_extract_all + explode is scan-side codegen; the only
+    shuffle is the (src,dst) hash aggregate — map-side combined, and the
+    mega-host rows it skews on are AQE-splittable."""
+    src = registered_domain(host_of(F.col(src_url_col)))
+    links = docs.select(
+        src.alias("src_host"),
+        F.explode(F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), 0)).alias(
+            "__u"
+        ),
+    )
+    dst = registered_domain(host_of(F.col("__u")))
+    return (
+        links.select("src_host", dst.alias("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").alias("n_links"))
+    )
+
+
+def host_degrees(edges):
+    """(host, out_degree, in_degree, out_links, in_links) from a
+    link_graph edge table — two aggregates + one full outer join, all
+    keyed on host."""
+    out_d = edges.groupBy(F.col("src_host").alias("host")).agg(
+        F.count("*").alias("out_degree"), F.sum("n_links").alias("out_links")
+    )
+    in_d = edges.groupBy(F.col("dst_host").alias("host")).agg(
+        F.count("*").alias("in_degree"), F.sum("n_links").alias("in_links")
+    )
+    return (
+        out_d.join(in_d, "host", "full")
+        .withColumn("out_degree", F.coalesce("out_degree", F.lit(0)))
+        .withColumn("in_degree", F.coalesce("in_degree", F.lit(0)))
+        .withColumn("out_links", F.coalesce("out_links", F.lit(0)))
+        .withColumn("in_links", F.coalesce("in_links", F.lit(0)))
+        .select("host", "out_degree", "in_degree", "out_links", "in_links")
+    )

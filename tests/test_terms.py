@@ -1,0 +1,75 @@
+"""Hand-checkable unit tests for corpus/term statistics
+(operators/terms.py); the sf contracts cover the full corpus."""
+
+from __future__ import annotations
+
+import math
+
+from pdf_table_extractor_spark.operators import terms
+
+
+def test_tfidf_topk_ranks_discriminative_tokens(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare rare"),
+            (2, "common other"),
+            (3, "common thing"),
+        ],
+        "doc_id long, text string",
+    )
+    out = terms.tfidf_topk(docs, k=1).collect()
+    top = {r["doc_id"]: (r["token"], r["tfidf"]) for r in out}
+    # 'common' has df=3 -> idf=0; the doc-specific tokens win
+    assert top[1] == ("rare", round(2 * math.log(3 / 1), 6))
+    assert top[2][0] == "other" and top[3][0] == "thing"
+    assert all(r["rank"] == 1 for r in out)
+
+
+def test_corpus_stats_exact(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a", "s1"), (2, "a c", "s1"), (3, "x", "s2")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["slice"]: r for r in terms.corpus_stats(docs, by="source").collect()}
+    s1 = out["s1"]
+    assert (s1["n_docs"], s1["n_tokens"], s1["vocab"]) == (2, 5, 3)
+    assert s1["type_token_ratio"] == round(3 / 5, 6)
+    assert s1["avg_doc_tokens"] == 2.5
+    assert out["s2"]["vocab"] == 1
+
+
+def test_pmi_bigrams_collocation_wins(spark):
+    # 'new york' always together; 'the' everywhere -> low PMI
+    rows = [(i, "new york the city the state") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = terms.pmi_bigrams(docs, k=3, min_count=5).collect()
+    assert out[0]["rank"] == 1
+    assert (out[0]["w1"], out[0]["w2"]) == ("new", "york")
+    # exact PMI: c_xy=5, c_new=5, c_york=5, N=30 -> ln(5*30/25)=ln(6)
+    assert out[0]["pmi"] == round(math.log(6), 6)
+
+
+def test_link_graph_and_degrees(spark):
+    from pdf_table_extractor_spark.operators import urls
+
+    docs = spark.createDataFrame(
+        [
+            (1, "http://a.com/p", 'see http://b.com/x and "https://c.co.uk/y"'),
+            (2, "http://b.com/q", "also http://www.b.com/self."),
+            (3, "http://c.co.uk/r", "no links here"),
+        ],
+        "doc_id long, url string, text string",
+    )
+    edges = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in urls.link_graph(docs).collect()
+    }
+    # trailing quote/dot never leak into the host; subdomain folds to domain
+    assert edges == {("a.com", "b.com"): 1, ("a.com", "c.co.uk"): 1, ("b.com", "b.com"): 1}
+    deg = {
+        r["host"]: (r["out_degree"], r["in_degree"])
+        for r in urls.host_degrees(urls.link_graph(docs)).collect()
+    }
+    assert deg["a.com"] == (2, 0)
+    assert deg["b.com"] == (1, 2)
+    assert deg["c.co.uk"] == (0, 1)
