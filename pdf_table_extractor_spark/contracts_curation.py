@@ -1287,3 +1287,77 @@ def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     (urls.link_graph): regex link extraction at scan speed, one
     (src,dst) hash aggregate."""
     return _urls.link_graph(_linked_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# PageRank quality prior (operators/graph.py). The oracle unrolls the
+# same power iterations in SQL, proving the distributed loop (joins +
+# broadcast scalars + localCheckpoint) computes the textbook recurrence.
+# ---------------------------------------------------------------------------
+
+from pdf_table_extractor_spark.operators import graph as _graph  # noqa: E402
+
+
+def _pagerank_sql(iters: int = 3, d: float = 0.85) -> str:
+    head = """
+    WITH e0 AS (
+      SELECT 'site' || CAST(doc_id % 7 AS VARCHAR) AS src,
+             'site' || CAST((doc_id * 3 + 1) % 7 AS VARCHAR) AS dst
+      FROM documents
+      UNION ALL
+      SELECT 'site' || CAST(doc_id % 7 AS VARCHAR),
+             'site' || CAST((doc_id * 5 + 2) % 7 AS VARCHAR)
+      FROM documents
+    ),
+    e AS (SELECT src, dst, COUNT(*)::DOUBLE AS w FROM e0 GROUP BY src, dst),
+    nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
+    outw AS (SELECT src AS host, SUM(w) AS ow FROM e GROUP BY src),
+    share AS (
+      SELECT e.src, e.dst, e.w / o.ow AS share
+      FROM e JOIN outw o ON o.host = e.src
+    ),
+    pr0 AS (SELECT host, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn)
+    """
+    its = ""
+    for k in range(iters):
+        its += f""",
+    contrib{k} AS (
+      SELECT s.dst AS host, SUM(p.pr * s.share) AS c
+      FROM share s JOIN pr{k} p ON p.host = s.src GROUP BY s.dst
+    ),
+    dm{k} AS (
+      SELECT COALESCE(SUM(p.pr), 0) AS m FROM pr{k} p
+      WHERE p.host NOT IN (SELECT host FROM outw)
+    ),
+    pr{k + 1} AS (
+      SELECT n.host,
+             (1 - {d}) / nn.n + {d} * (COALESCE(c.c, 0) + dm.m / nn.n) AS pr
+      FROM nodes n
+      LEFT JOIN contrib{k} c ON c.host = n.host
+      CROSS JOIN dm{k} dm CROSS JOIN nn
+    )"""
+    return head + its + f"\n    SELECT host, ROUND(pr, 6) AS pr FROM pr{iters}"
+
+
+def _site_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc_id = F.col("doc_id")
+    site = lambda expr: F.concat(F.lit("site"), expr.cast("string"))  # noqa: E731
+    d = load(spark, sf_dir, "documents")
+    e0 = d.select(
+        site(doc_id % 7).alias("src_host"),
+        site((doc_id * 3 + 1) % 7).alias("dst_host"),
+    ).union(
+        d.select(
+            site(doc_id % 7).alias("src_host"),
+            site((doc_id * 5 + 2) % 7).alias("dst_host"),
+        )
+    )
+    return e0.groupBy("src_host", "dst_host").agg(F.count("*").alias("n_links"))
+
+
+@contract("q_pagerank", _pagerank_sql(iters=3))
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the deterministic site graph
+    (graph.pagerank, 3 iterations, dangling mass redistributed)."""
+    return _graph.pagerank(_site_edges(spark, sf_dir), iters=3)

@@ -61,9 +61,12 @@ def start_extract_stream(
 def windowed_page_counts(pages: DataFrame, window: str = "1 hour", late: str = "2 hours") -> DataFrame:
     """Watermarked tumbling-window ingest counters (works on batch or
     streaming DataFrames; on streams, state for windows older than the
-    watermark is dropped)."""
+    watermark is dropped, and late rows beyond it never enter the
+    aggregation). Parquet timestamps arrive as TIMESTAMP_NTZ, which
+    watermarks reject — normalize to session-zoned timestamp first."""
     return (
-        pages.withWatermark("warc_ts", late)
+        pages.withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+        .withWatermark("warc_ts", late)
         .groupBy(F.window("warc_ts", window).alias("w"), "lang")
         .agg(F.count("*").alias("n_pages"))
         .select(

@@ -120,3 +120,56 @@ def test_stateful_dedup_eviction_bounds_state(spark, tmp_path):
     assert "a1" in out and "b1" in out
     # "alpha" was evicted when "beta" arrived (cap=1) → a2 re-emits
     assert "a2" in out
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Late-data semantics end-to-end on a real stream: an event older
+    than the watermark arriving in a later micro-batch is dropped, and a
+    window is only emitted once the watermark passes its end."""
+    import datetime as dt
+
+    import pandas as pd
+
+    pages_dir = tmp_path / "wm_pages"
+    pages_dir.mkdir()
+
+    def write_file(name: str, hours: list[int]):
+        pdf = pd.DataFrame(
+            {
+                "url": [f"http://x/{name}/{i}" for i in range(len(hours))],
+                "warc_ts": pd.Series(
+                    [dt.datetime(2024, 1, 1, h, 30) for h in hours],
+                    dtype="datetime64[us]",  # Spark can't read nanos
+                ),
+                "html": [b""] * len(hours),
+                "text": ["t"] * len(hours),
+                "lang": ["en"] * len(hours),
+            }
+        )
+        pdf.to_parquet(pages_dir / f"{name}.parquet")
+
+    # pandas writes UTC-adjusted INT64 timestamps (plain `timestamp`);
+    # windowed_page_counts normalizes either flavor
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    write_file("b1", [12, 12])  # window [12:00,13:00) -> 2 rows
+    stream = spark.readStream.schema(schema).parquet(str(pages_dir))
+    q = (
+        windowed_page_counts(stream, window="1 hour", late="2 hours")
+        .writeStream.format("memory")
+        .queryName("wm_counts")
+        .outputMode("append")
+        .start()
+    )
+    # drive micro-batch boundaries deterministically: after b1 the
+    # watermark is 10:30, so b2's 07:30 event arrives late and is dropped
+    q.processAllAvailable()
+    write_file("b2", [7])
+    q.processAllAvailable()
+    write_file("b3", [20])  # pushes the watermark past 13:00
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("select * from wm_counts").collect()
+    emitted = {(r["window_start"].hour, r["n_pages"]) for r in rows}
+    # the 12:00 window closed with only the on-time rows; the late 07:00
+    # event was dropped (no 7-o'clock window), and 20:00 is still open
+    assert emitted == {(12, 2)}

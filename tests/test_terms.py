@@ -73,3 +73,29 @@ def test_link_graph_and_degrees(spark):
     assert deg["a.com"] == (2, 0)
     assert deg["b.com"] == (1, 2)
     assert deg["c.co.uk"] == (0, 1)
+
+
+def test_pagerank_hand_graph(spark):
+    """Two-node cycle + one dangling sink: exact closed-form check."""
+    from pdf_table_extractor_spark.operators import graph
+
+    # a -> b, b -> a, a -> c (c dangling)
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "a", 1), ("a", "c", 1)],
+        "src_host string, dst_host string, n_links long",
+    )
+    pr1 = {r["host"]: r["pr"] for r in graph.pagerank(edges, iters=1).collect()}
+    # pr0 = 1/3 each; contribs: a gets 1/3 (from b), b gets 1/6, c gets 1/6
+    # dangling mass D = 1/3 (c), redistributed /3
+    base, d = 0.15 / 3, 0.85
+    third = 1 / 3
+    exp_a = base + d * (third + third / 3)
+    exp_b = base + d * (third / 2 + third / 3)
+    exp_c = base + d * (third / 2 + third / 3)
+    assert pr1["a"] == round(exp_a, 6)
+    assert pr1["b"] == round(exp_b, 6)
+    assert pr1["c"] == round(exp_c, 6)
+    # more iterations: mass conserved (sums to ~1), hub 'a' ranks first
+    pr10 = {r["host"]: r["pr"] for r in graph.pagerank(edges, iters=10).collect()}
+    assert abs(sum(pr10.values()) - 1.0) < 1e-4
+    assert pr10["a"] == max(pr10.values())
