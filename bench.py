@@ -38,6 +38,11 @@ HEADLINE = [
     "q_sort",
     "q_line_dedup",
     "q_auto_columns",
+    "q_dedup_substring",
+    "q_unigram_ppl",
+    "q_tfidf_topk",
+    "q_pagerank",
+    "q_assign_shards",
 ]
 
 
@@ -66,6 +71,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     from pdf_table_extractor_spark import contracts
+    from pdf_table_extractor_spark import contracts_curation  # noqa: F401 — registers curation queries
     from pdf_table_extractor_spark.plans.extract import extract
 
     corpus_path = ensure_corpus(spark, n_docs)

@@ -1361,3 +1361,109 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank over the deterministic site graph
     (graph.pagerank, 3 iterations, dangling mass redistributed)."""
     return _graph.pagerank(_site_edges(spark, sf_dir), iters=3)
+
+
+@contract(
+    "q_linear_quality",
+    rf"""
+    WITH f AS (
+      SELECT doc_id,
+        LEAST(len(string_split({SQ}, ' ')) / 100.0, 1.0) AS len_score,
+        len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE
+          / GREATEST(len(text), 1) AS punct_ratio,
+        len(list_filter(string_split({SQ}, ' '),
+            t -> list_contains(['the','and','of','data','value','order',
+                                'key','fast','slow'], t)))::DOUBLE
+          / GREATEST(len(string_split({SQ}, ' ')), 1) AS stop_ratio
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             -2.0 + 3.0 * len_score + (-4.0) * punct_ratio + 5.0 * stop_ratio
+               AS logit
+      FROM f
+    )
+    SELECT doc_id, ROUND(logit, 6) AS logit,
+           ROUND(1.0 / (1.0 + exp(-logit)), 6) AS prob,
+           1.0 / (1.0 + exp(-logit)) >= 0.5 AS keep
+    FROM s
+    """,
+)
+def q_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-seam linear quality classifier
+    (textquality.linear_quality) — sigmoid over the standard features,
+    reference weights."""
+    return textquality.linear_quality(load(spark, sf_dir, "documents"))
+
+
+@contract(
+    "q_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT 'http://s/' || CAST(doc_id AS VARCHAR) AS url, md5(text) AS h
+      FROM documents WHERE doc_id % 10 != 0
+    ),
+    new AS (
+      SELECT 'http://s/' || CAST(doc_id AS VARCHAR) AS url,
+             md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS h
+      FROM documents WHERE doc_id % 7 != 0
+    )
+    SELECT COALESCE(o.url, n.url) AS url,
+      CASE WHEN o.h IS NULL THEN 'added'
+           WHEN n.h IS NULL THEN 'removed'
+           WHEN o.h = n.h THEN 'unchanged'
+           ELSE 'changed' END AS change,
+      o.h AS old_hash, n.h AS new_hash
+    FROM old o FULL OUTER JOIN new n ON o.url = n.url
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-snapshot CDC (urls.snapshot_diff): full-outer join on the
+    crawl key over (key, hash) projections only."""
+    d = load(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    url = F.concat(F.lit("http://s/"), doc_id.cast("string"))
+    old = d.where(doc_id % 10 != 0).select(
+        url.alias("url"), F.md5("text").alias("text_md5")
+    )
+    new = d.where(doc_id % 7 != 0).select(
+        url.alias("url"),
+        F.md5(
+            F.when(doc_id % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))).otherwise(
+                F.col("text")
+            )
+        ).alias("text_md5"),
+    )
+    return _urls.snapshot_diff(old, new)
+
+
+@contract(
+    "q_fuzzy_dedup_keep",
+    f"""
+    WITH RECURSIVE pairs AS ({MINHASH_PAIRS_SQL}),
+    edges AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION
+      SELECT b AS src, a AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT DISTINCT src AS id, src AS r FROM edges
+      UNION
+      SELECT e.src AS id, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+    ),
+    lbl AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id)
+    SELECT d.doc_id, CAST(COALESCE(l.label, d.doc_id) AS BIGINT) AS label,
+           COALESCE(l.label, d.doc_id) = d.doc_id AS keep
+    FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id
+    """,
+)
+def q_fuzzy_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full SlimPajama-style fuzzy-dedup pipeline end to end:
+    MinHash signatures → LSH band candidates → connected components →
+    one representative (min doc id) kept per near-dup cluster
+    (dedup.minhash_signatures + lsh_candidates + fuzzy_keep)."""
+    docs = load(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs, n_hashes=4)
+    prs = dedup.lsh_candidates(sig, n_hashes=4, band_size=1)
+    out = dedup.fuzzy_keep(docs, prs)
+    return out.select("doc_id", F.col("label").cast("long").alias("label"), "keep")

@@ -365,7 +365,14 @@ def drop_duplicated_spans(
     Coverage is computed without materializing intervals: a token i is
     covered iff some duplicated gram starts at p <= i with p + n > i,
     i.e. iff the running max of (start + n) over starts <= i exceeds i —
-    one window pass per document."""
+    one window pass per document.
+
+    Scale note: the n-gram explode runs twice (once into the duplicated-
+    gram aggregate, once for the join back). That is deliberate —
+    recompute-over-store: persisting the exploded grams would stage ~n×
+    the corpus bytes, while the recompute is scan+codegen. The dup-gram
+    SET is the small side; at extreme corpus sizes broadcast it (or
+    bloom-filter it) instead of the shuffle join."""
     from pyspark.sql import Window
 
     pos = ngram_positions(docs, n=n, id_col=id_col, text_col=text_col)

@@ -401,3 +401,61 @@ def repetition_stats(
             f"dup{dup_n}gram_frac",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear quality classifier: the engine seam where a trained fastText /
+# logistic-regression quality model plugs in (CCNet's wiki-vs-crawl
+# classifier, RedPajama's quality heads). Inference is a dot product over
+# engine-computed features — one codegen projection, no model runtime —
+# so a trained weight vector drops in as config without touching the
+# plan. Weights here are config data, not learned artifacts.
+# ---------------------------------------------------------------------------
+
+#: Reference weights for the built-in feature set (intercept + per-feature).
+QUALITY_WEIGHTS = {
+    "intercept": -2.0,
+    "len_score": 3.0,      # min(n_tokens/100, 1)
+    "punct_ratio": -4.0,
+    "stop_ratio": 5.0,
+}
+
+
+def linear_quality(
+    df: DataFrame,
+    *,
+    weights: dict[str, float] | None = None,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, logit, prob, keep): sigmoid(w·x + b) over the standard
+    length/punctuation/stopword features; keep = prob >= threshold.
+    ``logit``/``prob`` round to 6 decimals so external oracles agree
+    after their own exp().
+
+    Scale: a single narrow projection (regex + array ops, all codegen);
+    swap ``weights`` for a trained model's coefficients to deploy it."""
+    w = weights or QUALITY_WEIGHTS
+    text = F.col(text_col)
+    toks = tokens(text)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text)
+    punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    stop = _hits(toks, LANG_MARKERS["en"])
+    stop_ratio = stop / F.greatest(n_tokens, F.lit(1))
+    len_score = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    logit = (
+        F.lit(float(w["intercept"]))
+        + F.lit(float(w["len_score"])) * len_score
+        + F.lit(float(w["punct_ratio"])) * punct_ratio
+        + F.lit(float(w["stop_ratio"])) * stop_ratio
+    )
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return df.select(
+        F.col(id_col),
+        F.round(logit, 6).alias("logit"),
+        F.round(prob, 6).alias("prob"),
+        (prob >= F.lit(float(threshold))).alias("keep"),
+    )

@@ -236,3 +236,35 @@ def host_degrees(edges):
         .withColumn("in_links", F.coalesce("in_links", F.lit(0)))
         .select("host", "out_degree", "in_degree", "out_links", "in_links")
     )
+
+
+def snapshot_diff(
+    old,
+    new,
+    *,
+    key_col: str = "url",
+    hash_col: str = "text_md5",
+):
+    """Crawl-snapshot CDC: (key, change, old_hash, new_hash) with change
+    in {'added', 'removed', 'changed', 'unchanged'} — the incremental
+    re-crawl planner's input (only 'added'/'changed' need re-extraction).
+
+    Scale: one full-outer equi-join on the crawl key; both sides are
+    pre-projected to (key, hash) so the shuffle carries 2 columns, never
+    payloads. Downstream re-extraction joins the small changed-key set
+    back against the new snapshot (semi-join, prunable)."""
+    o = old.select(F.col(key_col).alias("k"), F.col(hash_col).alias("old_hash"))
+    n = new.select(F.col(key_col).alias("k"), F.col(hash_col).alias("new_hash"))
+    j = o.join(n, "k", "full")
+    change = (
+        F.when(F.col("old_hash").isNull(), "added")
+        .when(F.col("new_hash").isNull(), "removed")
+        .when(F.col("old_hash") == F.col("new_hash"), "unchanged")
+        .otherwise("changed")
+    )
+    return j.select(
+        F.col("k").alias(key_col),
+        change.alias("change"),
+        "old_hash",
+        "new_hash",
+    )

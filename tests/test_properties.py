@@ -163,3 +163,109 @@ def test_gopher_unigram_matches_counter(spark, docs):
         expect = round(max(c.values()) / sum(c.values()), 6)
         assert abs(got[i].max_unigram_frac - expect) < 1e-9
         assert got[i].n_tokens == len(toks)
+
+
+# ---------------------------------------------------------------------------
+# Curation-operator properties: each Spark operator vs an independent
+# pure-Python re-derivation on randomized inputs.
+# ---------------------------------------------------------------------------
+
+tok_st = st.sampled_from(["a", "b", "c", "d", "e"])
+doc_st = st.lists(tok_st, min_size=0, max_size=14)
+
+
+def _py_drop_spans(docs: dict[int, list[str]], n: int, min_docs: int):
+    from collections import defaultdict
+
+    gram_docs = defaultdict(set)
+    for d, toks in docs.items():
+        for i in range(max(len(toks) - n + 1, 0)):
+            gram_docs[tuple(toks[i : i + n])].add(d)
+    dup = {g for g, ds in gram_docs.items() if len(ds) >= min_docs}
+    out = {}
+    for d, toks in docs.items():
+        covered = [False] * len(toks)
+        for i in range(max(len(toks) - n + 1, 0)):
+            if tuple(toks[i : i + n]) in dup:
+                for j in range(i, i + n):
+                    covered[j] = True
+        kept = [t for t, c in zip(toks, covered) if not c]
+        out[d] = (" ".join(kept), len(toks), sum(covered))
+    return out
+
+
+@given(st.lists(doc_st, min_size=2, max_size=6))
+@SET
+def test_drop_duplicated_spans_matches_python(spark, doc_lists):
+    from pdf_table_extractor_spark.operators.dedup import drop_duplicated_spans
+
+    docs = {i: toks for i, toks in enumerate(doc_lists)}
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_dropped"])
+        for r in drop_duplicated_spans(df, n=3, min_docs=2).collect()
+    }
+    exp = _py_drop_spans(docs, n=3, min_docs=2)
+    # empty docs tokenize to [''] in the engine (split of '') — align
+    for d, toks in docs.items():
+        if not toks:
+            exp[d] = ("", 1, 0)
+    assert got == exp
+
+
+@given(st.lists(st.tuples(st.integers(0, 12), st.integers(0, 12)), min_size=1, max_size=20))
+@SET
+def test_cc_labels_matches_union_find(spark, raw_pairs):
+    from pdf_table_extractor_spark.operators.dedup import cc_labels
+
+    pairs = [(a, b) for a, b in raw_pairs if a != b]
+    if not pairs:
+        pairs = [(0, 1)]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict[int, int] = {}
+    for x in list(parent):
+        r = find(x)
+        comp_min[r] = min(comp_min.get(r, x), x)
+    exp = {x: comp_min[find(x)] for x in parent}
+
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = {r["id"]: r["label"] for r in cc_labels(df).collect()}
+    assert got == exp
+
+
+@given(st.lists(st.integers(1, 30), min_size=1, max_size=25), st.integers(2, 9))
+@SET
+def test_assign_shards_matches_python_cumsum(spark, tok_counts, group_size):
+    from pdf_table_extractor_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, "w " * n) for i, n in enumerate(tok_counts)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["token_offset"], r["shard"])
+        for r in sampling.assign_shards(
+            df,
+            tokens_per_shard=40,
+            n_tokens=F.size(F.split(F.trim(F.col("text")), r"\s+")),
+            group_size=group_size,
+        ).collect()
+    }
+    off = 0
+    for i, n in enumerate(tok_counts):
+        assert got[i] == (off, off // 40)
+        off += n

@@ -130,3 +130,34 @@ def test_unigram_nll_and_buckets(spark):
         for r in textquality.ppl_buckets(textquality.unigram_nll(docs)).collect()
     }
     assert b == {1: 1, 2: 2, 3: 3}  # ties broken by doc_id
+
+
+def test_linear_quality_monotone_in_features(spark):
+    import math as m
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the and of data value order key " * 20),  # long, stopword-rich
+            (2, "!!! ??? *** ;;; ::: %%% $$$"),  # punctuation junk
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textquality.linear_quality(docs).collect()}
+    assert out[1]["keep"] and not out[2]["keep"]
+    # exact check doc 1: len_score=1, punct=0, stop=1 -> logit 6
+    assert out[1]["logit"] == 6.0
+    assert out[1]["prob"] == round(1 / (1 + m.exp(-6.0)), 6)
+
+
+def test_snapshot_diff_all_transitions(spark):
+    docs_old = spark.createDataFrame(
+        [("u1", "h1"), ("u2", "h2"), ("u3", "h3")], "url string, text_md5 string"
+    )
+    docs_new = spark.createDataFrame(
+        [("u2", "h2"), ("u3", "h3x"), ("u4", "h4")], "url string, text_md5 string"
+    )
+    out = {
+        r["url"]: r["change"]
+        for r in urls.snapshot_diff(docs_old, docs_new).collect()
+    }
+    assert out == {"u1": "removed", "u2": "unchanged", "u3": "changed", "u4": "added"}
