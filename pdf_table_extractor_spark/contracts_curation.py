@@ -1467,3 +1467,209 @@ def q_fuzzy_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     prs = dedup.lsh_candidates(sig, n_hashes=4, band_size=1)
     out = dedup.fuzzy_keep(docs, prs)
     return out.select("doc_id", F.col("label").cast("long").alias("label"), "keep")
+
+
+# ---------------------------------------------------------------------------
+# Analytics-engine breadth: pivot / rollup / JSON / event-time bucketing /
+# sentence split / NFC normalization.
+# ---------------------------------------------------------------------------
+
+from pdf_table_extractor_spark.functions import textops as _textops  # noqa: E402
+
+
+@contract(
+    "q_pivot_counts",
+    """
+    SELECT source,
+      CAST(COALESCE(SUM(CASE WHEN lang = 'en' THEN 1 END), 0) AS BIGINT) AS en,
+      CAST(COALESCE(SUM(CASE WHEN lang = 'de' THEN 1 END), 0) AS BIGINT) AS de,
+      CAST(COALESCE(SUM(CASE WHEN lang = 'es' THEN 1 END), 0) AS BIGINT) AS es,
+      CAST(COALESCE(SUM(CASE WHEN lang = 'fr' THEN 1 END), 0) AS BIGINT) AS fr,
+      CAST(COALESCE(SUM(CASE WHEN lang = 'zh' THEN 1 END), 0) AS BIGINT) AS zh
+    FROM documents GROUP BY source
+    """,
+)
+def q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lang × source crosstab via groupBy().pivot() — the pivot values
+    are declared so Catalyst skips the distinct-values pre-pass (one
+    aggregate, no extra job)."""
+    out = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .pivot("lang", ["en", "de", "es", "fr", "zh"])
+        .count()
+    )
+    return out.select(
+        "source", *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ["en", "de", "es", "fr", "zh"]]
+    )
+
+
+@contract(
+    "q_rollup_counts",
+    """
+    SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents GROUP BY ROLLUP (source, lang)
+    """,
+)
+def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via rollup(source, lang) — grouping sets in
+    one pass (Spark expands to a single expand+aggregate, not three
+    scans)."""
+    return (
+        load(spark, sf_dir, "documents")
+        .rollup("source", "lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@contract(
+    "q_json_extract",
+    """
+    SELECT event_id, event_type,
+           json_extract(props, '$.k')::BIGINT AS k
+    FROM events
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured metadata extraction (get_json_object on the
+    events.props JSON column) — stays in codegen, no UDF."""
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+@contract(
+    "q_time_bucket",
+    """
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+             AS bucket_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregation (F.window on the NTZ
+    timestamp; bucket emitted as a tz-independent string; money as exact
+    cents)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+            "event_type",
+            "n",
+            "cents",
+        )
+    )
+
+
+@contract(
+    "q_sentence_split",
+    """
+    WITH segs AS (
+      SELECT doc_id, regexp_extract_all(text, '[^.!?]+[.!?]*') AS s
+      FROM documents
+    ),
+    x AS (
+      SELECT doc_id,
+             CAST(generate_subscripts(s, 1) - 1 AS INT) AS sent_no,
+             trim(unnest(s)) AS sentence
+      FROM segs
+    )
+    SELECT doc_id, sent_no, sentence FROM x WHERE sentence <> ''
+    """,
+)
+def q_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex sentence segmentation (textquality.sentences) — portable
+    pattern, one narrow posexplode."""
+    return textquality.sentences(load(spark, sf_dir, "documents"))
+
+
+@contract(
+    "q_nfc_normalize",
+    """
+    SELECT doc_id,
+           nfc_normalize(text || ' café école') AS text_nfc,
+           len(text || ' café école') AS len_raw,
+           len(nfc_normalize(text || ' café école')) AS len_nfc
+    FROM documents
+    """,
+)
+def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization parity (functions/textops.nfc_normalize,
+    Arrow pandas UDF) vs DuckDB's utf8proc — combining sequences are
+    appended in-engine so the composition is actually exercised; the
+    length columns prove characters merged."""
+    decomposed = " café école"
+    raw = F.concat(F.col("text"), F.lit(decomposed))
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        _textops.nfc_normalize(raw).alias("text_nfc"),
+        F.length(raw).alias("len_raw"),
+        F.length(_textops.nfc_normalize(raw)).alias("len_nfc"),
+    )
+
+
+@contract(
+    "q_length_percentiles",
+    rf"""
+    WITH t AS (
+      SELECT source AS slice, len(string_split({SQ}, ' ')) AS n FROM documents
+    )
+    SELECT slice, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(quantile_cont(n, 0.5), 6) AS p50,
+           ROUND(quantile_cont(n, 0.9), 6) AS p90,
+           ROUND(quantile_cont(n, 0.99), 6) AS p99
+    FROM t GROUP BY slice
+    """,
+)
+def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-length percentiles (terms.length_percentiles,
+    exact interpolating percentile vs DuckDB quantile_cont)."""
+    return terms.length_percentiles(load(spark, sf_dir, "documents"), by="source")
+
+
+@contract(
+    "q_key_skew_stats",
+    """
+    WITH c AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+    r AS (SELECT c, row_number() OVER (ORDER BY c ASC, lang) AS i FROM c)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           ROUND(MAX(c)::DOUBLE / SUM(c), 6) AS max_key_frac,
+           ROUND(2.0 * SUM(i * c) / (COUNT(*) * SUM(c))
+                 - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+    FROM r
+    """,
+)
+def q_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnosis on lang (terms.key_skew_stats): max key
+    share + Gini over the key histogram."""
+    return terms.key_skew_stats(load(spark, sf_dir, "documents"), key_col="lang")
+
+
+@contract(
+    "q_heavy_keys",
+    """
+    WITH t AS (SELECT COUNT(*)::DOUBLE AS t FROM documents),
+    c AS (
+      SELECT lang, COUNT(*) AS n_rows FROM documents GROUP BY lang
+    )
+    SELECT CAST(row_number() OVER (ORDER BY n_rows DESC, lang) AS INT) AS rank,
+           lang, n_rows, ROUND(n_rows / t.t, 6) AS frac
+    FROM c CROSS JOIN t
+    QUALIFY rank <= 3
+    """,
+)
+def q_heavy_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 heaviest lang keys (terms.heavy_keys) — the concrete salting
+    list for a skewed shuffle."""
+    return terms.heavy_keys(load(spark, sf_dir, "documents"), key_col="lang", k=3)

@@ -131,3 +131,20 @@ def remove_first_literal(col: Column, literal: Column) -> Column:
     before = F.substr(col, F.lit(1), idx - 1)
     after = F.substr(col, idx + F.length(literal))
     return F.when((literal != "") & (idx > 0), F.concat(before, after)).otherwise(col)
+
+
+def nfc_normalize(col: Column) -> Column:
+    """Unicode NFC normalization (Arrow-batched pandas UDF — Spark SQL has
+    no built-in normalizer, the honest UDF case). Crawled text mixes
+    composed and decomposed accent encodings; dedup/fingerprint keys must
+    not split on them. Unicode defines NFC exactly, so any compliant
+    oracle (DuckDB's utf8proc `nfc_normalize`) matches byte-for-byte."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: unicodedata.normalize("NFC", x) if x is not None else None)
+
+    return _nfc(col)

@@ -137,3 +137,78 @@ def pmi_bigrams(
     return top.withColumn("rank", F.row_number().over(w)).select(
         "rank", "w1", "w2", "n_pairs", "pmi"
     )
+
+
+def length_percentiles(
+    df: DataFrame,
+    *,
+    by: str = "source",
+    text_col: str = "text",
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Per-slice token-length percentiles (corpus QA: truncation budgets,
+    outlier slices). Uses exact interpolating percentile — an aggregate,
+    so it partial-aggregates per slice; at extreme cardinality swap for
+    approx_percentile with a documented error bound. Values round to 6
+    decimals for engine-exact comparison."""
+    n_tok = F.size(tokens(F.col(text_col)))
+    aggs = [
+        F.round(F.percentile(n_tok, F.lit(p)), 6).alias(f"p{int(p * 100)}")
+        for p in probs
+    ]
+    return df.groupBy(F.col(by).alias("slice")).agg(
+        F.count("*").alias("n_docs"), *aggs
+    )
+
+
+def key_skew_stats(
+    df: DataFrame,
+    *,
+    key_col: str,
+) -> DataFrame:
+    """One-row skew diagnosis of a prospective shuffle/partition key:
+    (n_keys, n_rows, max_key_frac, gini). max_key_frac ≈ the straggler
+    share a plain hash-partition would see; gini summarizes the whole
+    distribution (0 uniform → 1 degenerate). The decision input for
+    salting / AQE skew thresholds BEFORE running the expensive job.
+
+    Scale: one hash aggregate over the data; the ranking window runs on
+    KEY-level rows only (domains/languages — small by construction)."""
+    counts = df.groupBy(key_col).agg(F.count("*").alias("__c"))
+    rk = Window.orderBy(F.col("__c").asc(), F.col(key_col))
+    ranked = counts.withColumn("__i", F.row_number().over(rk))
+    return ranked.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("__c").alias("n_rows"),
+        F.round(F.max("__c") / F.sum("__c"), 6).alias("max_key_frac"),
+        F.round(
+            (F.lit(2.0) * F.sum(F.col("__i") * F.col("__c")))
+            / (F.count("*") * F.sum("__c"))
+            - (F.count("*") + F.lit(1.0)) / F.count("*"),
+            6,
+        ).alias("gini"),
+    )
+
+
+def heavy_keys(
+    df: DataFrame,
+    *,
+    key_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """(key, n_rows, frac, rank): the top-k heaviest keys — the concrete
+    salting list for a skewed join/aggregate. orderBy().limit(k) executes
+    as per-partition top-k + k-row merge, never a full sort."""
+    total = df.select(F.count("*").cast("double").alias("__t"))
+    counts = (
+        df.groupBy(key_col)
+        .agg(F.count("*").alias("n_rows"))
+        .crossJoin(F.broadcast(total))
+        .withColumn("frac", F.round(F.col("n_rows") / F.col("__t"), 6))
+        .drop("__t")
+    )
+    top = counts.orderBy(F.desc("n_rows"), key_col).limit(k)
+    w = Window.orderBy(F.desc("n_rows"), key_col)
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", key_col, "n_rows", "frac"
+    )

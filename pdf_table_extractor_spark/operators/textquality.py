@@ -459,3 +459,18 @@ def linear_quality(
         F.round(prob, 6).alias("prob"),
         (prob >= F.lit(float(threshold))).alias("keep"),
     )
+
+
+def sentences(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, sent_no, sentence): regex sentence segmentation — runs of
+    non-terminators plus their trailing .!? group, trimmed. Portable
+    pattern (no lookbehind) so RE2-based oracles reproduce it exactly;
+    one narrow posexplode, no shuffle."""
+    segs = F.regexp_extract_all(F.col(text_col), F.lit(r"[^.!?]+[.!?]*"), 0)
+    return (
+        df.select(F.col(id_col), F.posexplode(segs).alias("sent_no", "__s"))
+        .select(id_col, "sent_no", F.trim(F.col("__s")).alias("sentence"))
+        .where(F.col("sentence") != "")
+    )

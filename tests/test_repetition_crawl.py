@@ -72,3 +72,31 @@ def test_latest_capture_tiebreak(spark):
     )
     (row,) = urls.latest_capture(df).collect()
     assert row["doc_id"] == 2  # equal ts -> highest tiebreak id wins
+
+
+def test_sentences_split_and_trim(spark):
+    docs = spark.createDataFrame(
+        [(1, "First one. Second?  Third thing! trailing"), (2, "no punct")],
+        "doc_id long, text string",
+    )
+    out = [
+        (r["doc_id"], r["sent_no"], r["sentence"])
+        for r in textquality.sentences(docs).orderBy("doc_id", "sent_no").collect()
+    ]
+    assert out == [
+        (1, 0, "First one."),
+        (1, 1, "Second?"),
+        (1, 2, "Third thing!"),
+        (1, 3, "trailing"),
+        (2, 0, "no punct"),
+    ]
+
+
+def test_nfc_normalize_composes(spark):
+    from pdf_table_extractor_spark.functions import textops
+
+    decomposed = "école"  # e + COMBINING ACUTE
+    composed = "école"
+    df = spark.createDataFrame([(1, decomposed)], "doc_id long, t string")
+    (row,) = df.select(textops.nfc_normalize(df["t"]).alias("n")).collect()
+    assert row["n"] == composed and len(row["n"]) == 5

@@ -99,3 +99,29 @@ def test_pagerank_hand_graph(spark):
     pr10 = {r["host"]: r["pr"] for r in graph.pagerank(edges, iters=10).collect()}
     assert abs(sum(pr10.values()) - 1.0) < 1e-4
     assert pr10["a"] == max(pr10.values())
+
+
+def test_length_percentiles_exact(spark):
+    docs = spark.createDataFrame(
+        [(i, "w " * n, "s") for i, n in enumerate([10, 20, 30, 40, 50, 60, 70, 80, 90, 100])],
+        "doc_id long, text string, source string",
+    )
+    (row,) = terms.length_percentiles(docs, by="source").collect()
+    assert row["p50"] == 55.0  # interpolated between 50 and 60
+    assert row["p90"] == 91.0  # (n-1)*0.9 = 8.1 -> 90 + 0.1*10
+
+
+def test_key_skew_and_heavy_keys(spark):
+    rows = [(i, "hot") for i in range(80)] + [(100 + i, f"k{i}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, key string")
+    (s,) = terms.key_skew_stats(docs, key_col="key").collect()
+    assert s["n_keys"] == 21 and s["n_rows"] == 100
+    assert s["max_key_frac"] == 0.8
+    assert s["gini"] > 0.7  # heavily skewed
+    hk = terms.heavy_keys(docs, key_col="key", k=2).collect()
+    assert hk[0]["key"] == "hot" and hk[0]["rank"] == 1 and hk[0]["frac"] == 0.8
+    uniform = spark.createDataFrame(
+        [(i, f"k{i % 10}") for i in range(100)], "doc_id long, key string"
+    )
+    (u,) = terms.key_skew_stats(uniform, key_col="key").collect()
+    assert u["gini"] == 0.0  # perfectly uniform
