@@ -1673,3 +1673,94 @@ def q_heavy_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 heaviest lang keys (terms.heavy_keys) — the concrete salting
     list for a skewed shuffle."""
     return terms.heavy_keys(load(spark, sf_dir, "documents"), key_col="lang", k=3)
+
+
+@contract(
+    "q_mean_pool",
+    """
+    WITH ex AS (
+      SELECT label AS grp,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+             unnest(embedding) AS v
+      FROM embeddings
+    )
+    SELECT grp, dim, ROUND(AVG(v::DOUBLE), 6) AS mean
+    FROM ex GROUP BY grp, dim
+    """,
+)
+def q_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise embedding mean pooling per label
+    (similarity.mean_pool_dims) — (group, dim)-keyed hash aggregate,
+    never collect_list of whole vectors."""
+    return similarity.mean_pool_dims(load(spark, sf_dir, "embeddings"))
+
+
+@contract(
+    "q_quantize_int8",
+    """
+    WITH s AS (
+      SELECT vec_id,
+             list_min(embedding)::DOUBLE AS mn,
+             list_max(embedding)::DOUBLE AS mx,
+             embedding
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+           CAST(CASE WHEN mx > mn
+                THEN ROUND((unnest(embedding)::DOUBLE - mn) * 255 / (mx - mn), 0)
+                ELSE 0 END AS INT) AS q,
+           ROUND(mn, 6) AS q_min,
+           ROUND(mx, 6) AS q_max
+    FROM s
+    """,
+)
+def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization (similarity.quantize_int8),
+    exploded dimension-wise for exact cross-engine comparison."""
+    out = similarity.quantize_int8(load(spark, sf_dir, "embeddings"))
+    return out.select(
+        "vec_id", F.posexplode("q").alias("dim", "q"), "q_min", "q_max"
+    )
+
+
+@contract(
+    "q_session_window",
+    """
+    WITH e AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM e
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time sessionization via Spark's NATIVE session_window
+    operator (30-min inactivity gap); the oracle re-derives sessions from
+    scratch with the classic lag/cumsum gaps-and-islands, proving the
+    built-in's semantics. session_window partial-aggregates and merges
+    overlapping sessions at shuffle — no per-user sort window over raw
+    events."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )

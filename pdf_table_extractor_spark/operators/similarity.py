@@ -351,3 +351,75 @@ def near_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
     )
+
+
+def mean_pool_dims(
+    df: DataFrame,
+    *,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """(grp, dim, mean): element-wise mean of vectors per group — the
+    chunk→document (or cluster-centroid) embedding pooling step, exposed
+    dimension-wise.
+
+    Scale: posexplode to (group, dim, value) then ONE hash aggregate
+    keyed (group, dim) — fully map-side-combinable. Never
+    collect_list(vector) per group: that ships every member vector to a
+    single reducer row and caps group size at executor memory."""
+    ex = df.select(
+        F.col(group_col).alias("grp"),
+        F.posexplode(F.col(vec_col)).alias("dim", "v"),
+    )
+    return ex.groupBy("grp", "dim").agg(
+        F.round(F.avg(F.col("v").cast("double")), round_to).alias("mean")
+    )
+
+
+def mean_pool(
+    df: DataFrame,
+    *,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """(grp, pooled): the packed-array form of mean_pool_dims (one extra
+    per-group pack aggregate; the array is dim-ordered)."""
+    dims = mean_pool_dims(
+        df, group_col=group_col, vec_col=vec_col, round_to=round_to
+    )
+    packed = F.array_sort(F.collect_list(F.struct("dim", "mean")))
+    return dims.groupBy("grp").agg(
+        F.transform(packed, lambda s: s["mean"]).alias("pooled")
+    )
+
+
+def quantize_int8(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, q_min, q_max, q): per-vector min/max int8 scalar quantization
+    — q[i] = round((x[i]-min)·255/(max-min)) in [0,255]; dequantize as
+    min + q·(max-min)/255. The standard 4× memory shrink for ANN
+    candidate stages. Pure codegen array expressions, no UDF; constant
+    vectors (max==min) quantize to all-zeros."""
+    vec = F.col(vec_col)
+    mn = F.array_min(vec).cast("double")
+    mx = F.array_max(vec).cast("double")
+    span = mx - mn
+    q = F.when(
+        span > 0,
+        F.transform(
+            vec,
+            lambda x: F.round((x.cast("double") - mn) * 255 / span, 0).cast("int"),
+        ),
+    ).otherwise(F.transform(vec, lambda x: F.lit(0)))
+    return df.select(
+        F.col(id_col),
+        F.round(mn, 6).alias("q_min"),
+        F.round(mx, 6).alias("q_max"),
+        q.alias("q"),
+    )

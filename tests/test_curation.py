@@ -285,3 +285,32 @@ def test_table_spans(spark):
                     (ITAU_GEOM["page_1"] if s.page_no == 1 else ITAU_GEOM["page_2_end"])["columns"]
                 ) + 1
                 assert s.x1 > s.x0 and s.bottom > s.top and s.n_rows >= 2
+
+
+def test_mean_pool_pack_and_values(spark):
+    from pdf_table_extractor_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0], 0), (2, [3.0, 4.0], 0), (3, [10.0, 20.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r["grp"]: r["pooled"] for r in similarity.mean_pool(df).collect()}
+    assert out[0] == [2.0, 3.0]
+    assert out[1] == [10.0, 20.0]
+
+
+def test_quantize_int8_roundtrip(spark):
+    from pdf_table_extractor_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.5, 1.0]), (2, [2.0, 2.0, 2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in similarity.quantize_int8(df).collect()}
+    assert out[1]["q"] == [0, 128, 255]  # round(0.5*255)=127.5 -> HALF_UP 128
+    assert out[1]["q_min"] == 0.0 and out[1]["q_max"] == 1.0
+    assert out[2]["q"] == [0, 0, 0]  # constant vector -> zeros, no div0
+    # dequantization error bounded by half a step
+    step = 1.0 / 255
+    deq = [out[1]["q_min"] + q * step for q in out[1]["q"]]
+    assert all(abs(d - x) <= step / 2 + 1e-9 for d, x in zip(deq, [0.0, 0.5, 1.0]))
