@@ -1536,7 +1536,7 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "events").select(
         "event_id",
         "event_type",
-        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.get_json_object("props", "$.k").try_cast("long").alias("k"),
     )
 
 

@@ -52,6 +52,10 @@ def pagerank(
     ).select("src", "dst", (F.col("w") / F.col("__ow")).alias("__share"))
     share = share.localCheckpoint()
 
+    # dangling host SET is static — derive it once (nodes minus sources),
+    # never re-aggregate the corpus-scale edge input inside the loop
+    dang_nodes = nodes.join(outw.select("host"), "host", "left_anti").localCheckpoint()
+
     pr = nodes.crossJoin(F.broadcast(n_row)).select(
         "host", (F.lit(1.0) / F.col("__n")).alias("pr")
     )
@@ -62,7 +66,7 @@ def pagerank(
             .agg(F.sum(F.col("pr") * F.col("__share")).alias("__c"))
         )
         dangling = (
-            pr.join(outw.select("host"), "host", "left_anti")
+            pr.join(dang_nodes, "host", "semi")
             .select(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("__d"))
         )
         pr = (

@@ -60,8 +60,8 @@ def hash_split(
     names = list(weights)
     for name in names[:-1]:
         acc += weights[name] / total
-        branch = F.when(u < F.lit(acc), F.lit(name))
-        expr = branch if expr is None else expr.when(u < F.lit(acc), F.lit(name))
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     expr = F.lit(names[0]) if expr is None else expr.otherwise(F.lit(names[-1]))
     return df.withColumn("split", expr)
 
@@ -89,7 +89,6 @@ def stratified_sample(
 def temperature_weights(
     df: DataFrame,
     *,
-    group_col: str,
     temperature: float,
     count_col: str = "n_docs",
 ) -> DataFrame:
@@ -139,13 +138,18 @@ def temperature_resample(
     grouped = docs.groupBy(group_expr.alias("group")).agg(
         F.count("*").alias("n_docs")
     )
-    probs = temperature_weights(
-        grouped, group_col="group", temperature=temperature
-    ).select("group", "keep_prob")
+    probs = temperature_weights(grouped, temperature=temperature).select(
+        F.col("group").alias("__grp"), "keep_prob"
+    )
     u = uniform_hash(F.col(key_col), salt)
+    with_g = docs.withColumn("group", group_expr)
     return (
-        docs.withColumn("group", group_expr)
-        .join(F.broadcast(probs), "group")
+        # eqNullSafe: a NULL group is a real group (the aggregate emits a
+        # NULL-key row) — a plain equi-join would silently DROP those docs
+        with_g.join(
+            F.broadcast(probs), with_g["group"].eqNullSafe(F.col("__grp"))
+        )
+        .drop("__grp")
         .withColumn("keep", u < F.col("keep_prob"))
     )
 

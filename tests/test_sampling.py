@@ -58,9 +58,7 @@ def test_temperature_weights_flatten(spark):
     )
     probs = {
         r["grp"]: r["keep_prob"]
-        for r in sampling.temperature_weights(
-            g, group_col="n_docs", temperature=2.0
-        ).collect()
+        for r in sampling.temperature_weights(g, temperature=2.0).collect()
     }
     assert probs["small"] == 1.0  # rarest group keeps everything
     assert math.isclose(probs["big"], round(math.sqrt(100 / 900), 6))
@@ -161,3 +159,16 @@ def test_snapshot_diff_all_transitions(spark):
         for r in urls.snapshot_diff(docs_old, docs_new).collect()
     }
     assert out == {"u1": "removed", "u2": "unchanged", "u3": "changed", "u4": "added"}
+
+
+def test_temperature_resample_null_group_not_dropped(spark):
+    df = spark.createDataFrame(
+        [(1, "en"), (2, None), (3, None), (4, "en")],
+        "doc_id long, lang string",
+    )
+    out = sampling.temperature_resample(
+        df, group_expr=F.col("lang"), temperature=2.0
+    ).collect()
+    # NULL is a real group: all four docs survive with a keep decision
+    assert len(out) == 4
+    assert all(r["keep_prob"] == 1.0 for r in out)  # two equal-size groups
