@@ -1764,3 +1764,34 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@contract(
+    "q_chunk_tokens",
+    rf"""
+    WITH toks AS (SELECT doc_id, string_split({SQ}, ' ') AS t FROM documents),
+    c AS (
+      SELECT doc_id,
+             greatest(CAST(ceil((len(t) - 8) / 24.0) AS BIGINT), 1) AS nc, t
+      FROM toks
+    ),
+    s AS (
+      SELECT doc_id, t,
+             CAST(unnest(range(nc)) AS INT) AS chunk_no
+      FROM c
+    )
+    SELECT doc_id, chunk_no,
+           array_to_string(t[(chunk_no * 24 + 1):(chunk_no * 24 + 32)], ' ')
+             AS chunk_text,
+           CAST(len(t[(chunk_no * 24 + 1):(chunk_no * 24 + 32)]) AS INT)
+             AS n_toks
+    FROM s
+    """,
+)
+def q_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token chunking (textquality.chunk_tokens, chunk=32,
+    overlap=8 → stride 24); the oracle recomputes the windows with list
+    slicing."""
+    return textquality.chunk_tokens(
+        load(spark, sf_dir, "documents"), chunk=32, overlap=8
+    )

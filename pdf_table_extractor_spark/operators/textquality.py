@@ -474,3 +474,36 @@ def sentences(
         .select(id_col, "sent_no", F.trim(F.col("__s")).alias("sentence"))
         .where(F.col("sentence") != "")
     )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    *,
+    chunk: int = 128,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, chunk_no, chunk_text, n_toks): fixed-size token windows with
+    optional overlap — the embedding-prep splitter (every RAG/embedding
+    pipeline runs one). Stride = chunk - overlap; the final partial
+    window is kept. Pure array expressions (sequence + slice off one
+    tokens() array), one narrow posexplode — no shuffle, no UDF."""
+    if not 0 <= overlap < chunk:
+        raise ValueError("need 0 <= overlap < chunk")
+    stride = chunk - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.greatest(F.ceil((n - F.lit(overlap)) / F.lit(stride)), F.lit(1))
+    starts = F.sequence(F.lit(0), (n_chunks - 1) * stride, F.lit(stride))
+    chunks = F.transform(
+        starts, lambda s: F.slice(toks, s + 1, F.lit(chunk))
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_no", "__c")
+    ).select(
+        id_col,
+        "chunk_no",
+        F.array_join("__c", " ").alias("chunk_text"),
+        F.size("__c").alias("n_toks"),
+    )

