@@ -236,3 +236,24 @@ def test_assign_shards_no_global_data_exchange(spark):
     ]
     assert len(single) <= 1
     assert re.search(r"hashpartitioning\(__g", plan)
+
+
+def test_chunk_tokens_no_shuffle(spark):
+    from pdf_table_extractor_spark.operators import textquality
+
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    plan = _physical(textquality.chunk_tokens(docs, chunk=2, overlap=1))
+    assert "Exchange" not in plan  # narrow projection + explode only
+
+
+def test_mean_pool_no_vector_collect(spark):
+    from pdf_table_extractor_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0], 0)], "vec_id long, embedding array<float>, label int"
+    )
+    plan = _physical(similarity.mean_pool(df))
+    # the member vectors are averaged via (group,dim) hash aggregate —
+    # collect_list only ever sees the DIM-level means, never raw vectors
+    assert "collect_list" not in plan.split("HashAggregate")[0]
+    assert plan.count("Exchange") <= 2  # (grp,dim) agg + grp pack agg
