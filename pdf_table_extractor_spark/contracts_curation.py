@@ -827,7 +827,12 @@ def q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-component labels of the MinHash candidate graph
     (operators/dedup.cc_labels); the oracle's recursive closure proves
     the propagate-then-jump loop hit the exact fixpoint."""
-    sig = dedup.minhash_signatures(load(spark, sf_dir, "documents"), n_hashes=4)
+    # child session: the candidate graph is tiny, so corpus-width shuffle
+    # partitions make each iterative round pure scheduling overhead
+    s2 = spark.newSession()
+    if int(s2.conf.get("spark.sql.shuffle.partitions")) > 16:
+        s2.conf.set("spark.sql.shuffle.partitions", "16")
+    sig = dedup.minhash_signatures(load(s2, sf_dir, "documents"), n_hashes=4)
     prs = dedup.lsh_candidates(sig, n_hashes=4, band_size=1)
     return dedup.cc_labels(prs).select(
         "id", F.col("label").cast("long").alias("label")
@@ -1462,7 +1467,10 @@ def q_fuzzy_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash signatures → LSH band candidates → connected components →
     one representative (min doc id) kept per near-dup cluster
     (dedup.minhash_signatures + lsh_candidates + fuzzy_keep)."""
-    docs = load(spark, sf_dir, "documents")
+    s2 = spark.newSession()  # pair-graph-sized shuffle width (see q_dedup_cc)
+    if int(s2.conf.get("spark.sql.shuffle.partitions")) > 16:
+        s2.conf.set("spark.sql.shuffle.partitions", "16")
+    docs = load(s2, sf_dir, "documents")
     sig = dedup.minhash_signatures(docs, n_hashes=4)
     prs = dedup.lsh_candidates(sig, n_hashes=4, band_size=1)
     out = dedup.fuzzy_keep(docs, prs)

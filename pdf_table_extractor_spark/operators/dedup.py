@@ -438,7 +438,14 @@ def cc_labels(
 
     Propagate-then-jump converges in O(log d) rounds (d = component
     diameter); the loop exits at the first round with zero label
-    changes, so max_iter=25 covers diameters beyond any real corpus."""
+    changes, so max_iter=25 covers diameters beyond any real corpus.
+
+    Shuffle-width note: the candidate graph is orders of magnitude
+    smaller than the corpus, so run this under a session (or
+    newSession) whose spark.sql.shuffle.partitions is sized to the PAIR
+    table, not the corpus — every iterative stage at corpus width is
+    pure task-scheduling overhead (22s → ~3s at sf0.01 against a
+    200-partition session)."""
     a, b = F.col(a_col), F.col(b_col)
     edges = (
         pairs.select(a.alias("src"), b.alias("dst"))
