@@ -269,3 +269,40 @@ def test_assign_shards_matches_python_cumsum(spark, tok_counts, group_size):
     for i, n in enumerate(tok_counts):
         assert got[i] == (off, off // 40)
         off += n
+
+
+@given(
+    st.lists(tok_st, min_size=1, max_size=30),
+    st.integers(2, 8),
+    st.integers(0, 3),
+)
+@SET
+def test_chunk_tokens_exact_coverage(spark, toks, chunk, overlap):
+    from pdf_table_extractor_spark.operators.textquality import chunk_tokens
+
+    if overlap >= chunk:
+        overlap = chunk - 1
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    rows = chunk_tokens(df, chunk=chunk, overlap=overlap).collect()
+    stride = chunk - overlap
+    seen: dict[int, str] = {}
+    for r in rows:
+        start = r["chunk_no"] * stride
+        for j, t in enumerate(r["chunk_text"].split(" ")):
+            pos = start + j
+            # overlapping windows must agree on shared positions
+            assert seen.setdefault(pos, t) == t
+    assert sorted(seen) == list(range(len(toks)))  # full, gap-free coverage
+    assert [seen[i] for i in range(len(toks))] == toks
+
+
+@given(st.lists(st.tuples(st.integers(0, 8), st.integers(0, 8)), min_size=1, max_size=12))
+@SET
+def test_pagerank_conserves_mass(spark, raw_edges):
+    from pdf_table_extractor_spark.operators.graph import pagerank
+
+    edges = [(f"h{a}", f"h{b}", 1) for a, b in raw_edges]
+    df = spark.createDataFrame(edges, "src_host string, dst_host string, n_links long")
+    pr = {r["host"]: r["pr"] for r in pagerank(df, iters=4).collect()}
+    assert abs(sum(pr.values()) - 1.0) < 1e-3  # teleport + dangling conserve mass
+    assert all(p > 0 for p in pr.values())
