@@ -1803,3 +1803,37 @@ def q_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textquality.chunk_tokens(
         load(spark, sf_dir, "documents"), chunk=32, overlap=8
     )
+
+
+@contract(
+    "q_kmv_distinct",
+    rf"""
+    WITH tok AS (
+      SELECT source AS slice, unnest(string_split({SQ}, ' ')) AS tk
+      FROM documents
+    ),
+    h AS (
+      SELECT DISTINCT slice,
+             ('0x' || substr(md5(tk), 1, 8))::UBIGINT / 4294967296.0 AS u
+      FROM tok
+    ),
+    r AS (
+      SELECT slice, u, row_number() OVER (PARTITION BY slice ORDER BY u) AS rk
+      FROM h
+    ),
+    t AS (SELECT slice, u, rk FROM r WHERE rk <= 64)
+    SELECT slice, CAST(COUNT(*) AS BIGINT) AS n_seen_k,
+           ROUND(CASE WHEN COUNT(*) < 64 THEN COUNT(*)::DOUBLE
+                      ELSE 63.0 / MAX(u) END, 6) AS kmv_estimate
+    FROM t GROUP BY slice
+    """,
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic KMV distinct-token sketch per source
+    (terms.kmv_distinct, k=64): the sketch is a pure function of the key
+    set, so the approximate estimate itself is engine-exact."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        F.col("source"), F.explode(dedup.tokens(F.col("text"))).alias("tk")
+    )
+    return terms.kmv_distinct(tok, key_expr=F.col("tk"), by="source", k=64)

@@ -212,3 +212,45 @@ def heavy_keys(
     return top.withColumn("rank", F.row_number().over(w)).select(
         "rank", key_col, "n_rows", "frac"
     )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    *,
+    key_expr: Column,
+    by: str | None = None,
+    k: int = 64,
+) -> DataFrame:
+    """(slice, n_seen_k, kmv_estimate): approximate distinct count via a
+    k-minimum-values sketch over md5-hashed keys. Unlike HLL registers,
+    the KMV sketch is a DETERMINISTIC function of the key set (the k
+    smallest hash values), so estimates are bit-identical across
+    engines, reruns, and partitionings — auditable approximate counting.
+    estimate = (k-1)/u_k where u_k is the k-th smallest hash mapped to
+    (0,1); exact count returned when fewer than k distinct keys exist.
+
+    Scale: distinct-hash pre-aggregate, then a per-slice top-k window
+    over HASH-level rows (bounded by distinct keys; for corpus-wide
+    sketches on 10^12 keys, pre-filter u < k/expected_lower_bound so the
+    window sees only candidate minima)."""
+    u = (
+        F.conv(F.substring(F.md5(key_expr.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    sl = F.col(by) if by else F.lit("all")
+    hashes = df.select(sl.alias("slice"), u.alias("__u")).distinct()
+    w = Window.partitionBy("slice").orderBy("__u")
+    topk = hashes.withColumn("__r", F.row_number().over(w)).where(
+        F.col("__r") <= k
+    )
+    return topk.groupBy("slice").agg(
+        F.count("*").alias("n_seen_k"),
+        F.round(
+            F.when(
+                F.count("*") < k, F.count("*").cast("double")
+            ).otherwise((F.lit(float(k - 1))) / F.max("__u")),
+            6,
+        ).alias("kmv_estimate"),
+    )

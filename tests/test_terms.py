@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import functions as F
+
 from pdf_table_extractor_spark.operators import terms
 
 
@@ -125,3 +127,20 @@ def test_key_skew_and_heavy_keys(spark):
     )
     (u,) = terms.key_skew_stats(uniform, key_col="key").collect()
     assert u["gini"] == 0.0  # perfectly uniform
+
+
+def test_kmv_distinct_estimate_and_determinism(spark):
+    # 5000 distinct keys, k=64: KMV should land within ~25% (1/sqrt(63)≈13% sd)
+    df = spark.createDataFrame([(i, "s") for i in range(5000)], "k long, src string")
+    (row,) = terms.kmv_distinct(df, key_expr=F.col("k"), by="src", k=64).collect()
+    assert row["n_seen_k"] == 64
+    assert 3500 < row["kmv_estimate"] < 6500
+    # deterministic: identical estimate on a different partitioning
+    (row2,) = terms.kmv_distinct(
+        df.repartition(13), key_expr=F.col("k"), by="src", k=64
+    ).collect()
+    assert row2["kmv_estimate"] == row["kmv_estimate"]
+    # below-k slices return the exact count
+    small = spark.createDataFrame([(i % 7, "t") for i in range(100)], "k long, src string")
+    (r3,) = terms.kmv_distinct(small, key_expr=F.col("k"), by="src", k=64).collect()
+    assert r3["kmv_estimate"] == 7.0
