@@ -1837,3 +1837,90 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source"), F.explode(dedup.tokens(F.col("text"))).alias("tk")
     )
     return terms.kmv_distinct(tok, key_expr=F.col("tk"), by="source", k=64)
+
+
+@contract(
+    "q_dedup_substring_keepfirst",
+    rf"""
+    WITH toks AS (SELECT doc_id, string_split({SQ}, ' ') AS t FROM documents),
+    grams0 AS (
+      SELECT doc_id,
+             list_transform(range(greatest(len(t) - 4, 0)),
+                            i -> array_to_string(t[(i+1):(i+5)], ' ')) AS g
+      FROM toks
+    ),
+    grams AS (
+      SELECT doc_id,
+             CAST(generate_subscripts(g, 1) - 1 AS INT) AS pos,
+             unnest(g) AS gram
+      FROM grams0
+    ),
+    keyed AS (SELECT doc_id, pos, md5(gram) AS gram_key FROM grams),
+    dup AS (
+      SELECT gram_key, MIN(doc_id) AS fd FROM keyed GROUP BY gram_key
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    starts AS (
+      SELECT DISTINCT k.doc_id, k.pos
+      FROM keyed k JOIN dup d USING (gram_key)
+      WHERE k.doc_id != d.fd
+    ),
+    tok AS (
+      SELECT doc_id,
+             CAST(generate_subscripts(t, 1) - 1 AS INT) AS i,
+             unnest(t) AS tok
+      FROM toks
+    ),
+    flag AS (
+      SELECT k.doc_id, k.i, k.tok, s.pos IS NOT NULL AS st
+      FROM tok k LEFT JOIN starts s ON s.doc_id = k.doc_id AND s.pos = k.i
+    ),
+    cov AS (
+      SELECT *, MAX(CASE WHEN st THEN i + 5 END) OVER (
+        PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS cu
+      FROM flag
+    )
+    SELECT doc_id,
+      COALESCE(string_agg(tok, ' ' ORDER BY i) FILTER (WHERE cu IS NULL OR i >= cu), '') AS clean_text,
+      CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      CAST(COUNT(*) FILTER (WHERE cu IS NOT NULL AND i < cu) AS BIGINT) AS n_dropped
+    FROM cov GROUP BY doc_id
+    """,
+)
+def q_dedup_substring_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-copy passage dedup (drop_duplicated_spans keep_first=True):
+    the lowest doc id containing a duplicated gram keeps its occurrence."""
+    return dedup.drop_duplicated_spans(
+        load(spark, sf_dir, "documents"), n=5, min_docs=2, keep_first=True
+    )
+
+
+@contract(
+    "q_weighted_sample",
+    f"""
+    WITH c AS (
+      SELECT doc_id, lang, (doc_id % 10 + 1)::DOUBLE AS w,
+             pow({_U_SQL.format(salt="'ws'")}, 1.0 / ((doc_id % 10 + 1)::DOUBLE))
+               AS pri
+      FROM documents
+    )
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY pri DESC, doc_id) AS rk
+      FROM c
+    ) WHERE rk <= 5
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement per language
+    (sampling.weighted_topk_sample, Efraimidis–Spirakis priorities from
+    the md5 variate; weight = doc_id%10+1)."""
+    d = load(spark, sf_dir, "documents")
+    out = sampling.weighted_topk_sample(
+        d,
+        k=5,
+        weight=(F.col("doc_id") % 10 + 1),
+        by="lang",
+        salt="ws",
+    )
+    return out.select("doc_id", "lang")

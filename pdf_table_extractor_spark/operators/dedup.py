@@ -356,11 +356,17 @@ def drop_duplicated_spans(
     *,
     n: int = 5,
     min_docs: int = 2,
+    keep_first: bool = False,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """(id, clean_text, n_tokens, n_dropped): documents with every
     cross-document duplicated passage (shared word n-gram runs) removed.
+
+    ``keep_first=True`` switches to keep-one-copy semantics (the Lee et
+    al. production setting): the LOWEST doc id containing a duplicated
+    gram keeps its occurrence; only the other documents lose the span.
+    One extra min-aggregate on the gram key, same join shape.
 
     Coverage is computed without materializing intervals: a token i is
     covered iff some duplicated gram starts at p <= i with p + n > i,
@@ -378,11 +384,17 @@ def drop_duplicated_spans(
     pos = ngram_positions(docs, n=n, id_col=id_col, text_col=text_col)
     dup = (
         pos.groupBy("gram_key")
-        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+            F.min(F.col(id_col)).alias("__first_doc"),
+        )
         .where(F.col("n_docs") >= min_docs)
-        .select("gram_key")
+        .select("gram_key", "__first_doc")
     )
-    starts = pos.join(dup, "gram_key").select(
+    joined = pos.join(dup, "gram_key")
+    if keep_first:
+        joined = joined.where(F.col(id_col) != F.col("__first_doc"))
+    starts = joined.select(
         F.col(id_col), F.col("pos").alias("i"), F.lit(1).alias("__start")
     )
     tok = docs.select(

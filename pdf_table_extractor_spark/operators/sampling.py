@@ -201,3 +201,35 @@ def assign_shards(
         )
         .drop("__g", "__n", "__off")
     )
+
+
+def weighted_topk_sample(
+    df: DataFrame,
+    *,
+    k: int,
+    weight: Column,
+    by: str | None = None,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis–
+    Spirakis A-Res): each row gets priority u^(1/w) from its md5 hash
+    variate; the top-k priorities per slice form an exact weighted
+    sample — quality-weighted subset selection with no RNG state, stable
+    under reruns and repartitioning. Rows with weight <= 0 are excluded.
+
+    Scale: a narrow priority projection + per-slice top-k window over
+    candidate rows; for corpus-wide k pre-filter on a priority lower
+    bound so the window sees only plausible winners (same trick as
+    kmv_distinct)."""
+    u = uniform_hash(F.col(key_col), salt)
+    w = weight.cast("double")
+    pri = F.pow(u, F.lit(1.0) / w)
+    cand = df.where(w > 0).withColumn("__pri", pri)
+    sl = F.col(by) if by else F.lit("all")
+    win = Window.partitionBy(sl).orderBy(F.desc("__pri"), F.col(key_col))
+    return (
+        cand.withColumn("__rk", F.row_number().over(win))
+        .where(F.col("__rk") <= k)
+        .drop("__pri", "__rk")
+    )

@@ -172,3 +172,35 @@ def test_temperature_resample_null_group_not_dropped(spark):
     # NULL is a real group: all four docs survive with a keep decision
     assert len(out) == 4
     assert all(r["keep_prob"] == 1.0 for r in out)  # two equal-size groups
+
+
+def test_weighted_topk_sample_deterministic_and_biased(spark):
+    import hashlib
+
+    rows = [(i, 100.0 if i < 10 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = sorted(
+        r["doc_id"]
+        for r in sampling.weighted_topk_sample(
+            df, k=10, weight=F.col("w"), key_col="doc_id"
+        ).collect()
+    )
+    # exact expected set via the same priority formula in python
+    def pri(i, w):
+        u = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) / 2**32
+        return u ** (1.0 / w)
+
+    exp = sorted(
+        i for i, _ in sorted(rows, key=lambda t: (-pri(t[0], t[1]), t[0]))[:10]
+    )
+    assert got == exp
+    # heavy-weight rows dominate the sample
+    assert sum(1 for i in got if i < 10) >= 7
+    # stable under repartitioning
+    got2 = sorted(
+        r["doc_id"]
+        for r in sampling.weighted_topk_sample(
+            df.repartition(9), k=10, weight=F.col("w"), key_col="doc_id"
+        ).collect()
+    )
+    assert got2 == got

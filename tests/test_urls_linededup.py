@@ -162,3 +162,21 @@ def test_cc_labels_and_fuzzy_keep(spark):
     docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 5, 7, 9)], "doc_id long")
     keep = {r["doc_id"]: r["keep"] for r in fuzzy_keep(docs, pairs).collect()}
     assert keep == {1: True, 2: False, 3: False, 4: False, 5: True, 7: True, 9: False}
+
+
+def test_drop_duplicated_spans_keep_first(spark):
+    from pdf_table_extractor_spark.operators.dedup import drop_duplicated_spans
+
+    shared = "one two three four five"
+    docs = spark.createDataFrame(
+        [(1, f"alpha {shared}"), (2, f"{shared} beta"), (3, f"{shared} gamma")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in drop_duplicated_spans(docs, n=5, min_docs=2, keep_first=True).collect()
+    }
+    # doc 1 (lowest id) keeps the passage; docs 2 and 3 lose it
+    assert out[1]["clean_text"] == f"alpha {shared}" and out[1]["n_dropped"] == 0
+    assert out[2]["clean_text"] == "beta" and out[2]["n_dropped"] == 5
+    assert out[3]["clean_text"] == "gamma"
