@@ -78,17 +78,23 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
+    import os
+    import time
+
     import __spark_entry__ as entrymod
     from pdf_table_extractor_spark.session import build_spark
 
+    show_times = os.environ.get("SPARK_GRAFT_CONTRACT_TIMES") == "1"
     only = set(sys.argv[1:])
     spark = build_spark(app_name="check-contract", master="local[8]", shuffle_partitions=8)
     con = duck_con()
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     n_fail = 0
+    times: list[tuple[float, str]] = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.perf_counter()
         try:
             sdf = fn(spark, SF_DIR).toPandas()
         except Exception:
@@ -111,7 +117,14 @@ def main() -> int:
             for e in errs:
                 print(f"     {e}")
         else:
-            print(f"ok   {name}: {len(sdf)} rows match")
+            dt = time.perf_counter() - t0
+            times.append((dt, name))
+            print(f"ok   {name}: {len(sdf)} rows match"
+                  + (f" [{dt:.1f}s]" if show_times else ""))
+    if show_times and times:
+        print("\nslowest queries:")
+        for dt, name in sorted(times, reverse=True)[:10]:
+            print(f"  {dt:6.1f}s  {name}")
     print(f"\n{'ALL OK' if n_fail == 0 else f'{n_fail} FAILURES'}")
     return 1 if n_fail else 0
 
