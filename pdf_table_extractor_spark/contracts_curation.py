@@ -1924,3 +1924,39 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt="ws",
     )
     return out.select("doc_id", "lang")
+
+
+@contract(
+    "q_mix_plan",
+    rf"""
+    WITH s AS (
+      SELECT source AS slice,
+             CAST(SUM(len(string_split({SQ}, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT slice, n_tokens,
+        CASE slice WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+                   WHEN 'src2' THEN 0.2 ELSE 0.0 END AS share
+      FROM s
+    )
+    SELECT slice, n_tokens, ROUND(share, 6) AS target_share,
+           CAST(ROUND(share * 100000) AS BIGINT) AS target_tokens,
+           ROUND(CAST(ROUND(share * 100000) AS BIGINT) / n_tokens::DOUBLE, 6)
+             AS repeat_factor,
+           CAST(ROUND(share * 100000) AS BIGINT) > n_tokens AS oversampled
+    FROM w
+    """,
+)
+def q_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix manifest (sampling.mix_plan): per-source token targets
+    + repeat factors for a 100k-token budget under 50/30/20 weights."""
+    d = load(spark, sf_dir, "documents")
+    stats = d.groupBy(F.col("source").alias("slice")).agg(
+        F.sum(F.size(dedup.tokens(F.col("text")))).alias("n_tokens")
+    )
+    return sampling.mix_plan(
+        stats,
+        target_tokens=100000,
+        weights={"src0": 0.5, "src1": 0.3, "src2": 0.2},
+    )

@@ -233,3 +233,39 @@ def weighted_topk_sample(
         .where(F.col("__rk") <= k)
         .drop("__pri", "__rk")
     )
+
+
+def mix_plan(
+    stats: DataFrame,
+    *,
+    target_tokens: int,
+    weights: dict[str, float],
+    group_col: str = "slice",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """(slice, n_tokens, target_share, target_tokens, repeat_factor,
+    oversampled): the training-mix manifest — how many tokens each source
+    contributes to a ``target_tokens`` budget under configured mixture
+    weights, and the repeat factor (epochs over that source) needed to
+    get there. repeat_factor > 1 flags oversampling (the quality/rarity
+    tradeoff reviewers sign off on). Weights are config → driver-side
+    literals; sources missing from ``weights`` get share 0.
+
+    Scale: operates on the per-source stats table (tiny); pure
+    projection, no shuffle beyond what produced the stats."""
+    total_w = float(sum(weights.values()))
+    pairs: list[Column] = []
+    for k, v in weights.items():
+        pairs.extend([F.lit(k), F.lit(float(v) / total_w)])
+    share = F.coalesce(
+        F.try_element_at(F.create_map(*pairs), F.col(group_col)), F.lit(0.0)
+    )
+    tgt = F.round(share * F.lit(float(target_tokens))).cast("long")
+    return stats.select(
+        F.col(group_col),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+        F.round(share, 6).alias("target_share"),
+        tgt.alias("target_tokens"),
+        F.round(tgt / F.col(tokens_col), 6).alias("repeat_factor"),
+        (tgt > F.col(tokens_col)).alias("oversampled"),
+    )

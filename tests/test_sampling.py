@@ -204,3 +204,19 @@ def test_weighted_topk_sample_deterministic_and_biased(spark):
         ).collect()
     )
     assert got2 == got
+
+
+def test_mix_plan_manifest(spark):
+    stats = spark.createDataFrame(
+        [("web", 1000), ("code", 100), ("books", 500)], "slice string, n_tokens long"
+    )
+    out = {
+        r["slice"]: r
+        for r in sampling.mix_plan(
+            stats, target_tokens=2000, weights={"web": 1.0, "code": 1.0}
+        ).collect()
+    }
+    assert out["web"]["target_tokens"] == 1000 and not out["web"]["oversampled"]
+    assert out["code"]["target_tokens"] == 1000 and out["code"]["oversampled"]
+    assert out["code"]["repeat_factor"] == 10.0
+    assert out["books"]["target_share"] == 0.0 and out["books"]["target_tokens"] == 0
