@@ -43,6 +43,10 @@ HEADLINE = [
     "q_tfidf_topk",
     "q_pagerank",
     "q_assign_shards",
+    # round-3 additions: the two most join/window-heavy previously-unbenched
+    # ops, so sf0.1 catches regressions the sf0.01 contract scale hides.
+    "q_fuzzy_dedup_keep",
+    "q_repetition_stats",
 ]
 
 

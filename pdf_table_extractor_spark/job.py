@@ -44,11 +44,40 @@ def stage_pages(spark: SparkSession, pages_path: str, out_root: str, n_buckets: 
     input instead of n_buckets×). Spark's `_SUCCESS` marker is the commit:
     a crash mid-stage leaves no marker and the overwrite rerun is clean.
     An Iceberg deployment gets the same effect from hidden partitioning on
-    ingest — this is the plain-parquet equivalent."""
+    ingest — this is the plain-parquet equivalent.
+
+    Idempotence is keyed on an input FINGERPRINT, not just `_SUCCESS`: a
+    marker file next to the staged copy records (pages_path, newest data-
+    file mtime, file count, total bytes). If the input at pages_path is
+    regenerated (the bench corpora routinely are), a rerun into the same
+    out_root detects the mismatch and re-stages instead of silently
+    extracting from stale staged data."""
+    import json
     import os
 
+    def _fingerprint() -> str:
+        names = sorted(
+            f for f in os.listdir(pages_path) if not f.startswith(("_", "."))
+        ) if os.path.isdir(pages_path) else []
+        stats = [os.stat(os.path.join(pages_path, f)) for f in names]
+        return json.dumps({
+            "pages_path": os.path.abspath(pages_path),
+            "n_files": len(names),
+            "total_bytes": sum(s.st_size for s in stats),
+            "max_mtime_ns": max((s.st_mtime_ns for s in stats), default=0),
+        }, sort_keys=True)
+
     staged = os.path.join(out_root, "staged_pages")
-    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+    marker = os.path.join(out_root, "staged_pages.fingerprint")
+    fp = _fingerprint()
+    fresh = os.path.exists(os.path.join(staged, "_SUCCESS"))
+    if fresh:
+        try:
+            with open(marker) as fh:
+                fresh = fh.read() == fp
+        except OSError:
+            fresh = False
+    if not fresh:
         (
             spark.read.parquet(pages_path)
             .withColumn("bucket", bucket_of(F.col("url"), n_buckets))
@@ -56,6 +85,8 @@ def stage_pages(spark: SparkSession, pages_path: str, out_root: str, n_buckets: 
             .mode("overwrite")
             .parquet(staged)
         )
+        with open(marker, "w") as fh:
+            fh.write(fp)
     return staged
 
 

@@ -134,16 +134,40 @@ def ngram_jaccard_pairs(
     scope_col: str | None = None,
     k: int = 3,
     threshold: float = 0.05,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Pairwise Jaccard over distinct k-gram sets, scoped to `scope_col`
     groups to bound the self-join (at 100 TB you NEVER all-pairs; the scope
-    is the LSH bucket / host / source)."""
-    scope = scope_col or F.lit(1)
+    is the LSH bucket / host / source).
+
+    The join is shingle-keyed, never all-pairs — but with no scope a
+    Zipf-hot shingle shared by millions of docs still explodes the pair
+    list, so an unscoped call REQUIRES ``max_df``: shingles whose document
+    frequency exceeds it are dropped before the join (sizes are computed
+    on the pruned sets, so Jaccard stays internally consistent over the
+    pruned shingle universe — ubiquitous shingles carry no near-dup
+    signal anyway). A hot shingle then contributes at most max_df^2/2
+    candidate pairs instead of n^2/2."""
+    if scope_col is None and max_df is None:
+        raise ValueError(
+            "ngram_jaccard_pairs without scope_col needs max_df: an unscoped "
+            "shingle join blows up on Zipf-hot shingles at scale — pass the "
+            "LSH-bucket/host/source column as scope_col, or a max document "
+            "frequency above which shingles are pruned"
+        )
     sh = df.select(
         F.col(id_col).alias("id"),
         (F.col(scope_col) if scope_col else F.lit("all")).alias("scope"),
         F.explode_outer(F.array_distinct(shingles(F.col(text_col), k))).alias("s"),
     )
+    if max_df is not None:
+        hot = (
+            sh.groupBy("scope", "s")
+            .agg(F.count("*").alias("__df"))
+            .where(F.col("__df") > max_df)
+            .select("scope", "s")
+        )
+        sh = sh.join(hot, ["scope", "s"], "left_anti")
     sizes = sh.groupBy("id", "scope").agg(F.count("s").alias("sz"))
     l, r = sh.alias("l"), sh.alias("r")
     inter = (
@@ -359,6 +383,7 @@ def drop_duplicated_spans(
     keep_first: bool = False,
     id_col: str = "doc_id",
     text_col: str = "text",
+    dup_join: str = "shuffle",
 ) -> DataFrame:
     """(id, clean_text, n_tokens, n_dropped): documents with every
     cross-document duplicated passage (shared word n-gram runs) removed.
@@ -376,11 +401,23 @@ def drop_duplicated_spans(
     Scale note: the n-gram explode runs twice (once into the duplicated-
     gram aggregate, once for the join back). That is deliberate —
     recompute-over-store: persisting the exploded grams would stage ~n×
-    the corpus bytes, while the recompute is scan+codegen. The dup-gram
-    SET is the small side; at extreme corpus sizes broadcast it (or
-    bloom-filter it) instead of the shuffle join."""
+    the corpus bytes, while the recompute is scan+codegen.
+
+    ``dup_join`` picks the join-back strategy for the dup-gram set:
+
+    - ``"shuffle"`` (default): plain equi-join — right when dup grams are
+      a large fraction of all grams (heavily duplicated corpora).
+    - ``"broadcast"``: the dup-gram set is usually the SMALL side (most
+      grams are unique); broadcasting it turns the join-back into a
+      broadcast-hash join, so the exploded corpus grams are never
+      shuffled at all — the win at extreme corpus sizes. Exact same
+      output. (A bloom pre-filter is the in-between when the dup set
+      outgrows broadcast but stays << the gram stream; with Spark's
+      runtime-filter conf on, the broadcast path already injects one.)"""
     from pyspark.sql import Window
 
+    if dup_join not in ("shuffle", "broadcast"):
+        raise ValueError(f"dup_join must be 'shuffle' or 'broadcast', got {dup_join!r}")
     pos = ngram_positions(docs, n=n, id_col=id_col, text_col=text_col)
     dup = (
         pos.groupBy("gram_key")
@@ -391,7 +428,7 @@ def drop_duplicated_spans(
         .where(F.col("n_docs") >= min_docs)
         .select("gram_key", "__first_doc")
     )
-    joined = pos.join(dup, "gram_key")
+    joined = pos.join(F.broadcast(dup) if dup_join == "broadcast" else dup, "gram_key")
     if keep_first:
         joined = joined.where(F.col(id_col) != F.col("__first_doc"))
     starts = joined.select(

@@ -97,9 +97,10 @@ def temperature_weights(
     mixture scheme used by multilingual/domain-balanced training sets).
 
     Input: one row per group with its document count. Output adds
-    ``keep_prob`` — p_g^(1/T - 1) normalized so the largest group's
-    probability is 1 (downsample-only; groups already rare keep all
-    docs). Probabilities are rounded to 6 decimals so both engines in a
+    ``keep_prob`` — p_g^(1/T - 1) normalized so the max-WEIGHT group's
+    probability is 1 (for T>1 that is the rarest group: it keeps all its
+    docs while larger groups are downsampled toward the flattened mix).
+    Probabilities are rounded to 6 decimals so both engines in a
     contract agree bit-for-bit after their own pow/ln evaluations.
 
     Scale: the group table is tiny (domains/languages), so the two
@@ -211,6 +212,7 @@ def weighted_topk_sample(
     by: str | None = None,
     key_col: str = "doc_id",
     salt: str = "",
+    prefilter: bool | None = None,
 ) -> DataFrame:
     """Deterministic weighted sampling without replacement (Efraimidis–
     Spirakis A-Res): each row gets priority u^(1/w) from its md5 hash
@@ -218,14 +220,35 @@ def weighted_topk_sample(
     sample — quality-weighted subset selection with no RNG state, stable
     under reruns and repartitioning. Rows with weight <= 0 are excluded.
 
-    Scale: a narrow priority projection + per-slice top-k window over
-    candidate rows; for corpus-wide k pre-filter on a priority lower
-    bound so the window sees only plausible winners (same trick as
-    kmv_distinct)."""
+    Scale: a narrow priority projection + per-slice top-k window. With
+    ``by=None`` the window is corpus-wide (one partition!), so a
+    priority prefilter runs first by default: an ``approx_percentile``
+    threshold targeting ~4k survivors (accuracy sized so its rank error
+    is <= k, guaranteeing the true top-k all survive) cuts the window's
+    input from n rows to O(k) — the exact top-k over survivors equals
+    the exact top-k over everything. Set ``prefilter=False`` to skip the
+    extra pass (and its one count+percentile action) on small inputs."""
     u = uniform_hash(F.col(key_col), salt)
     w = weight.cast("double")
     pri = F.pow(u, F.lit(1.0) / w)
     cand = df.where(w > 0).withColumn("__pri", pri)
+    if prefilter is None:
+        prefilter = by is None
+    if prefilter:
+        n = cand.count()
+        margin = 4 * k
+        if n > 2 * margin:
+            # rank error of percentile_approx is <= n/accuracy; size the
+            # accuracy so error <= k, then a threshold at rank ~4k from
+            # the top keeps every true top-k row (rank 3k..5k cut).
+            acc = max(10_000, -(-n // k))
+            p = 1.0 - margin / n
+            thr = cand.agg(
+                F.percentile_approx("__pri", F.lit(p), F.lit(acc)).alias("__thr")
+            )
+            cand = cand.crossJoin(F.broadcast(thr)).where(
+                F.col("__pri") >= F.col("__thr")
+            ).drop("__thr")
     sl = F.col(by) if by else F.lit("all")
     win = Window.partitionBy(sl).orderBy(F.desc("__pri"), F.col(key_col))
     return (
@@ -266,6 +289,9 @@ def mix_plan(
         F.col(tokens_col).cast("long").alias("n_tokens"),
         F.round(share, 6).alias("target_share"),
         tgt.alias("target_tokens"),
-        F.round(tgt / F.col(tokens_col), 6).alias("repeat_factor"),
+        # try_divide: a 0-token slice yields NULL repeat_factor instead of
+        # an ANSI divide-by-zero error; such a slice is still flagged
+        # oversampled whenever it has a nonzero target (it can never meet it).
+        F.round(F.try_divide(tgt, F.col(tokens_col)), 6).alias("repeat_factor"),
         (tgt > F.col(tokens_col)).alias("oversampled"),
     )

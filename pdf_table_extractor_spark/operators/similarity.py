@@ -215,13 +215,22 @@ def kmeans_centroids(
     )
     for _ in range(n_iter):
         bc = F.broadcast(cents)
-        w = Window.partitionBy("id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
+        # argmax-assign as a map-side-combinable hash aggregate (max_by on
+        # an (ccos, -cent_id) ordering struct = highest cosine, lowest
+        # cent_id on ties) — NOT a row_number window: a window on the
+        # unique vector id would shuffle+sort the whole corpus for a
+        # per-key-size-1 ranking.
         assigned = (
             c.crossJoin(bc)
             .withColumn("ccos", cosine(F.col("v"), F.col("cvec")))
-            .withColumn("crk", F.row_number().over(w))
-            .filter(F.col("crk") == 1)
-            .select("cent_id", "v")
+            .groupBy("id")
+            .agg(
+                F.max_by(
+                    F.struct("cent_id", "v"),
+                    F.struct(F.col("ccos"), (-F.col("cent_id")).alias("nc")),
+                ).alias("best")
+            )
+            .select(F.col("best.cent_id").alias("cent_id"), F.col("best.v").alias("v"))
         )
         # element-wise mean per cell via posexplode + partial-aggregated
         # avg: the shuffle carries only k×dim partial sums, never whole
@@ -287,10 +296,28 @@ def ivf_topk(
         )
 
     def assign(df: DataFrame, n_cells: int) -> DataFrame:
-        """top-`n_cells` centroid ids per vector by cosine."""
+        """top-`n_cells` centroid ids per vector by cosine. The corpus side
+        (n_cells=1) is a max_by hash aggregate — map-side-combinable, no
+        window shuffle+sort on the unique id; the multi-probe query side
+        (small by construction) keeps the row_number window."""
         scored = df.crossJoin(cents).withColumn(
             "ccos", cosine(F.col("v"), F.col("cvec"))
         )
+        if n_cells == 1:
+            return (
+                scored.groupBy("id")
+                .agg(
+                    F.max_by(
+                        F.struct("cent_id", "v"),
+                        F.struct(F.col("ccos"), (-F.col("cent_id")).alias("nc")),
+                    ).alias("best")
+                )
+                .select(
+                    "id",
+                    F.col("best.v").alias("v"),
+                    F.col("best.cent_id").alias("cell"),
+                )
+            )
         w = Window.partitionBy("id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
         return (
             scored.withColumn("crk", F.row_number().over(w))

@@ -273,18 +273,38 @@ def ppl_buckets(
     n_buckets: int = 3,
     score_col: str = "nll",
     id_col: str = "doc_id",
+    exact: bool = True,
 ) -> DataFrame:
-    """Add a ``bucket`` column (1 = head/lowest nll ... n = tail) by exact
-    n-tile over (score, id) — deterministic under ties from rounding or
-    duplicated docs.
+    """Add a ``bucket`` column (1 = head/lowest nll ... n = tail).
 
-    Scale: exact ntile is a global-ordered window over DOC-level rows
-    (one row per document, not per token). At 10^12 docs replace with
-    threshold assignment: approx_percentile the score (distributed),
-    broadcast the n-1 boundaries, assign by comparison — identical
-    semantics up to boundary-epsilon, no global sort."""
-    w = Window.orderBy(F.col(score_col), F.col(id_col))
-    return scored.withColumn("bucket", F.ntile(n_buckets).over(w))
+    ``exact=True`` (contract scale): exact n-tile over (score, id) —
+    deterministic under ties, but a global-ordered single-partition
+    window over DOC-level rows.
+
+    ``exact=False`` (the 10^12-doc path): threshold assignment —
+    ``approx_percentile`` computes the n-1 score boundaries as one
+    distributed aggregate, the 1-row boundary array is broadcast, and
+    each doc is assigned by comparison. No global sort, no window, no
+    single-partition stage; identical semantics up to boundary-epsilon
+    (ties at a boundary all land in the lower bucket rather than being
+    split by id)."""
+    if exact:
+        w = Window.orderBy(F.col(score_col), F.col(id_col))
+        return scored.withColumn("bucket", F.ntile(n_buckets).over(w))
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = scored.agg(
+        F.percentile_approx(F.col(score_col), probs, 100_000).alias("__bounds")
+    )
+    bucket = F.lit(1)
+    for i in range(n_buckets - 1):
+        bucket = bucket + F.when(
+            F.col(score_col) > F.element_at("__bounds", i + 1), 1
+        ).otherwise(0)
+    return (
+        scored.crossJoin(F.broadcast(bounds))
+        .withColumn("bucket", bucket)
+        .drop("__bounds")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -86,26 +86,60 @@ def domain_cap(
     max_docs: int,
     url_col: str = "url",
     order_col: str = "doc_id",
+    prefilter: bool = False,
+    n_salts: int = 32,
 ):
     """Keep at most ``max_docs`` documents per registrable domain (a
     standard crawl-balance step: no single domain may dominate the
     training mix), deterministically — lowest ``order_col`` wins.
 
-    Scale: one window keyed on domain. A window cannot be skew-split, so
-    for pathological mega-domains run `domain_stats` first and route only
-    rows from over-cap domains through the window (the under-cap majority
-    needs no ranking); that two-phase refinement keeps this operator's
-    semantics and is a straight composition of the two functions."""
+    ``prefilter=False`` (contract scale): one window keyed on domain.
+
+    ``prefilter=True`` (the mega-domain path — the exact thing this
+    operator exists for): two-phase. Phase 1 is a map-side-combined
+    count per domain; the over-cap domain set (tiny — only domains with
+    > max_docs docs) is broadcast. Under-cap rows pass through with NO
+    shuffle (broadcast anti-join). Over-cap rows take a salted two-level
+    top-k: per (domain, salt-bucket) window keeps its lowest max_docs
+    (bounded partitions), then the final per-domain window ranks at most
+    n_salts * max_docs survivors — a mega-domain never lands on one task
+    with its full row count. Exact same output either way."""
     from pyspark.sql import Window
 
     dom = registered_domain(host_of(F.col(url_col)))
-    w = Window.partitionBy("__domain").orderBy(order_col)
-    return (
-        docs.withColumn("__domain", dom)
-        .withColumn("__rank", F.row_number().over(w))
+    if not prefilter:
+        w = Window.partitionBy("__domain").orderBy(order_col)
+        return (
+            docs.withColumn("__domain", dom)
+            .withColumn("__rank", F.row_number().over(w))
+            .where(F.col("__rank") <= max_docs)
+            .drop("__domain", "__rank")
+        )
+
+    with_dom = docs.withColumn("__domain", dom)
+    over = (
+        with_dom.groupBy("__domain")
+        .agg(F.count("*").alias("__n"))
+        .where(F.col("__n") > max_docs)
+        .select("__domain")
+    )
+    under = with_dom.join(F.broadcast(over), "__domain", "left_anti").drop("__domain")
+    over_rows = with_dom.join(F.broadcast(over), "__domain", "left_semi").withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(order_col).cast("string")), F.lit(n_salts))
+    )
+    w1 = Window.partitionBy("__domain", "__salt").orderBy(order_col)
+    partial = (
+        over_rows.withColumn("__rank", F.row_number().over(w1))
+        .where(F.col("__rank") <= max_docs)
+        .drop("__salt", "__rank")
+    )
+    w2 = Window.partitionBy("__domain").orderBy(order_col)
+    kept = (
+        partial.withColumn("__rank", F.row_number().over(w2))
         .where(F.col("__rank") <= max_docs)
         .drop("__domain", "__rank")
     )
+    return under.unionByName(kept)
 
 
 def canonicalize_url(url: Column | str) -> Column:

@@ -75,8 +75,13 @@ def make_host_budget_processor(max_pages: int) -> StatefulProcessor:
 def host_budget_stream(pages: DataFrame, *, max_pages: int) -> DataFrame:
     """Admit at most ``max_pages`` pages per host across ALL micro-batches
     (deterministic within a batch up to arrival order — order rows
-    upstream if strict priority matters)."""
-    host = F.regexp_extract(F.col("url"), r"^[a-z]+://([^/]+)/", 1)
+    upstream if strict priority matters). The grouping key is
+    ``urls.host_of`` — the same host derivation used everywhere else, so
+    pathless urls (http://example.com) and uppercase schemes get their own
+    per-host budget instead of collapsing into one global '' key."""
+    from pdf_table_extractor_spark.operators.urls import host_of
+
+    host = host_of(F.col("url"))
     return (
         pages.withColumn("host", host)
         .groupBy("host")
