@@ -1960,3 +1960,76 @@ def q_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         target_tokens=100000,
         weights={"src0": 0.5, "src1": 0.3, "src2": 0.2},
     )
+
+
+@contract(
+    "q_workbook_cells",
+    """
+    WITH t AS (
+      SELECT doc_id,
+        CASE CAST(doc_id % 5 AS INT)
+          WHEN 0 THEN CAST(doc_id AS VARCHAR)
+          WHEN 1 THEN CAST(doc_id // 100 AS VARCHAR) || ',' ||
+                      lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+          WHEN 2 THEN '1.' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || ',50'
+          WHEN 3 THEN 'TX' || CAST(doc_id AS VARCHAR)
+          ELSE '-' || CAST(doc_id % 997 AS VARCHAR)
+        END AS tok
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, tok,
+             replace(replace(tok, '.', ''), ',', '.') AS clean,
+             regexp_full_match(tok, '-?[0-9.,]+') AS is_num
+      FROM t
+    ),
+    g AS (
+      SELECT doc_id, tok, clean,
+        CASE
+          WHEN is_num AND contains(clean, '.')
+               AND TRY_CAST(clean AS DOUBLE) IS NOT NULL THEN 'f'
+          WHEN is_num AND NOT contains(clean, '.')
+               AND TRY_CAST(clean AS BIGINT) IS NOT NULL THEN 'i'
+          ELSE 's'
+        END AS tag
+      FROM c
+    )
+    SELECT doc_id, tok, tag,
+           CASE WHEN tag = 'i' THEN TRY_CAST(clean AS BIGINT) END AS i_val,
+           CASE WHEN tag = 'f' THEN ROUND(TRY_CAST(clean AS DOUBLE), 6) END AS f_val
+    FROM g
+    """,
+)
+def q_workbook_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The workbook sink's cell-typing rule (serialize.xlwt_typed_cols,
+    reference conversor_bradesco.py:199-208) over deterministic token
+    shapes manufactured from doc_id: pure int / comma decimal / thousands
+    dot + decimal / text / negative int."""
+    from pdf_table_extractor_spark.operators.serialize import xlwt_typed_cols
+
+    d = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    tok = (
+        F.when(did % 5 == 0, did.cast("string"))
+        .when(
+            did % 5 == 1,
+            F.concat(
+                F.floor(did / 100).cast("string"),
+                F.lit(","),
+                F.lpad((did % 100).cast("string"), 2, "0"),
+            ),
+        )
+        .when(
+            did % 5 == 2,
+            F.concat(
+                F.lit("1."), F.lpad((did % 1000).cast("string"), 3, "0"), F.lit(",50")
+            ),
+        )
+        .when(did % 5 == 3, F.concat(F.lit("TX"), did.cast("string")))
+        .otherwise(F.concat(F.lit("-"), (did % 997).cast("string")))
+    )
+    toks = d.select("doc_id", tok.alias("tok"))
+    tag, i_val, f_val = xlwt_typed_cols(F.col("tok"))
+    return toks.select(
+        "doc_id", "tok", tag.alias("tag"), i_val.alias("i_val"), f_val.alias("f_val")
+    )

@@ -24,7 +24,108 @@ OUT_SCHEMA = "url string, profile string, n_rows int, csv binary"
 
 
 import csv as _csv
+import re as _re
 from typing import Callable
+
+
+@dataclass(frozen=True)
+class WorkbookSink:
+    """Typed-cell workbook model (reference conversor_bradesco.py:167-228:
+    xlwt `Workbook`/`write` with per-token number typing + fixed column
+    widths; Conversor.py:181-190 openpyxl append). The binary .xls/.xlsx
+    container is presentation (COVERAGE.md §2.1); the MODEL — sheet name,
+    column widths, and each cell's (type, value) under the reference's
+    typing rule — is data, rendered to deterministic bytes and
+    byte-contracted like every other sink."""
+
+    sheet: str
+    col_widths: tuple[int, ...]
+    typed_cols: tuple[str, ...]  # output columns typed by the xlwt rule
+
+
+_XLWT_NUM = _re.compile(r"^-?[\d.,]+$")
+
+
+def xlwt_cell(value) -> tuple[str, object]:
+    """The reference's cell-typing rule (conversor_bradesco.py:199-208): a
+    token matching ``^-?[\\d.,]+$`` has thousands dots stripped and the
+    comma decimal swapped to '.'; the cleaned string becomes a float cell
+    if it contains '.', else an int cell; unparseable or non-matching
+    tokens stay text. Returns (tag, value) with tag in {'s','i','f'}."""
+    if value is None:
+        return ("s", "")
+    s = str(value)
+    if _XLWT_NUM.match(s):
+        clean = s.replace(".", "").replace(",", ".")
+        try:
+            return ("f", float(clean)) if "." in clean else ("i", int(clean))
+        except ValueError:
+            return ("s", s)
+    return ("s", s)
+
+
+def xlwt_typed_cols(tok):
+    """Catalyst twin of `xlwt_cell` for the data plane: given a raw token
+    column, returns (tag, i_val, f_val) columns under the reference typing
+    rule — JVM-side codegen, no python. `try_cast` mirrors python's
+    ValueError fallback ('' / '.' / '1.2.3' → text). Known divergence:
+    python ints are unbounded while BIGINT overflows to text at 2^63 —
+    beyond any statement amount."""
+    from pyspark.sql import functions as F
+
+    clean = F.replace(F.replace(tok, F.lit("."), F.lit("")), F.lit(","), F.lit("."))
+    is_num = tok.rlike(r"^-?[0-9.,]+$")
+    has_dot = clean.contains(".")
+    tag = (
+        F.when(is_num & has_dot & clean.try_cast("double").isNotNull(), F.lit("f"))
+        .when(is_num & ~has_dot & clean.try_cast("bigint").isNotNull(), F.lit("i"))
+        .otherwise(F.lit("s"))
+    )
+    i_val = F.when(tag == "i", clean.try_cast("bigint"))
+    f_val = F.when(tag == "f", F.round(clean.try_cast("double"), 6))
+    return tag, i_val, f_val
+
+
+_INT_SHAPE = _re.compile(r"^-?\d+$")
+_FLOAT_SHAPE = _re.compile(r"^-?\d+\.\d+$")
+
+
+def cell_tag(rendered: str) -> str:
+    """Type tag for an already-typed, rendered cell value. The engine's
+    record columns store each cell's FINAL string (``str(int(clean))`` /
+    ``str(float(clean))`` / the raw text token — statemachines.py:212-221
+    mirrors conversor_bradesco.py:199-208), so the xlwt cell type is
+    recoverable from the shape: ``str(float)`` always carries a '.',
+    ``str(int)`` never does, and text tokens never render as pure
+    numerics (a regex-miss or ValueError token keeps its original form)."""
+    if _INT_SHAPE.match(rendered):
+        return "i"
+    if _FLOAT_SHAPE.match(rendered):
+        return "f"
+    return "s"
+
+
+def render_workbook_model(pdf: pd.DataFrame, sink: "Sink") -> bytes:
+    """Deterministic byte encoding of the typed workbook: header lines for
+    sheet/widths/columns, then one line per row with unit-separated
+    ``tag:value`` cells. Values are the engine's rendered cell strings —
+    both the engine UDF and the test oracle render python values the same
+    way, so bytes are stable."""
+    wb = sink.workbook
+    lines = [
+        f"sheet:{wb.sheet}",
+        "widths:" + ",".join(str(w) for w in wb.col_widths),
+        "cols:" + "\x1f".join(sink.columns),
+    ]
+    typed = set(wb.typed_cols)
+    for _, row in pdf.iterrows():
+        cells = []
+        for name, src in zip(sink.columns, sink.source_cols):
+            v = "" if row[src] is None else str(row[src])
+            tag = cell_tag(v) if name in typed else "s"
+            cells.append(f"{tag}:{v}")
+        lines.append("row:" + "\x1f".join(cells))
+    return ("\n".join(lines) + "\n").encode("utf-8")
 
 
 @dataclass(frozen=True)
@@ -54,6 +155,9 @@ class Sink:
     # source_cols[0]'s values rejoined with a blank line — boilerpipe's
     # plain-text render — instead of a CSV table. Zero records → b"".
     raw: bool = False
+    # Typed workbook model for profiles whose reference sink is xlwt/openpyxl
+    # (serialize_workbook renders it; None = CSV-only profile).
+    workbook: WorkbookSink | None = None
 
 
 def render_csv(pdf: pd.DataFrame, sink: Sink) -> bytes:
@@ -243,6 +347,43 @@ def _render_batchwide(recs_col, fields, sink: Sink, emit_empty: bool):
             csvs.append(bom + text.encode("utf-8"))
         pos += c
     return pd.DataFrame({"n_rows": n_rows, "csv": csvs})
+
+
+def serialize_workbook(records: DataFrame, profile: str, sink: Sink) -> DataFrame:
+    """records(url, <order_by>, <source_cols>) → (url, profile, n_rows,
+    xls_model binary): the typed-cell workbook model for profiles whose
+    reference sink is a spreadsheet writer (``sink.workbook`` required).
+
+    Same packed-struct + batched Arrow UDF shape as `serialize` — one
+    groupBy(url) then whole-batch python rendering; zero-record documents
+    get the header-only model (the reference workbook writer always emits
+    the sheet with its header row)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    if sink.workbook is None:
+        raise ValueError(f"profile {profile!r} has no WorkbookSink configured")
+    fields = list(dict.fromkeys([*sink.order_by, *sink.source_cols]))
+    packed = records.groupBy("url").agg(
+        F.array_sort(F.collect_list(F.struct(*fields))).alias("recs")
+    )
+
+    @pandas_udf("n_rows int, xls_model binary")
+    def render_batch(recs_col: pd.Series) -> pd.DataFrame:
+        n_rows, models = [], []
+        for recs in recs_col:
+            pdf = pd.DataFrame([dict(r) for r in recs], columns=fields)
+            n_rows.append(len(pdf))
+            models.append(render_workbook_model(pdf, sink))
+        return pd.DataFrame({"n_rows": n_rows, "xls_model": models})
+
+    out = packed.select(
+        "url", F.lit(profile).alias("profile"), render_batch("recs").alias("r")
+    )
+    return out.select(
+        "url", "profile",
+        F.col("r.n_rows").alias("n_rows"), F.col("r.xls_model").alias("xls_model"),
+    )
 
 
 def serialize_with_empties(

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from pdf_table_extractor_spark.functions import textops, windows
 from pdf_table_extractor_spark.operators.lines import layout_lines, text_lines
-from pdf_table_extractor_spark.operators.serialize import Sink
+from pdf_table_extractor_spark.operators.serialize import Sink, WorkbookSink
 
 
 @dataclass(frozen=True)
@@ -1008,6 +1008,13 @@ PROFILES: dict[str, Profile] = {
             source_cols=["data", "historico", "dcto", "valor", "saldo"],
             order_by=["row_no"],
             utf8_sig=False,
+            # reference txt_to_xls (conversor_bradesco.py:170-227): sheet
+            # 'Transacoes', widths 3000/12000/4000×3, last-3 tokens typed.
+            workbook=WorkbookSink(
+                sheet="Transacoes",
+                col_widths=(3000, 12000, 4000, 4000, 4000),
+                typed_cols=("Dcto.", "Valor", "Saldo"),
+            ),
         ),
     ),
     "stone": Profile(

@@ -141,13 +141,28 @@ class IcebergCatalog:
     Snapshot commits give the atomicity the manifest-rename provides
     locally; `bucket` is a column (and a hidden-partition candidate:
     `bucket(url, N)` in the table spec), lineage rows append to a side
-    table, and resume reads the committed bucket set from the data itself —
-    a bucket is committed iff its rows are in the last snapshot, which is
-    atomic per write.
+    table, and resume reads the committed bucket set from the LINEAGE
+    table — lineage appends LAST (the commit point, mirroring the local
+    manifest), so a crash between data and lineage leaves the bucket
+    uncommitted and it is retried.
+
+    Retries: on an Iceberg table partitioned by ``bucket`` pass
+    ``overwrite_bucket=True`` so a retried commit replaces the partial
+    partition via ``overwritePartitions()`` (idempotent). The default
+    ``append()`` matches catalogs without partitioned-overwrite support
+    (e.g. the JDBC V2 catalog the dry-run test uses) and first-attempt
+    production commits.
+
+    API drift is caught in-sandbox by ``tests/test_iceberg_dryrun.py``:
+    every call this class makes (catalog conf gate, ``writeTo().append()``,
+    ``read.table``, catalog SQL) runs against Spark's built-in JDBC V2
+    catalog on embedded Derby — a real ``spark.sql.catalog.*`` plugin, no
+    Iceberg jars needed.
     """
 
     def __init__(self, spark: SparkSession, table: str, lineage_table: str,
-                 catalog_name: str = "ice"):
+                 catalog_name: str = "ice", spans_table: str | None = None,
+                 overwrite_bucket: bool = False):
         if not iceberg_available(spark, catalog_name):
             raise NotImplementedError(
                 f"no Iceberg catalog '{catalog_name}' configured on this session "
@@ -157,6 +172,8 @@ class IcebergCatalog:
         self.spark = spark
         self.table = table
         self.lineage_table = lineage_table
+        self.spans_table = spans_table
+        self.overwrite_bucket = overwrite_bucket
 
     def committed_buckets(self) -> list[int]:
         rows = self.spark.sql(
@@ -164,16 +181,45 @@ class IcebergCatalog:
         ).collect()
         return sorted(r.bucket for r in rows)
 
-    def commit_bucket(self, df, bucket: int, lineage: dict, attempt: int = 1) -> None:
+    def _write(self, df: DataFrame, table: str) -> None:
+        w = df.writeTo(table)
+        if self.overwrite_bucket:
+            w.overwritePartitions()
+        else:
+            w.append()
+
+    def commit_bucket(
+        self,
+        df: DataFrame,
+        bucket: int,
+        lineage: dict,
+        attempt: int = 1,
+        spans_df: DataFrame | None = None,
+    ) -> None:
         from pyspark.sql import functions as F
 
-        # single atomic snapshot commit for the bucket's rows
-        df.withColumn("bucket", F.lit(bucket)).writeTo(self.table).append()
+        if spans_df is not None and self.spans_table is None:
+            raise ValueError("spans_df given but no spans_table configured")
+        # data (and spans) land first, each a single atomic snapshot
+        # commit; the lineage append is the commit point.
+        self._write(df.withColumn("bucket", F.lit(bucket)), self.table)
+        if spans_df is not None:
+            self._write(
+                spans_df.withColumn("bucket", F.lit(bucket)), self.spans_table
+            )
         lineage = dict(lineage, bucket=bucket, attempt=attempt)
         self.spark.createDataFrame([lineage]).writeTo(self.lineage_table).append()
 
     def read_data(self, spark: SparkSession):
         return spark.read.table(self.table)
 
+    def read_spans(self, spark: SparkSession):
+        if self.spans_table is None:
+            return None
+        return spark.read.table(self.spans_table)
+
     def committed_urls(self, spark: SparkSession):
         return self.read_data(spark).select("url")
+
+    def lineage_rows(self) -> list[dict]:
+        return [r.asDict() for r in self.spark.read.table(self.lineage_table).collect()]

@@ -451,6 +451,44 @@ def oracle_bradesco(text: str, html: bytes) -> bytes | None:
     """Mirrors the 7-stage conversor_bradesco.py pipeline (:33-228); the XLS
     sheet's typed cells are recast as our logical-rows CSV (sep=';', utf-8,
     no BOM) with the same cell values."""
+    rows = _bradesco_typed_rows(text)
+    if not rows:
+        return None
+    df = pd.DataFrame(rows, columns=["Data", "Histórico", "Dcto.", "Valor", "Saldo"])
+    buf = io.StringIO()
+    df.to_csv(buf, index=False, sep=";")
+    return buf.getvalue().encode("utf-8")  # utf-8, no BOM (txt/xls path)
+
+
+def oracle_bradesco_workbook(text: str) -> bytes:
+    """The typed-cell workbook MODEL the reference's xlwt writer would
+    build (conversor_bradesco.py:170-227): sheet name, column widths, and
+    per-cell (type, value) — independent re-derivation for byte-identity
+    against engine serialize_workbook."""
+    rows = _bradesco_typed_rows(text)
+    lines = [
+        "sheet:Transacoes",
+        "widths:3000,12000,4000,4000,4000",
+        "cols:" + "\x1f".join(["Data", "Histórico", "Dcto.", "Valor", "Saldo"]),
+    ]
+    for cells in rows:
+        enc = []
+        for i, v in enumerate(cells):
+            if i < 2:
+                enc.append(f"s:{v}")
+            elif isinstance(v, float):
+                enc.append(f"f:{v}")
+            elif isinstance(v, int):
+                enc.append(f"i:{v}")
+            else:
+                enc.append(f"s:{v}")
+        lines.append("row:" + "\x1f".join(enc))
+    return ("\n".join(lines) + "\n").encode("utf-8")
+
+
+def _bradesco_typed_rows(text: str) -> list[list]:
+    """conversor_bradesco.py:33-228 through txt_to_xls typing: one list per
+    sheet row, cells python-typed (str date/hist, int/float/str values)."""
     lines = [ln.strip() for ln in text.split("\n") if ln.strip()]
     # clean_statement (:33-50)
     lines = lines[5:] if len(lines) > 5 else []
@@ -551,12 +589,7 @@ def oracle_bradesco(text: str, html: bytes) -> bytes | None:
         hist = " ".join(parts[:-3]) if len(parts) > 3 else ""
         cells = [cur, hist] + [vals[c] if c < len(vals) else "" for c in range(3)]
         rows.append(cells)
-    if not rows:
-        return None
-    df = pd.DataFrame(rows, columns=["Data", "Histórico", "Dcto.", "Valor", "Saldo"])
-    buf = io.StringIO()
-    df.to_csv(buf, index=False, sep=";")
-    return buf.getvalue().encode("utf-8")  # utf-8, no BOM (txt/xls path)
+    return rows
 
 
 def _lattice_tables(html: bytes):
