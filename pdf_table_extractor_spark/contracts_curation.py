@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pdf_table_extractor_spark.contracts import contract, load
-from pdf_table_extractor_spark.operators import dedup, similarity, textquality
+from pdf_table_extractor_spark.operators import dedup, similarity, textquality, training
 
 # Shared DuckDB CTE fragments
 SQ = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
@@ -2033,3 +2033,136 @@ def q_workbook_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.select(
         "doc_id", "tok", tag.alias("tag"), i_val.alias("i_val"), f_val.alias("f_val")
     )
+
+
+# ---------------------------------------------------------------------------
+# In-repo training (operators/training.py): the learned artifacts.
+# ---------------------------------------------------------------------------
+
+@contract(
+    "q_train_lang_markers",
+    f"""
+    WITH tok AS (
+      SELECT lang, unnest(list_distinct(string_split({SQ}, ' '))) AS token
+      FROM documents
+    ),
+    pl AS (
+      SELECT lang, token, COUNT(*) AS df_lang
+      FROM tok WHERE len(token) > 0 GROUP BY lang, token
+    ),
+    tot AS (
+      SELECT token, CAST(SUM(df_lang) AS BIGINT) AS df_total FROM pl GROUP BY token
+    ),
+    sizes AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    cand AS (
+      SELECT pl.lang, pl.token, pl.df_lang, tot.df_total
+      FROM pl JOIN tot USING (token) JOIN sizes USING (lang) CROSS JOIN nd
+      WHERE pl.df_lang >= 2
+        AND pl.df_lang * nd.n_docs * 1000 > tot.df_total * sizes.n_lang * 1000
+    )
+    SELECT lang, rank, token, df_lang, df_total FROM (
+      SELECT lang, token, df_lang, df_total,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY df_lang DESC, token ASC) AS INT) AS rank
+      FROM cand
+    ) WHERE rank <= 5
+    """,
+)
+def q_train_lang_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned lang-ID marker lists (training.train_lang_markers): top-5
+    over-represented tokens per language by exact integer lift — the
+    data-derived replacement for the hand-curated LANG_MARKERS config."""
+    return training.train_lang_markers(load(spark, sf_dir, "documents"), k=5)
+
+
+# Shared DuckDB fragments for the logistic-GD contracts: features + label
+# (distill the composite heuristic score into a logistic model), then one
+# CTE per gradient step replaying the engine's rounded trajectory.
+_TRAIN_FEATS = rf"""
+    f AS MATERIALIZED (
+      SELECT doc_id,
+             (ROUND(0.4 * LEAST(n_tokens / 100.0, 1.0)
+                    + 0.3 * (1.0 - punct / GREATEST(n_chars_m, 1))
+                    + 0.3 * (stop / GREATEST(n_tokens, 1)), 6) >= 0.55
+             )::INT::DOUBLE AS y,
+             LEAST(n_tokens / 100.0, 1.0) AS len_score,
+             punct / GREATEST(n_chars_m, 1) AS punct_ratio,
+             stop / GREATEST(n_tokens, 1) AS stop_ratio
+      FROM (
+        SELECT doc_id,
+               len(string_split({SQ}, ' ')) AS n_tokens,
+               length(text) AS n_chars_m,
+               length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS punct,
+               len(list_filter(string_split({SQ}, ' '),
+                   x -> list_contains(['the','and','of','data','value','order',
+                                       'key','fast','slow'], x))) AS stop
+        FROM documents
+      )
+    )"""
+
+
+def _train_sql(iters: int, lr: float = 1.0) -> str:
+    """CTE chain replaying train_linear_quality's rounded GD trajectory."""
+    ctes = ["WITH" + _TRAIN_FEATS + ",",
+            "    w0 AS MATERIALIZED (SELECT 0.0 AS b, 0.0 AS wl, 0.0 AS wp, 0.0 AS ws)"]
+    for i in range(1, iters + 1):
+        p = f"w{i - 1}"
+        logit = (f"(SELECT b FROM {p}) + (SELECT wl FROM {p}) * len_score"
+                 f" + (SELECT wp FROM {p}) * punct_ratio"
+                 f" + (SELECT ws FROM {p}) * stop_ratio")
+        ctes.append(f"""    , w{i} AS MATERIALIZED (
+      SELECT ROUND((SELECT b FROM {p}) + {lr} * AVG(r), 8) AS b,
+             ROUND((SELECT wl FROM {p}) + {lr} * AVG(r * len_score), 8) AS wl,
+             ROUND((SELECT wp FROM {p}) + {lr} * AVG(r * punct_ratio), 8) AS wp,
+             ROUND((SELECT ws FROM {p}) + {lr} * AVG(r * stop_ratio), 8) AS ws
+      FROM (SELECT y, len_score, punct_ratio, stop_ratio,
+                   y - 1.0 / (1.0 + exp(-({logit}))) AS r
+            FROM f) t
+    )""")
+    return "\n".join(ctes)
+
+
+@contract(
+    "q_train_linear_quality",
+    _train_sql(iters=4) + """
+    SELECT 'intercept' AS feature, b AS weight FROM w4
+    UNION ALL SELECT 'len_score', wl FROM w4
+    UNION ALL SELECT 'punct_ratio', wp FROM w4
+    UNION ALL SELECT 'stop_ratio', ws FROM w4
+    """,
+)
+def q_train_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic-regression weights trained in-engine
+    (training.train_linear_quality, 4 full-batch GD steps, engine-rounded
+    trajectory) distilling the composite heuristic score into a linear
+    model — the learned artifact for textquality.linear_quality."""
+    d = load(spark, sf_dir, "documents")
+    label = F.round(textquality.quality_score_expr(F.col("text")), 6) >= 0.55
+    w = training.train_linear_quality(d, label, iters=4)
+    return training.weights_df(spark, w)
+
+
+@contract(
+    "q_trained_quality_apply",
+    _train_sql(iters=4) + """
+    SELECT doc_id, ROUND(logit, 6) AS logit,
+           ROUND(1.0 / (1.0 + exp(-logit)), 6) AS prob,
+           1.0 / (1.0 + exp(-logit)) >= 0.5 AS keep
+    FROM (
+      SELECT doc_id,
+             (SELECT b FROM w4) + (SELECT wl FROM w4) * len_score
+               + (SELECT wp FROM w4) * punct_ratio
+               + (SELECT ws FROM w4) * stop_ratio AS logit
+      FROM f
+    ) t
+    """,
+)
+def q_trained_quality_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-classify composition: the weights learned by
+    train_linear_quality feed textquality.linear_quality unchanged —
+    proves the learned artifact drops into the inference seam."""
+    d = load(spark, sf_dir, "documents")
+    label = F.round(textquality.quality_score_expr(F.col("text")), 6) >= 0.55
+    w = training.train_linear_quality(d, label, iters=4)
+    return textquality.linear_quality(d, weights=w)

