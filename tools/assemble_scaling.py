@@ -11,9 +11,11 @@ Usage: python tools/assemble_scaling.py rep1.json [rep2.json ...]
        (each arg: a bench_scaling.py output JSON, or a campaign log whose
         last line is that JSON)
 
-Hardware controls are carried forward from the round-2 measurement session
-(tools snippets in BENCH/BASELINE.md): they characterize the HOST, not the
-build, and are re-measured only when the host changes.
+Hardware controls characterize the HOST, not the build. Pass
+``--controls BENCH/host_controls_rN.json`` (tools/probe_host.py output,
+re-measured per session — round-3 lesson: the sandbox VM's bus behavior
+changes between sessions) to attach the current session's controls; the
+round-2 session's controls are kept alongside for cross-session reads.
 """
 
 from __future__ import annotations
@@ -22,7 +24,7 @@ import json
 import statistics
 import sys
 
-HARDWARE_CONTROLS = {
+ROUND2_SESSION_CONTROLS = {
     "single_thread_cpu_slowdown_8_active_vs_2": 1.008,
     "single_thread_cpu_slowdown_32_active_vs_2": 1.317,
     "memory_copy_slowdown_8_active_vs_2": 1.79,
@@ -57,8 +59,13 @@ def load_rep(path: str) -> dict:
 def main() -> None:
     argv = sys.argv[1:]
     dest = "/root/repo/BENCH/scaling_result.json"
+    controls = None
     if argv and argv[0] == "--out":
         dest = f"/root/repo/BENCH/{argv[1]}"
+        argv = argv[2:]
+    if argv and argv[0] == "--controls":
+        with open(argv[1]) as f:
+            controls = json.load(f)
         argv = argv[2:]
     reps = [load_rep(p) for p in argv]
     if not reps:
@@ -96,7 +103,11 @@ def main() -> None:
         out[f"marginal_scaling_efficiency_{lo}_to_{hi}"] = round(
             statistics.median(marg), 3
         )
-    out["hardware_controls"] = HARDWARE_CONTROLS
+    out["hardware_controls"] = (
+        {"this_session": controls, "round2_session": ROUND2_SESSION_CONTROLS}
+        if controls
+        else ROUND2_SESSION_CONTROLS
+    )
 
     print(json.dumps({k: v for k, v in out.items() if k not in ("reps", "protocol")}, indent=2))
     with open(dest, "w") as f:
