@@ -81,18 +81,24 @@ def main() -> None:
     corpus_path = ensure_corpus(spark, n_docs)
 
     # ---- warm-up: full pipeline once (codegen compile, python worker pool,
-    # AQE) + one query; then time the SECOND run of the same plan — the
-    # steady-state number a long-running job sees (cold-start measured
-    # separately in BENCH/BASELINE.md's per-action floor analysis).
+    # AQE) + one query; then time three further runs of the same plan and
+    # report the MEDIAN — the steady-state number a long-running job sees
+    # (cold-start measured separately in BENCH/BASELINE.md's per-action
+    # floor analysis; this shared host shows ±15-20% interference bursts,
+    # so a single timed run is ±0.1 in any derived ratio — see the
+    # BENCH/BASELINE.md measurement protocol).
     pages = spark.read.parquet(corpus_path)
     df = extract(pages, num_partitions=cpus)
     n_out = run_count(df)
     qs = contracts.queries()
     run_count(qs["q_agg_count"](spark, sf_dir))
 
-    t0 = time.perf_counter()
-    run_count(df)
-    extract_sec = time.perf_counter() - t0
+    extract_reps = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run_count(df)
+        extract_reps.append(round(time.perf_counter() - t0, 3))
+    extract_sec = sorted(extract_reps)[1]
     docs_per_sec = n_docs / extract_sec
 
     # ---- headline operator queries
@@ -116,6 +122,7 @@ def main() -> None:
         "extract_docs": n_docs,
         "extract_docs_out": n_out,
         "extract_docs_per_sec": round(docs_per_sec, 1),
+        "extract_reps_sec": extract_reps,
         "cpus": cpus,
     }
     # surface the dedicated scaling-evidence run (tools/bench_scaling.py
@@ -125,6 +132,9 @@ def main() -> None:
     for key, names in (
         ("scaling", ("scaling_result.json", "scaling_2_8.json")),
         ("scaling_1_to_4", ("scaling_1_4.json",)),
+        # round-3 re-measurement of the same campaign, with the per-session
+        # hardware controls that attribute its delta (BENCH/BASELINE.md)
+        ("scaling_1_to_4_r3", ("scaling_r3_14.json",)),
     ):
         for fname in names:
             scaling_path = os.path.join(bench_dir, fname)

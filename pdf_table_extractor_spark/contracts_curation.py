@@ -2166,3 +2166,90 @@ def q_trained_quality_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     label = F.round(textquality.quality_score_expr(F.col("text")), 6) >= 0.55
     w = training.train_linear_quality(d, label, iters=4)
     return textquality.linear_quality(d, weights=w)
+
+
+@contract(
+    "q_pack_sequences",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, len(string_split({SQ}, ' ')) AS n FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n,
+             SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n AS off
+      FROM toks
+    ),
+    seg AS (
+      SELECT doc_id, n, off,
+             unnest(generate_series(CAST(off // 64 AS BIGINT),
+                                    CAST((off + n - 1) // 64 AS BIGINT))) AS sq
+      FROM c WHERE n > 0
+    )
+    SELECT doc_id, CAST(off AS BIGINT) AS token_offset,
+           CAST(sq AS BIGINT) AS seq_id,
+           CAST(sq - off // 64 AS INT) AS seg_no,
+           CAST(GREATEST(off, sq * 64) - off AS BIGINT) AS doc_start,
+           CAST(LEAST(off + n, (sq + 1) * 64)
+                - GREATEST(off, sq * 64) AS BIGINT) AS seg_len,
+           CAST(GREATEST(off, sq * 64) - sq * 64 AS BIGINT) AS seq_pos
+    FROM seg
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-carve sequence packing (sampling.pack_sequences): the
+    fixed-length training-sequence manifest — per-(doc, sequence) segment
+    rows from the two-level prefix-sum offsets; the oracle's single global
+    window cumsum + unnest proves the distributed carve is exact."""
+    docs = load(spark, sf_dir, "documents")
+    return sampling.pack_sequences(
+        docs,
+        seq_len=64,
+        n_tokens=F.size(dedup.tokens(F.col("text"))),
+        group_size=64,
+    ).select(
+        "doc_id", "token_offset", "seq_id", "seg_no",
+        "doc_start", "seg_len", "seq_pos",
+    )
+
+
+@contract(
+    "q_dsir_weights",
+    f"""
+    WITH toks AS (SELECT doc_id, lang, string_split({SQ}, ' ') AS t FROM documents),
+    feats AS (
+      SELECT doc_id, lang,
+             unnest(list_concat(t, list_transform(
+               generate_series(1, greatest(len(t) - 1, 0)),
+               i -> t[i] || ' ' || t[i + 1]))) AS f
+      FROM toks
+    ),
+    b AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5('dsir' || f), 1, 8))::UBIGINT % 512
+                  AS BIGINT) AS bk
+      FROM feats
+    ),
+    cr AS (SELECT bk, COUNT(*)::DOUBLE AS cr FROM b GROUP BY bk),
+    ct AS (SELECT bk, COUNT(*)::DOUBLE AS ct FROM b WHERE lang = 'en' GROUP BY bk),
+    tr AS (SELECT SUM(cr) AS tr FROM cr),
+    tt AS (SELECT COALESCE(SUM(ct), 0) AS tt FROM ct),
+    lr AS (
+      SELECT cr.bk,
+             ln((COALESCE(ct.ct, 0) + 1) / (tt + 512))
+               - ln((cr.cr + 1) / (tr + 512)) AS lr
+      FROM cr LEFT JOIN ct ON cr.bk = ct.bk CROSS JOIN tr CROSS JOIN tt
+    )
+    SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+           ROUND(SUM(lr.lr), 4) AS log_w
+    FROM b JOIN lr ON b.bk = lr.bk
+    GROUP BY b.doc_id
+    """,
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (training.dsir_log_weights): hashed
+    unigram+bigram bucket models for target (lang='en') vs the full
+    corpus; per-doc summed log-ratio scores, Laplace-smoothed."""
+    docs = load(spark, sf_dir, "documents")
+    return training.dsir_log_weights(
+        docs, docs.where(F.col("lang") == "en"), n_buckets=512
+    )

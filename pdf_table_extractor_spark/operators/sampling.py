@@ -204,6 +204,67 @@ def assign_shards(
     )
 
 
+def pack_sequences(
+    docs: DataFrame,
+    *,
+    seq_len: int,
+    n_tokens: Column,
+    order_col: str = "doc_id",
+    group_size: int = 1 << 20,
+) -> DataFrame:
+    """Concat-and-carve sequence packing: the manifest a training data
+    loader needs to fill fixed-length sequences with document segments.
+    Documents are concatenated in ``order_col`` order and carved into
+    ``seq_len``-token sequences (the GPT-style packing scheme — documents
+    spanning a boundary are split across the adjacent sequences). Output:
+    one row per (doc, sequence) segment with
+
+    - ``seq_id``      the training sequence the segment lands in
+    - ``seg_no``      0-based segment index within the doc
+    - ``doc_start``   the segment's first token, as an offset into the doc
+    - ``seg_len``     tokens contributed to this sequence
+    - ``seq_pos``     the segment's start slot within the sequence
+
+    Segments tile each doc exactly (Σ seg_len = n_tokens, contiguous from
+    0) and tile each sequence exactly (Σ seg_len = seq_len for every
+    sequence but the last) — property-tested in tests/test_curation.py.
+
+    Scale: the global token offsets come from ``assign_shards``'s
+    two-level prefix-sum (one coarse-group shuffle + one broadcast — no
+    single-partition window over doc rows), and the carve itself is a
+    narrow bounded posexplode (a doc spans at most n/seq_len + 1
+    sequences). Zero-token docs contribute no segments."""
+    L = int(seq_len)
+    if L <= 0:
+        raise ValueError("seq_len must be positive")
+    with_off = assign_shards(
+        docs,
+        tokens_per_shard=L,
+        n_tokens=n_tokens,
+        order_col=order_col,
+        group_size=group_size,
+    ).drop("shard")
+    n = n_tokens.cast("long")
+    off = F.col("token_offset")
+    first = (off / F.lit(L)).cast("long")  # floor: offsets are non-negative
+    last = ((off + n - F.lit(1)) / F.lit(L)).cast("long")
+    seg = with_off.where(n > 0).select(
+        "*",
+        n.alias("__n"),
+        F.posexplode(F.sequence(first, last)).alias("seg_no", "seq_id"),
+    )
+    g_start = F.greatest(off, F.col("seq_id") * L)
+    g_end = F.least(off + F.col("__n"), (F.col("seq_id") + 1) * L)
+    return seg.select(
+        *[c for c in with_off.columns],
+        F.col("seq_id").cast("long").alias("seq_id"),
+        "seg_no",
+        (g_start - off).cast("long").alias("doc_start"),
+        (g_end - g_start).cast("long").alias("seg_len"),
+        (g_start - F.col("seq_id") * L).cast("long").alias("seq_pos"),
+    )
+
+
 def weighted_topk_sample(
     df: DataFrame,
     *,

@@ -195,6 +195,93 @@ def train_linear_quality(
         feats.unpersist()
 
 
+def hashed_ngram_bucket(f: Column, n_buckets: int, salt: str = "dsir") -> Column:
+    """Hash a feature string into one of ``n_buckets`` buckets with the
+    repo's engine-portable md5 trick (sampling.uniform_hash): the first 8
+    hex chars read as an integer, mod B — Spark's ``conv(hex,16,10)`` and
+    a SQL oracle's ``('0x'||hex)::UBIGINT`` agree bit-for-bit."""
+    h = F.md5(F.concat(F.lit(salt), f))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % F.lit(int(n_buckets))
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    *,
+    n_buckets: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — public method): score
+    every ``raw`` doc by how target-like its hashed n-gram profile is.
+    Features are unigrams + word bigrams hashed into ``n_buckets``
+    buckets; two bag-of-buckets unigram models (Laplace-smoothed) are fit
+    to ``target`` and ``raw``, and each raw doc's log importance weight is
+
+        log_w(x) = Σ_f  [ log p_target(bucket(f)) − log p_raw(bucket(f)) ]
+
+    Output: (id, n_feats, log_w) — positive log_w = more target-like.
+    Selection composes with the existing machinery: resample with
+    ``sampling.weighted_topk_sample(scored, k=..., weight=F.exp("log_w"))``
+    (Efraimidis–Spirakis ≡ DSIR's Gumbel top-k) or gate on a threshold.
+    log_w is rounded to 4 decimals so external oracles agree despite
+    engine-specific float summation order (the unigram_nll precedent).
+
+    Scale: both bucket-count tables are ≤ n_buckets rows (map-side-
+    combined hash aggregates over exploded features) — the log-ratio
+    table is a BROADCAST; the per-doc score is one partial-aggregated
+    sum keyed on the doc id. The corpus text crosses no shuffle; nothing
+    is collected. Deterministic: pure functions of (salt, text), so the
+    weights are identical across engines, reruns, and partitionings."""
+    from pdf_table_extractor_spark.operators.dedup import shingles
+
+    B = int(n_buckets)
+    if B <= 0:
+        raise ValueError("n_buckets must be positive")
+
+    def doc_buckets(df: DataFrame) -> DataFrame:
+        feats = F.concat(
+            tokens(F.col(text_col)), shingles(F.col(text_col), 2)
+        )
+        return df.select(F.col(id_col), F.explode(feats).alias("__f")).select(
+            id_col, hashed_ngram_bucket(F.col("__f"), B, salt).alias("__bk")
+        )
+
+    raw_b = doc_buckets(raw)
+    tgt_b = doc_buckets(target)
+    raw_cnt = raw_b.groupBy("__bk").agg(F.count("*").cast("double").alias("__cr"))
+    tgt_cnt = tgt_b.groupBy("__bk").agg(F.count("*").cast("double").alias("__ct"))
+    raw_tot = raw_cnt.agg(F.sum("__cr").alias("__tr"))
+    tgt_tot = tgt_cnt.agg(F.coalesce(F.sum("__ct"), F.lit(0.0)).alias("__tt"))
+    # every bucket a raw doc can hit appears in raw_cnt, so LEFT join;
+    # target-only smoothing mass still enters through __tt + B.
+    ratio = (
+        raw_cnt.join(tgt_cnt, "__bk", "left")
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+        .select(
+            "__bk",
+            (
+                F.log(
+                    (F.coalesce(F.col("__ct"), F.lit(0.0)) + F.lit(1.0))
+                    / (F.col("__tt") + F.lit(float(B)))
+                )
+                - F.log((F.col("__cr") + F.lit(1.0)) / (F.col("__tr") + F.lit(float(B))))
+            ).alias("__lr"),
+        )
+    )
+    return (
+        raw_b.join(F.broadcast(ratio), "__bk")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.round(F.sum("__lr"), 4).alias("log_w"),
+        )
+    )
+
+
 def weights_df(spark, weights: dict[str, float]) -> DataFrame:
     """Render a trained weight dict as a (feature, weight) DataFrame in
     the canonical feature order (for contracts / persistence)."""

@@ -220,3 +220,62 @@ def test_mix_plan_manifest(spark):
     assert out["code"]["target_tokens"] == 1000 and out["code"]["oversampled"]
     assert out["code"]["repeat_factor"] == 10.0
     assert out["books"]["target_share"] == 0.0 and out["books"]["target_tokens"] == 0
+
+
+def test_pack_sequences_tiles_docs_and_sequences(spark):
+    # token counts chosen to exercise: multi-sequence spans (150, 200),
+    # exact-boundary docs (64), zero-token docs (no segments), 1-token docs
+    counts = [5, 0, 150, 64, 1, 63, 200, 0, 7]
+    L = 64
+    docs = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(counts)], "doc_id long, n long"
+    )
+    out = sampling.pack_sequences(
+        docs, seq_len=L, n_tokens=F.col("n"), order_col="doc_id", group_size=3
+    ).collect()
+
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # zero-token docs contribute no segments; all others appear
+    assert set(by_doc) == {i for i, n in enumerate(counts) if n > 0}
+    for i, segs in by_doc.items():
+        segs.sort(key=lambda r: r["seg_no"])
+        # segments tile the doc: contiguous from 0, summing to n_tokens
+        assert [s["seg_no"] for s in segs] == list(range(len(segs)))
+        assert segs[0]["doc_start"] == 0
+        assert sum(s["seg_len"] for s in segs) == counts[i]
+        for a, b in zip(segs, segs[1:]):
+            assert b["doc_start"] == a["doc_start"] + a["seg_len"]
+            assert b["seq_id"] == a["seq_id"] + 1  # spans are contiguous seqs
+
+    by_seq: dict[int, list] = {}
+    for r in out:
+        by_seq.setdefault(r["seq_id"], []).append(r)
+    total = sum(counts)
+    n_seqs = -(-total // L)
+    assert set(by_seq) == set(range(n_seqs))
+    for s, segs in by_seq.items():
+        segs.sort(key=lambda r: r["seq_pos"])
+        fill = L if s < n_seqs - 1 else total - (n_seqs - 1) * L
+        # segments tile the sequence: contiguous slots from 0, full fill
+        assert segs[0]["seq_pos"] == 0
+        assert sum(r["seg_len"] for r in segs) == fill
+        for a, b in zip(segs, segs[1:]):
+            assert b["seq_pos"] == a["seq_pos"] + a["seg_len"]
+
+
+def test_pack_sequences_is_partitioning_invariant(spark):
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 37 + 1).alias("n")
+    )
+    a = sampling.pack_sequences(
+        docs, seq_len=50, n_tokens=F.col("n"), group_size=8
+    ).collect()
+    b = sampling.pack_sequences(
+        docs.repartition(7), seq_len=50, n_tokens=F.col("n"), group_size=8
+    ).collect()
+    key = lambda r: (r["doc_id"], r["seg_no"])
+    assert sorted(map(tuple, a), key=lambda t: t[:2]) == sorted(
+        map(tuple, b), key=lambda t: t[:2]
+    ) and len(a) == len(b) > 0

@@ -106,3 +106,62 @@ def test_train_linear_quality_is_partitioning_invariant(spark):
     w1 = training.train_linear_quality(docs, label, iters=6)
     w2 = training.train_linear_quality(docs.repartition(7), label, iters=6)
     assert w1 == w2
+
+
+def _dsir_expected(texts: dict[int, str], target_ids: set[int], B: int):
+    """Pure-python DSIR reimplementation (hashlib md5, no engine code)."""
+    import hashlib
+    import math
+
+    def buckets(text: str) -> list[int]:
+        toks = text.lower().split()
+        feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        return [
+            int(hashlib.md5(("dsir" + f).encode()).hexdigest()[:8], 16) % B
+            for f in feats
+        ]
+
+    per_doc = {i: buckets(t) for i, t in texts.items()}
+    cr: dict[int, int] = {}
+    ct: dict[int, int] = {}
+    for i, bks in per_doc.items():
+        for bk in bks:
+            cr[bk] = cr.get(bk, 0) + 1
+            if i in target_ids:
+                ct[bk] = ct.get(bk, 0) + 1
+    tr, tt = sum(cr.values()), sum(ct.values())
+    out = {}
+    for i, bks in per_doc.items():
+        lw = sum(
+            math.log((ct.get(bk, 0) + 1) / (tt + B))
+            - math.log((cr[bk] + 1) / (tr + B))
+            for bk in bks
+        )
+        out[i] = (len(bks), round(lw, 4))
+    return out
+
+
+def test_dsir_log_weights_match_python(spark):
+    texts = {
+        0: "the cat sat on the mat and the dog ran fast",
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "o gato sentou no tapete e o extrato chegou",
+        3: "uma mesa grande para o saldo da conta",
+        4: "the data value order key fast slow and of the",
+        5: "saldo extrato conta agencia valor documento",
+    }
+    en_ids = {0, 1, 4}
+    B = 64
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    target = docs.where(F.col("doc_id").isin(list(en_ids)))
+    got = {
+        r["doc_id"]: (r["n_feats"], r["log_w"])
+        for r in training.dsir_log_weights(docs, target, n_buckets=B).collect()
+    }
+    assert got == _dsir_expected(texts, en_ids, B)
+    # target-like docs must outscore non-target docs
+    en_min = min(got[i][1] for i in en_ids)
+    pt_max = max(got[i][1] for i in texts if i not in en_ids)
+    assert en_min > pt_max
