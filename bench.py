@@ -47,6 +47,8 @@ HEADLINE = [
     # ops, so sf0.1 catches regressions the sf0.01 contract scale hides.
     "q_fuzzy_dedup_keep",
     "q_repetition_stats",
+    "q_pack_sequences",
+    "q_dsir_weights",
 ]
 
 

@@ -227,7 +227,7 @@ def pack_sequences(
 
     Segments tile each doc exactly (Σ seg_len = n_tokens, contiguous from
     0) and tile each sequence exactly (Σ seg_len = seq_len for every
-    sequence but the last) — property-tested in tests/test_curation.py.
+    sequence but the last) — property-tested in tests/test_sampling.py.
 
     Scale: the global token offsets come from ``assign_shards``'s
     two-level prefix-sum (one coarse-group shuffle + one broadcast — no
