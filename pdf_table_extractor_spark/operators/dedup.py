@@ -37,16 +37,39 @@ def tokens(col: Column) -> Column:
     return F.split(squeeze_lower(col), " ")
 
 
+def bind(col: Column, f) -> Column:
+    """Evaluate ``col`` exactly once per row and pass the result to ``f``
+    as a bound lambda variable (via a single-element ``transform``).
+
+    Catalyst re-inlines a multi-referenced expression at every reference —
+    harmless for cheap exprs, catastrophic when the reference sits INSIDE
+    a higher-order-function lambda: the full expression (e.g. the
+    regexp+split token array) re-evaluates per ARRAY ELEMENT. shingles()
+    measured 6.6× slower that way, with 5 regexp_replace copies in the
+    optimized plan instead of 1 (the CLAUDE.md multi-reference gotcha,
+    HOF edition)."""
+    return F.element_at(F.transform(F.array(col), f), 1)
+
+
 def shingles(col: Column, k: int = 3) -> Column:
     """Word k-gram shingles of a text column (array<string>; empty when the
-    doc has fewer than k tokens)."""
-    toks = tokens(col)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), n - (k - 1))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)])
-    )
-    return F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
+    doc has fewer than k tokens).
+
+    The token split is ``bind``-ed so it evaluates exactly once per row
+    (see ``bind`` — referencing ``tokens(col)`` inside the per-shingle
+    lambda re-evaluates the regexp+split per array element; measured 6.6×
+    slower on the sf0.1 corpus)."""
+
+    def grams_of(toks: Column) -> Column:
+        n = F.size(toks)
+        idx = F.sequence(F.lit(1), n - (k - 1))
+        grams = F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
+        )
+        return F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
+
+    return bind(tokens(col), grams_of)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -281,12 +304,15 @@ def chunk_frame(
 ) -> DataFrame:
     """(id, line_no, line) by non-overlapping n-word windows — the line
     unit for corpora whose text carries no newline structure."""
-    toks = F.split(F.col(text_col), " ")
-    n_chunks = (F.size(toks) + (n_words - 1)).cast("long") / n_words
-    chunks = F.transform(
-        F.sequence(F.lit(0), F.floor(n_chunks).cast("int") - 1),
-        lambda i: F.array_join(F.slice(toks, i * n_words + 1, n_words), " "),
-    )
+
+    def chunks_of(toks: Column) -> Column:
+        n_chunks = (F.size(toks) + (n_words - 1)).cast("long") / n_words
+        return F.transform(
+            F.sequence(F.lit(0), F.floor(n_chunks).cast("int") - 1),
+            lambda i: F.array_join(F.slice(toks, i * n_words + 1, n_words), " "),
+        )
+
+    chunks = bind(F.split(F.col(text_col), " "), chunks_of)
     return docs.select(
         F.col(id_col), F.posexplode(chunks).alias("line_no", "line")
     )
@@ -358,18 +384,21 @@ def ngram_positions(
 ) -> DataFrame:
     """(id, pos, gram_key): every overlapping word n-gram with its 0-based
     start token position; gram_key = md5 of the space-joined gram."""
-    toks = tokens(F.col(text_col))
-    nt = F.size(toks)
-    idx = F.sequence(F.lit(1), nt - (n - 1))
-    grams = F.when(
-        nt >= n,
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(n)]
+
+    def grams_of(toks: Column) -> Column:
+        nt = F.size(toks)
+        idx = F.sequence(F.lit(1), nt - (n - 1))
+        return F.when(
+            nt >= n,
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(n)]
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<string>"))
+
+    grams = bind(tokens(F.col(text_col)), grams_of)
     return docs.select(
         F.col(id_col), F.posexplode(grams).alias("pos", "gram")
     ).select(id_col, "pos", F.md5("gram").alias("gram_key"))

@@ -120,19 +120,26 @@ def probe_buckets(vec: Column, bits: int, n_probe: int) -> Column:
     variants with the lowest-margin sign bits flipped (|v_d| smallest → the
     sign least certain → the flip most likely to recover a true neighbor).
     Deterministic tie-break on dimension index."""
-    prim = sign_bucket(vec, bits)
     if n_probe <= 1:
-        return F.array(prim)
+        return F.array(sign_bucket(vec, bits))
+    from pdf_table_extractor_spark.operators.dedup import bind
+
     margins = F.zip_with(
         F.slice(vec, 1, bits),
         F.sequence(F.lit(0), F.lit(bits - 1)),
         lambda v, d: F.struct(F.abs(v).alias("m"), d.alias("d")),
     )
     flips = F.slice(F.array_sort(margins), 1, n_probe - 1)
-    return F.concat(
-        F.array(prim),
-        F.transform(flips, lambda s: prim.bitwiseXOR(_flip_mask(s["d"], bits))),
-    )
+
+    # bind: the primary-bucket aggregate would otherwise re-evaluate per
+    # probe flip (dedup.bind docstring — HOF-lambda re-inlining)
+    def probes_of(prim: Column) -> Column:
+        return F.concat(
+            F.array(prim),
+            F.transform(flips, lambda s: prim.bitwiseXOR(_flip_mask(s["d"], bits))),
+        )
+
+    return bind(sign_bucket(vec, bits), probes_of)
 
 
 def lsh_nearest(

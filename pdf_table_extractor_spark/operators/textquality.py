@@ -142,10 +142,16 @@ def rolling_fingerprint(
     cost knob at 100 TB — sampling positions instead of hashing every
     window). Hash = md5 hex min, engine-portable like the MinHash path.
     """
-    canon = squeeze_lower(F.col(text_col))
-    n = F.length(canon)
-    starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)), F.lit(stride))
-    wins = F.transform(starts, lambda i: F.md5(F.substring(canon, i, k)))
+    from pdf_table_extractor_spark.operators.dedup import bind
+
+    def wins_of(canon: Column) -> Column:
+        n = F.length(canon)
+        starts = F.sequence(
+            F.lit(1), F.greatest(n - (k - 1), F.lit(1)), F.lit(stride)
+        )
+        return F.transform(starts, lambda i: F.md5(F.substring(canon, i, k)))
+
+    wins = bind(squeeze_lower(F.col(text_col)), wins_of)
     return df.select(
         F.col(id_col),
         F.array_min(wins).alias("min_window_md5"),
@@ -512,13 +518,15 @@ def chunk_tokens(
     if not 0 <= overlap < chunk:
         raise ValueError("need 0 <= overlap < chunk")
     stride = chunk - overlap
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
-    n_chunks = F.greatest(F.ceil((n - F.lit(overlap)) / F.lit(stride)), F.lit(1))
-    starts = F.sequence(F.lit(0), (n_chunks - 1) * stride, F.lit(stride))
-    chunks = F.transform(
-        starts, lambda s: F.slice(toks, s + 1, F.lit(chunk))
-    )
+    from pdf_table_extractor_spark.operators.dedup import bind
+
+    def chunks_of(toks: Column) -> Column:
+        n = F.size(toks)
+        n_chunks = F.greatest(F.ceil((n - F.lit(overlap)) / F.lit(stride)), F.lit(1))
+        starts = F.sequence(F.lit(0), (n_chunks - 1) * stride, F.lit(stride))
+        return F.transform(starts, lambda s: F.slice(toks, s + 1, F.lit(chunk)))
+
+    chunks = bind(tokens(F.col(text_col)), chunks_of)
     return df.select(
         F.col(id_col), F.posexplode(chunks).alias("chunk_no", "__c")
     ).select(

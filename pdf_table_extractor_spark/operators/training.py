@@ -249,36 +249,51 @@ def dsir_log_weights(
             id_col, hashed_ngram_bucket(F.col("__f"), B, salt).alias("__bk")
         )
 
-    raw_b = doc_buckets(raw)
-    tgt_b = doc_buckets(target)
-    raw_cnt = raw_b.groupBy("__bk").agg(F.count("*").cast("double").alias("__cr"))
-    tgt_cnt = tgt_b.groupBy("__bk").agg(F.count("*").cast("double").alias("__ct"))
-    raw_tot = raw_cnt.agg(F.sum("__cr").alias("__tr"))
-    tgt_tot = tgt_cnt.agg(F.coalesce(F.sum("__ct"), F.lit(0.0)).alias("__tt"))
+    # Pre-aggregate per (doc, bucket) so the expensive tokenize+hash
+    # explode of the RAW corpus materializes exactly once: both consumers
+    # (the bucket-count model and the per-doc scoring) hang off the SAME
+    # (id, bucket) exchange, which ReuseExchange serves with one shuffle
+    # write — the corpus text is read and tokenized once, not twice.
+    bkc = doc_buckets(raw).groupBy(id_col, "__bk").agg(F.count("*").alias("__c"))
+    raw_cnt = bkc.groupBy("__bk").agg(F.sum("__c").cast("double").alias("__cr"))
+    tgt_cnt = (
+        doc_buckets(target)
+        .groupBy("__bk")
+        .agg(F.count("*").cast("double").alias("__ct"))
+    )
     # every bucket a raw doc can hit appears in raw_cnt, so LEFT join;
-    # target-only smoothing mass still enters through __tt + B.
+    # target-only smoothing mass still enters through __tt + B. Corpus
+    # totals come from a whole-partition window over the JOINED bucket
+    # table (≤ n_buckets rows by construction — bounded, never
+    # corpus-scale), keeping the plan one linear chain instead of two
+    # extra aggregate branches that would re-materialize the explode.
+    w = Window.partitionBy()
+    ct0 = F.coalesce(F.col("__ct"), F.lit(0.0))
     ratio = (
         raw_cnt.join(tgt_cnt, "__bk", "left")
-        .crossJoin(F.broadcast(raw_tot))
-        .crossJoin(F.broadcast(tgt_tot))
         .select(
             "__bk",
             (
-                F.log(
-                    (F.coalesce(F.col("__ct"), F.lit(0.0)) + F.lit(1.0))
-                    / (F.col("__tt") + F.lit(float(B)))
+                F.log((ct0 + F.lit(1.0)) / (F.sum(ct0).over(w) + F.lit(float(B))))
+                - F.log(
+                    (F.col("__cr") + F.lit(1.0))
+                    / (F.sum("__cr").over(w) + F.lit(float(B)))
                 )
-                - F.log((F.col("__cr") + F.lit(1.0)) / (F.col("__tr") + F.lit(float(B))))
             ).alias("__lr"),
         )
     )
-    return (
-        raw_b.join(F.broadcast(ratio), "__bk")
-        .groupBy(id_col)
-        .agg(
-            F.count("*").alias("n_feats"),
-            F.round(F.sum("__lr"), 4).alias("log_w"),
-        )
+    # Σ_f lr(bucket(f)) = Σ_buckets count·lr — identical value, one
+    # broadcast join over the (id, bucket) aggregate instead of raw
+    # feature rows. eqNullSafe: a plain `=` would infer an
+    # isnotnull(__bk) constraint and push it below ONLY this consumer's
+    # exchange, forking it from raw_cnt's child and defeating
+    # ReuseExchange (the plans/extract.py lesson).
+    scored = bkc.join(
+        F.broadcast(ratio), bkc["__bk"].eqNullSafe(ratio["__bk"])
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("__c").alias("n_feats"),
+        F.round(F.sum(F.col("__c") * F.col("__lr")), 4).alias("log_w"),
     )
 
 

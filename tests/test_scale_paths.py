@@ -207,3 +207,56 @@ def test_mix_plan_zero_token_slice(spark):
     assert out["empty"].repeat_factor is None
     assert out["empty"].oversampled is True  # nonzero target it can never meet
     assert out["web"].repeat_factor == 1.0
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences: the only window is the tiny coarse-group totals one (the
+# assign_shards two-level scan); per-doc work is partitioned by group.
+# ---------------------------------------------------------------------------
+
+
+def test_pack_sequences_no_corpus_scale_window(spark):
+    from pdf_table_extractor_spark.operators import training  # noqa: F401
+
+    docs = spark.range(5000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 90 + 1).alias("n")
+    )
+    out = sampling.pack_sequences(
+        docs, seq_len=128, n_tokens=F.col("n"), group_size=1024
+    )
+    plan = _plan(out)
+    # two windows total (coarse-group offsets + per-group running sum),
+    # same shape as assign_shards; neither is a corpus-wide single
+    # partition: the global-ordered one runs over n/group_size rows only.
+    assert plan.count("Window") <= 2
+    # the offsets table joins back as a broadcast, not a shuffle join
+    assert "BroadcastExchange" in plan
+    # the carve is a narrow generate (posexplode), no extra exchange after it
+    assert "Generate" in plan
+
+
+# ---------------------------------------------------------------------------
+# dsir_log_weights: the log-ratio table broadcasts; the corpus text never
+# crosses a shuffle (only bucket ids keyed by doc do, partial-aggregated).
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_ratio_table_broadcasts_no_sort(spark):
+    from pdf_table_extractor_spark.operators import training
+
+    docs = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", F.array_repeat(F.lit("tok"), (F.col("id") % 9 + 2).cast("int"))
+        ).alias("text"),
+    )
+    target = docs.where(F.col("doc_id") % 5 == 0)
+    out = training.dsir_log_weights(docs, target, n_buckets=64)
+    plan = _plan(out)
+    # per-doc scoring joins the <=B-row ratio table via broadcast hash join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the only window is the corpus-totals one over the JOINED bucket
+    # table — <= n_buckets rows by construction, never corpus-scale
+    assert plan.count("Window") <= 1
+    assert out.count() == 400
