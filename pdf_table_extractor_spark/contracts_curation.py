@@ -2253,3 +2253,73 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training.dsir_log_weights(
         docs, docs.where(F.col("lang") == "en"), n_buckets=512
     )
+
+
+def _kmeans_sql(k: int, n_iter: int, round_to: int = 6) -> str:
+    """CTE chain replaying kmeans_centroids' rounded Lloyd's trajectory
+    (similarity.kmeans_centroids with round_to: seeds = k lowest ids,
+    argmax assignment with (cos DESC, cent_id) tie-break, per-position
+    rounded means, empty cells keep the previous centroid) plus the final
+    assignment ``af`` against the last centroids. MATERIALIZED throughout
+    (the multi-referenced-CTE re-inlining gotcha)."""
+    parts = [
+        f"""WITH c0 AS MATERIALIZED (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) AS cent_id,
+             CAST(embedding AS DOUBLE[]) AS cvec
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k})
+    )"""
+    ]
+    assign = """, {name} AS MATERIALIZED (
+      SELECT vec_id, cent_id FROM (
+        SELECT e.vec_id, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_cosine_similarity(e.embedding, c.cvec) DESC,
+                 c.cent_id) AS rk
+        FROM embeddings e CROSS JOIN {prev} c) WHERE rk = 1
+    )"""
+    for i in range(1, n_iter + 1):
+        parts.append(assign.format(name=f"a{i}", prev=f"c{i - 1}"))
+        parts.append(
+            f""", u{i} AS MATERIALIZED (
+      SELECT cent_id, list(m ORDER BY pos) AS cvec FROM (
+        SELECT t.cent_id, t.pos, ROUND(AVG(t.x), {round_to}) AS m FROM (
+          SELECT a.cent_id, UNNEST(CAST(e.embedding AS DOUBLE[])) AS x,
+                 UNNEST(generate_series(1, len(e.embedding))) AS pos
+          FROM a{i} a JOIN embeddings e USING (vec_id)) t
+        GROUP BY t.cent_id, t.pos) GROUP BY cent_id
+    ), c{i} AS MATERIALIZED (
+      SELECT c{i - 1}.cent_id, COALESCE(u{i}.cvec, c{i - 1}.cvec) AS cvec
+      FROM c{i - 1} LEFT JOIN u{i} USING (cent_id)
+    )"""
+        )
+    parts.append(assign.format(name="af", prev=f"c{n_iter}"))
+    return "".join(parts)
+
+
+@contract(
+    "q_semdedup",
+    _kmeans_sql(k=4, n_iter=2)
+    + """
+    , scoped AS MATERIALIZED (
+      SELECT e.vec_id, e.embedding, af.cent_id
+      FROM embeddings e JOIN af USING (vec_id)
+    ),
+    dropped AS (
+      SELECT DISTINCT r.vec_id AS b
+      FROM scoped l JOIN scoped r
+        ON l.cent_id = r.cent_id AND l.vec_id < r.vec_id
+      WHERE list_cosine_similarity(l.embedding, r.embedding) >= 0.42
+    )
+    SELECT af.vec_id, af.cent_id, d.b IS NULL AS keep
+    FROM af LEFT JOIN dropped d ON af.vec_id = d.b
+    """,
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (similarity.semdedup): cluster-then-dedup semantic
+    near-duplicate removal. The oracle replays the ENTIRE composition —
+    the rounded k-means trajectory, the final assignment, and the
+    within-cluster pair rule — so the clustering itself is SQL-verified,
+    not just the dedup pass."""
+    return similarity.semdedup(
+        load(spark, sf_dir, "embeddings"), k=4, threshold=0.42, n_iter=2
+    )

@@ -200,6 +200,7 @@ def kmeans_centroids(
     n_iter: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_to: int | None = None,
 ) -> DataFrame:
     """Distributed Lloyd's k-means over an embedding column, as pure
     DataFrame ops: broadcast the k current centroids, argmax-assign every
@@ -210,7 +211,13 @@ def kmeans_centroids(
 
     Deterministic: seeded by the k lowest-id vectors, fixed iteration
     count, and a first-min tie-break in the assignment. Empty cells keep
-    their previous centroid. Returns (cent_id, cvec)."""
+    their previous centroid. Returns (cent_id, cvec).
+
+    ``round_to``: round each centroid mean to that many decimals per
+    iteration (the train_linear_quality trajectory trick) — a distributed
+    avg's float-sum order differs between engines/partitionings by
+    ~1e-16, and rounding pins the trajectory so a SQL oracle replays it
+    bit-identically. None (default) keeps raw doubles."""
     c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     cents = (
         c.orderBy("id")
@@ -245,7 +252,13 @@ def kmeans_centroids(
         updated = (
             assigned.select("cent_id", F.posexplode("v").alias("pos", "x"))
             .groupBy("cent_id", "pos")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .agg(
+                (
+                    F.round(F.avg(F.col("x").cast("double")), round_to)
+                    if round_to is not None
+                    else F.avg(F.col("x").cast("double"))
+                ).alias("m")
+            )
             .groupBy("cent_id")
             .agg(
                 F.transform(
@@ -384,6 +397,69 @@ def near_dup_pairs(
         )
         .filter(F.col("cos") >= threshold)
         .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+    )
+
+
+def semdedup(
+    corpus: DataFrame,
+    *,
+    k: int,
+    threshold: float,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication" — public method): k-means-
+    cluster the embedding space, then mark semantic near-duplicates
+    WITHIN each cluster (cosine ≥ threshold) and keep one exemplar per
+    duplicate group. Returns one row per vector: (id, cent_id, keep) —
+    ``keep`` is False iff a lower-id vector in the same cluster sits
+    within the threshold (the paper's one-pass within-cluster rule, with
+    the lowest id as the deterministic exemplar).
+
+    Scale: clustering is the distributed Lloyd's above (broadcast
+    centroids + hash-aggregate argmax — no windows, no driver data); the
+    cluster scoping IS the published method's point — the pairwise stage
+    is never corpus-wide all-pairs, and k is the knob bounding the join
+    (E[cluster size] = n/k). The drop rule is a distinct + left join on
+    ids only. At extreme scale, persist the (id, vec) projection first:
+    Lloyd's iterations re-scan it by design (MLlib does the same).
+    ``round_to`` pins the centroid-mean trajectory so the whole
+    composition — including the clustering — replays bit-identically in
+    an external SQL oracle."""
+    cents = kmeans_centroids(
+        corpus, k, n_iter, id_col, vec_col, round_to=round_to
+    )
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    assigned = (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("ccos", cosine(F.col("v"), F.col("cvec")))
+        .groupBy("id")
+        .agg(
+            F.max_by(
+                F.col("cent_id"),
+                F.struct(F.col("ccos"), (-F.col("cent_id")).alias("nc")),
+            ).alias("cent_id")
+        )
+        .withColumnRenamed("id", id_col)
+    )
+    scoped = corpus.select(F.col(id_col), F.col(vec_col)).join(assigned, id_col)
+    pairs = near_dup_pairs(
+        scoped,
+        id_col=id_col,
+        vec_col=vec_col,
+        scope_col="cent_id",
+        threshold=threshold,
+    )
+    dropped = pairs.select(F.col("b").alias(id_col)).distinct().withColumn(
+        "__drop", F.lit(True)
+    )
+    return assigned.join(dropped, id_col, "left").select(
+        id_col,
+        "cent_id",
+        F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep"),
     )
 
 

@@ -405,3 +405,30 @@ def test_curation_operators_compose_end_to_end(spark):
     # shard ids are contiguous from 0 and offsets strictly increase by doc
     shards = sorted({r["shard"] for r in out})
     assert shards == list(range(len(shards)))
+
+
+def test_semdedup_keep_rule(vecs):
+    import math
+
+    out = similarity.semdedup(vecs, k=3, threshold=0.95, n_iter=2).collect()
+    assert len(out) == 31
+    rows = {r.vec_id: r for r in vecs.collect()}
+    cent = {r.vec_id: r.cent_id for r in out}
+    keep = {r.vec_id: r.keep for r in out}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    # keep iff NO lower-id same-cluster vector within the threshold
+    for i, r in rows.items():
+        expect = not any(
+            cent[j] == cent[i] and cos(rows[j].embedding, r.embedding) >= 0.95
+            for j in rows
+            if j < i
+        )
+        assert keep[i] == expect, i
+    # the perturbed twin (30) of vector 0 must be dropped, its exemplar kept
+    assert keep[0] and not keep[30]
