@@ -162,6 +162,7 @@ def assign_shards(
     n_tokens: Column,
     order_col: str = "doc_id",
     group_size: int = 1 << 20,
+    n_out: str | None = None,
 ) -> DataFrame:
     """Token-budgeted output sharding: documents in ``order_col`` order
     are packed into contiguous shards of ``tokens_per_shard`` tokens
@@ -175,9 +176,21 @@ def assign_shards(
     G=2^20) take the only global-ordered window, and the offsets broadcast
     back; the per-doc running sum is then a window partitioned by g.
     That is the classic two-level scan: one small shuffle + one
-    broadcast, never all rows on one task."""
+    broadcast, never all rows on one task.
+
+    ``n_out``: also expose the evaluated token count as this output
+    column (pinned via ``textops.pin`` so a downstream ``.filter()`` on
+    it reads the attribute instead of re-inlining the caller's
+    ``n_tokens`` expression — the filter-through-Project gotcha).
+    Callers that need the count again (pack_sequences) use this instead
+    of re-evaluating their expression."""
     o = F.col(order_col)
-    with_g = docs.withColumn("__n", n_tokens.cast("long")).withColumn(
+    n_expr = n_tokens.cast("long")
+    if n_out:
+        from pdf_table_extractor_spark.functions.textops import pin
+
+        n_expr = pin(n_expr)
+    with_g = docs.withColumn("__n", n_expr).withColumn(
         "__g", F.floor(o / F.lit(int(group_size)))
     )
     totals = with_g.groupBy("__g").agg(F.sum("__n").alias("__gt"))
@@ -191,7 +204,7 @@ def assign_shards(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     cum = F.col("__off") + F.sum("__n").over(w_in)
-    return (
+    out = (
         with_g.join(F.broadcast(offsets), "__g")
         .withColumn("token_offset", (cum - F.col("__n")).cast("long"))
         .withColumn(
@@ -200,8 +213,9 @@ def assign_shards(
                 "long"
             ),
         )
-        .drop("__g", "__n", "__off")
+        .drop("__g", "__off")
     )
+    return out.withColumnRenamed("__n", n_out) if n_out else out.drop("__n")
 
 
 def pack_sequences(
@@ -237,26 +251,29 @@ def pack_sequences(
     L = int(seq_len)
     if L <= 0:
         raise ValueError("seq_len must be positive")
+    # n_out: the caller's n_tokens expression (often a full tokenize) is
+    # evaluated ONCE inside assign_shards and read back as an attribute
+    # here; `shard` = floor(offset / L) is exactly the doc's first
+    # sequence, so it is reused rather than recomputed.
     with_off = assign_shards(
         docs,
         tokens_per_shard=L,
         n_tokens=n_tokens,
         order_col=order_col,
         group_size=group_size,
-    ).drop("shard")
-    n = n_tokens.cast("long")
+        n_out="__n",
+    )
+    n = F.col("__n")
     off = F.col("token_offset")
-    first = (off / F.lit(L)).cast("long")  # floor: offsets are non-negative
     last = ((off + n - F.lit(1)) / F.lit(L)).cast("long")
     seg = with_off.where(n > 0).select(
         "*",
-        n.alias("__n"),
-        F.posexplode(F.sequence(first, last)).alias("seg_no", "seq_id"),
+        F.posexplode(F.sequence(F.col("shard"), last)).alias("seg_no", "seq_id"),
     )
     g_start = F.greatest(off, F.col("seq_id") * L)
-    g_end = F.least(off + F.col("__n"), (F.col("seq_id") + 1) * L)
+    g_end = F.least(off + n, (F.col("seq_id") + 1) * L)
     return seg.select(
-        *[c for c in with_off.columns],
+        *[c for c in with_off.columns if c not in ("shard", "__n")],
         F.col("seq_id").cast("long").alias("seq_id"),
         "seg_no",
         (g_start - off).cast("long").alias("doc_start"),

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pdf_table_extractor_spark.operators.dedup import bind
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ a_i·b_i as an ordered fold (aggregate over zip_with)."""
@@ -122,8 +124,6 @@ def probe_buckets(vec: Column, bits: int, n_probe: int) -> Column:
     Deterministic tie-break on dimension index."""
     if n_probe <= 1:
         return F.array(sign_bucket(vec, bits))
-    from pdf_table_extractor_spark.operators.dedup import bind
-
     margins = F.zip_with(
         F.slice(vec, 1, bits),
         F.sequence(F.lit(0), F.lit(bits - 1)),

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from pdf_table_extractor_spark.operators.dedup import shingles, squeeze_lower, tokens
+from pdf_table_extractor_spark.operators.dedup import bind, shingles, squeeze_lower, tokens
 
 # Tiny marker wordlists (n-gram/stopword heuristic). Deliberately small and
 # deterministic; real deployments swap in fastText-style models behind the
@@ -142,8 +142,6 @@ def rolling_fingerprint(
     cost knob at 100 TB — sampling positions instead of hashing every
     window). Hash = md5 hex min, engine-portable like the MinHash path.
     """
-    from pdf_table_extractor_spark.operators.dedup import bind
-
     def wins_of(canon: Column) -> Column:
         n = F.length(canon)
         starts = F.sequence(
@@ -518,7 +516,6 @@ def chunk_tokens(
     if not 0 <= overlap < chunk:
         raise ValueError("need 0 <= overlap < chunk")
     stride = chunk - overlap
-    from pdf_table_extractor_spark.operators.dedup import bind
 
     def chunks_of(toks: Column) -> Column:
         n = F.size(toks)

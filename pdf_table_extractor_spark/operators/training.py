@@ -261,23 +261,26 @@ def dsir_log_weights(
         .groupBy("__bk")
         .agg(F.count("*").cast("double").alias("__ct"))
     )
-    # every bucket a raw doc can hit appears in raw_cnt, so LEFT join;
-    # target-only smoothing mass still enters through __tt + B. Corpus
-    # totals come from a whole-partition window over the JOINED bucket
-    # table (≤ n_buckets rows by construction — bounded, never
-    # corpus-scale), keeping the plan one linear chain instead of two
-    # extra aggregate branches that would re-materialize the explode.
+    # FULL outer join: a bucket only the target hits must still count
+    # toward the target total (a LEFT join would silently shrink tt and
+    # bias every log_w by n_feats·log((tt+B)/(tt'+B)) whenever the
+    # target is not a subset of raw). Corpus totals come from a
+    # whole-partition window over the JOINED bucket table (≤ 2·n_buckets
+    # rows by construction — bounded, never corpus-scale), keeping the
+    # plan one linear chain instead of two extra aggregate branches that
+    # would re-materialize the explode. Target-only rows simply never
+    # match a raw doc's bucket in the scoring join below.
     w = Window.partitionBy()
     ct0 = F.coalesce(F.col("__ct"), F.lit(0.0))
+    cr0 = F.coalesce(F.col("__cr"), F.lit(0.0))
     ratio = (
-        raw_cnt.join(tgt_cnt, "__bk", "left")
+        raw_cnt.join(tgt_cnt, "__bk", "full")
         .select(
             "__bk",
             (
                 F.log((ct0 + F.lit(1.0)) / (F.sum(ct0).over(w) + F.lit(float(B))))
                 - F.log(
-                    (F.col("__cr") + F.lit(1.0))
-                    / (F.sum("__cr").over(w) + F.lit(float(B)))
+                    (cr0 + F.lit(1.0)) / (F.sum(cr0).over(w) + F.lit(float(B)))
                 )
             ).alias("__lr"),
         )

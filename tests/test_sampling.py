@@ -276,6 +276,4 @@ def test_pack_sequences_is_partitioning_invariant(spark):
         docs.repartition(7), seq_len=50, n_tokens=F.col("n"), group_size=8
     ).collect()
     key = lambda r: (r["doc_id"], r["seg_no"])
-    assert sorted(map(tuple, a), key=lambda t: t[:2]) == sorted(
-        map(tuple, b), key=lambda t: t[:2]
-    ) and len(a) == len(b) > 0
+    assert sorted(a, key=key) == sorted(b, key=key) and len(a) == len(b) > 0

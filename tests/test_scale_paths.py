@@ -216,8 +216,6 @@ def test_mix_plan_zero_token_slice(spark):
 
 
 def test_pack_sequences_no_corpus_scale_window(spark):
-    from pdf_table_extractor_spark.operators import training  # noqa: F401
-
     docs = spark.range(5000).select(
         F.col("id").alias("doc_id"), (F.col("id") % 90 + 1).alias("n")
     )
@@ -255,7 +253,11 @@ def test_dsir_ratio_table_broadcasts_no_sort(spark):
     plan = _plan(out)
     # per-doc scoring joins the <=B-row ratio table via broadcast hash join
     assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    # the raw/target bucket-count merge is a FULL outer join (target-only
+    # buckets must count toward tt) — full outer can't broadcast, so a
+    # sort-merge join IS expected there, over <= 2*n_buckets rows. The
+    # corpus-scale side must never sort-merge: at most that one SMJ.
+    assert plan.count("SortMergeJoin") <= 1
     # the only window is the corpus-totals one over the JOINED bucket
     # table — <= n_buckets rows by construction, never corpus-scale
     assert plan.count("Window") <= 1

@@ -108,8 +108,12 @@ def test_train_linear_quality_is_partitioning_invariant(spark):
     assert w1 == w2
 
 
-def _dsir_expected(texts: dict[int, str], target_ids: set[int], B: int):
-    """Pure-python DSIR reimplementation (hashlib md5, no engine code)."""
+def _dsir_expected(
+    raw_texts: dict[int, str], tgt_texts: dict[int, str], B: int
+):
+    """Pure-python DSIR reimplementation (hashlib md5, no engine code).
+    Raw and target are independent corpora — the target need not be a
+    subset of raw."""
     import hashlib
     import math
 
@@ -121,14 +125,15 @@ def _dsir_expected(texts: dict[int, str], target_ids: set[int], B: int):
             for f in feats
         ]
 
-    per_doc = {i: buckets(t) for i, t in texts.items()}
     cr: dict[int, int] = {}
     ct: dict[int, int] = {}
-    for i, bks in per_doc.items():
+    per_doc = {i: buckets(t) for i, t in raw_texts.items()}
+    for bks in per_doc.values():
         for bk in bks:
             cr[bk] = cr.get(bk, 0) + 1
-            if i in target_ids:
-                ct[bk] = ct.get(bk, 0) + 1
+    for t in tgt_texts.values():
+        for bk in buckets(t):
+            ct[bk] = ct.get(bk, 0) + 1
     tr, tt = sum(cr.values()), sum(ct.values())
     out = {}
     for i, bks in per_doc.items():
@@ -160,8 +165,27 @@ def test_dsir_log_weights_match_python(spark):
         r["doc_id"]: (r["n_feats"], r["log_w"])
         for r in training.dsir_log_weights(docs, target, n_buckets=B).collect()
     }
-    assert got == _dsir_expected(texts, en_ids, B)
+    assert got == _dsir_expected(texts, {i: texts[i] for i in en_ids}, B)
     # target-like docs must outscore non-target docs
     en_min = min(got[i][1] for i in en_ids)
     pt_max = max(got[i][1] for i in texts if i not in en_ids)
     assert en_min > pt_max
+
+
+def test_dsir_target_disjoint_from_raw(spark):
+    # the target corpus hits buckets NO raw doc hits: tt must still count
+    # that mass (a left-joined total silently shrank it — regression)
+    raw_texts = {0: "aa bb aa", 1: "cc dd", 2: "aa cc"}
+    tgt_texts = {100: "zz yy zz qq", 101: "aa zz"}
+    B = 32
+    raw = spark.createDataFrame(
+        list(raw_texts.items()), "doc_id long, text string"
+    )
+    tgt = spark.createDataFrame(
+        list(tgt_texts.items()), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_feats"], r["log_w"])
+        for r in training.dsir_log_weights(raw, tgt, n_buckets=B).collect()
+    }
+    assert got == _dsir_expected(raw_texts, tgt_texts, B)

@@ -45,9 +45,22 @@ def main() -> None:
     stages = json.load(
         urllib.request.urlopen(f"{ui}/api/v1/applications/{app_id}/stages?status=complete")
     )
-    # keep only the timed (second) run: stages submitted after t0's wall start
+    # keep only the timed (second) run — warm-up stages carry codegen
+    # compile time in runT and would double every byte column
+    import datetime
+
+    cutoff = datetime.datetime.now(datetime.timezone.utc) - datetime.timedelta(
+        seconds=wall + 2
+    )
     rows = []
     for s in stages:
+        sub = s.get("submissionTime")
+        if sub:
+            ts = datetime.datetime.strptime(
+                sub.replace("GMT", "+0000"), "%Y-%m-%dT%H:%M:%S.%f%z"
+            )
+            if ts < cutoff:
+                continue
         rows.append(
             {
                 "stage": s["stageId"],
@@ -64,14 +77,14 @@ def main() -> None:
             }
         )
     rows.sort(key=lambda r: -r["runT_s"])
-    print(f"wall={wall:.1f}s  n_docs={n_docs} cpus={cpus} (both runs' stages below)")
+    print(f"wall={wall:.1f}s  n_docs={n_docs} cpus={cpus} (timed run's stages only)")
     hdr = list(rows[0].keys())
     print(" | ".join(hdr))
     for r in rows:
         print(" | ".join(str(r[k]) for k in hdr))
     tot_w = sum(r["sh_write_MB"] for r in rows)
     tot_r = sum(r["sh_read_MB"] for r in rows)
-    print(f"TOTAL shuffle write {tot_w:.0f} MB / read {tot_r:.0f} MB (2 runs)")
+    print(f"TOTAL shuffle write {tot_w:.0f} MB / read {tot_r:.0f} MB (timed run)")
     spark.stop()
 
 
