@@ -65,8 +65,8 @@ _PRIORITY: list[str] = [
     "q_dedup_substring", "q_fuzzy_dedup_keep", "q_pagerank",
     "q_assign_shards", "q_boilerplate_main", "q_temperature_resample",
     "q_dedup_exact", "q_dedup_minhash", "q_unigram_ppl",
-    "q_tfidf_topk", "q_latest_capture", "q_domain_cap",
-    "q_weighted_sample", "q_mean_pool", "q_gopher_quality",
+    "q_tfidf_topk", "q_semdedup", "q_domain_cap",
+    "q_dsir_weights", "q_pack_sequences", "q_gopher_quality",
     "q_contamination",
 ]
 
