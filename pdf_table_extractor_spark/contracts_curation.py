@@ -2323,3 +2323,107 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semdedup(
         load(spark, sf_dir, "embeddings"), k=4, threshold=0.42, n_iter=2
     )
+
+
+def _bpe_sql(k: int, select: str) -> str:
+    """CTE chain replaying training.bpe_merges' trajectory in DuckDB:
+    word freqs (ONE corpus pass), sentinel-wrapped char symbols, then per
+    merge round i: freq-weighted adjacent-pair counts over w{i-1}, the
+    (cnt DESC, pair ASC) argmax, and a literal non-overlapping replace
+    into w{i}. chr(1)/chr(2) are the engine-shared symbol sentinels —
+    literal replace of a wrapped pair is boundary-exact and
+    left-to-right-greedy in both engines (== the BPE merge scan).
+    MATERIALIZED per round: DuckDB 1.0 re-inlines multi-referenced CTEs
+    exponentially otherwise."""
+    parts = [
+        f"""
+    WITH wf AS MATERIALIZED (
+      SELECT w, COUNT(*) AS freq
+      FROM (SELECT unnest(string_split({SQ}, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w
+    ),
+    w0 AS MATERIALIZED (
+      SELECT w, freq,
+             list_aggregate(list_transform(string_split(w, ''),
+               c -> chr(1) || c || chr(2)), 'string_agg', ' ')
+             || ' ' || chr(1) || '</w>' || chr(2) AS sym
+      FROM wf
+    )"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""",
+    p{i} AS (
+      SELECT pr, SUM(freq) AS cnt FROM (
+        SELECT freq, unnest(list_transform(generate_series(1, len(a) - 1),
+          j -> a[j] || ' ' || a[j + 1])) AS pr
+        FROM (SELECT freq, string_split(sym, ' ') AS a FROM w{i - 1})
+      ) GROUP BY pr
+    ),
+    m{i} AS MATERIALIZED (
+      SELECT {i} AS merge_no, pr,
+             replace(pr, chr(2) || ' ' || chr(1), '') AS mg, cnt
+      FROM p{i} ORDER BY cnt DESC, pr LIMIT 1
+    ),
+    w{i} AS MATERIALIZED (
+      SELECT w, freq,
+             replace(sym, (SELECT pr FROM m{i}), (SELECT mg FROM m{i})) AS sym
+      FROM w{i - 1}
+    )"""
+        )
+    parts.append(select)
+    return "".join(parts)
+
+
+_BPE_K = 6
+
+@contract(
+    "q_bpe_merges",
+    _bpe_sql(
+        _BPE_K,
+        f"""
+    SELECT CAST(merge_no AS INT) AS merge_no,
+           string_split(replace(replace(pr, chr(1), ''), chr(2), ''), ' ')[1]
+             AS left_sym,
+           string_split(replace(replace(pr, chr(1), ''), chr(2), ''), ' ')[2]
+             AS right_sym,
+           CAST(cnt AS BIGINT) AS pair_freq
+    FROM ({' UNION ALL '.join(f'SELECT * FROM m{i}' for i in range(1, _BPE_K + 1))})
+    """,
+    ),
+)
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (training.bpe_merges, Sennrich et al. 2016):
+    the oracle replays the full merge trajectory — word freqs, per-round
+    pair counts, (cnt DESC, pair ASC) argmax, literal boundary-exact
+    merge — so the learned merge TABLE itself is SQL-verified."""
+    docs = load(spark, sf_dir, "documents")
+    return training.bpe_merges_df(spark, training.bpe_merges(docs, _BPE_K))
+
+
+@contract(
+    "q_bpe_encode",
+    _bpe_sql(
+        _BPE_K,
+        f"""
+    , vocab AS MATERIALIZED (
+      SELECT w, len(string_split(sym, ' ')) AS n_sub FROM w{_BPE_K}
+    )
+    SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(v.n_sub) AS BIGINT) AS n_subwords
+    FROM (SELECT doc_id, unnest(string_split({SQ}, ' ')) AS w
+          FROM documents) t
+    JOIN vocab v ON t.w = v.w
+    WHERE t.w <> ''
+    GROUP BY t.doc_id
+    """,
+    ),
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-encode composition (training.bpe_encode_counts): the
+    trained merge chain runs once over the VOCABULARY, the corpus joins
+    the (word -> subword count) map broadcast — per-doc token accounting
+    at real tokenizer granularity for pack_sequences / mix_plan."""
+    docs = load(spark, sf_dir, "documents")
+    merges = training.bpe_merges(docs, _BPE_K)
+    return training.bpe_encode_counts(docs, merges)

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from pdf_table_extractor_spark.operators.dedup import tokens
+from pdf_table_extractor_spark.operators.dedup import bind, tokens
 from pdf_table_extractor_spark.operators.textquality import LANG_MARKERS, _hits
 
 
@@ -306,4 +306,218 @@ def weights_df(spark, weights: dict[str, float]) -> DataFrame:
     return spark.createDataFrame(
         [(name, float(weights[name])) for name in QUALITY_FEATURES],
         "feature string, weight double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE subword tokenizer training (Sennrich, Haddow & Birch 2016, ACL —
+# "Neural Machine Translation of Rare Words with Subword Units"; the
+# public algorithm behind GPT-2/SentencePiece-style vocabularies).
+#
+# Reference parity: the reference repo has no tokenizer (its text plane
+# stops at whitespace words); this is part of the training-data-pipeline
+# surface the engine adds on top — the learned artifact (merge table)
+# drops into token-count / packing / mix-plan operators as data.
+# ---------------------------------------------------------------------------
+
+#: Symbol-boundary sentinels. Every BPE symbol is carried as
+#: ``\x01<sym>\x02`` inside a space-joined string, so a literal
+#: ``replace`` of ``\x01A\x02 \x01B\x02`` -> ``\x01AB\x02`` is exact:
+#: no substring can match across symbol boundaries, adjacent
+#: occurrences keep their separating space (left-to-right
+#: non-overlapping literal replace == the greedy BPE merge scan), and
+#: no regex escaping is ever needed. Control chars cannot occur in
+#: tokenized text.
+BPE_L = "\x01"
+BPE_R = "\x02"
+BPE_MARKER = "</w>"
+
+
+def bpe_word_freq(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w, freq): corpus token occurrence counts — the ONE pass over the
+    corpus BPE training needs. One map-side-combinable hash aggregate;
+    everything after runs at vocabulary scale (orders of magnitude
+    smaller than the corpus at 100 TB)."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def bpe_init_symbols(w: Column, marker: str = BPE_MARKER) -> Column:
+    """Render a word as its initial BPE symbol string: each character
+    sentinel-wrapped, space-joined, with a terminal end-of-word symbol
+    (so merges can learn word-final units, per the published algorithm)."""
+    return F.concat(
+        F.array_join(
+            F.transform(
+                F.split(w, ""),
+                lambda c: F.concat(F.lit(BPE_L), c, F.lit(BPE_R)),
+            ),
+            " ",
+        ),
+        F.lit(" " + BPE_L + marker + BPE_R),
+    )
+
+
+def bpe_pair_counts(words: DataFrame) -> DataFrame:
+    """(pair, cnt): freq-weighted adjacent-symbol-pair counts over the
+    vocabulary — one hash aggregate per training iteration. Counts every
+    adjacent position (overlapping included), exactly like the published
+    counting step; the merge itself is then non-overlapping left-to-right.
+
+    The symbol array is bound once per row (dedup.bind) — an unbound
+    reference inside the transform lambda would re-run the split per
+    PAIR (the HOF re-inlining gotcha)."""
+    pairs = bind(
+        F.split(F.col("sym"), " "),
+        lambda a: F.filter(
+            F.transform(
+                # greatest(...,1) keeps sequence() ascending for
+                # fully-merged single-symbol words; the j+1 probe then
+                # try_element_at's past the end -> null -> filtered.
+                # (when() would not short-circuit vectorized eval, and
+                # sequence(1,0) generates a DESCENDING range in Spark.)
+                F.sequence(F.lit(1), F.greatest(F.size(a) - 1, F.lit(1))),
+                lambda j: F.concat(
+                    F.try_element_at(a, j), F.lit(" "), F.try_element_at(a, j + 1)
+                ),
+            ),
+            lambda p: p.isNotNull(),
+        ),
+    )
+    return (
+        words.select(F.explode(pairs).alias("pair"), "freq")
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def bpe_merges(
+    df: DataFrame,
+    k: int = 8,
+    *,
+    text_col: str = "text",
+    marker: str = BPE_MARKER,
+) -> list[dict]:
+    """Train ``k`` BPE merges over a corpus; returns the merge table as a
+    list of dicts (merge_no, left, right, pair_freq, pattern, merged) —
+    the tokenizer model artifact (like train_linear_quality's weights,
+    the only thing that ever reaches the driver: one 1-row argmax per
+    iteration).
+
+    Determinism: the argmax tie-breaks on (cnt DESC, pair ASC) — both a
+    total order and engine-portable (binary string compare), and pair
+    counts are exact integers, so a SQL oracle replays the identical
+    merge trajectory.
+
+    Scale: the corpus is touched ONCE (bpe_word_freq); each iteration is
+    one vocabulary-scale hash aggregate + a TakeOrdered(1) + one literal
+    replace projection (pure codegen). localCheckpoint truncates the
+    k-deep replace lineage (the iterative-loop gotcha). For production
+    vocab sizes (~50k merges) the per-merge full recount is the textbook
+    algorithm; batch variants that apply the top-M non-interacting pairs
+    per round cut the iteration count ~M× at identical corpus cost —
+    documented scale path, not needed at contract scale."""
+    words = (
+        bpe_word_freq(df, text_col)
+        .withColumn("sym", bpe_init_symbols(F.col("w"), marker))
+        .localCheckpoint()
+    )
+    glue = BPE_R + " " + BPE_L
+    out: list[dict] = []
+    for i in range(1, int(k) + 1):
+        best = (
+            bpe_pair_counts(words)
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .first()
+        )
+        if best is None:
+            break
+        pat = best["pair"]
+        merged = pat.replace(glue, "")
+        left, right = pat.replace(BPE_L, "").replace(BPE_R, "").split(" ", 1)
+        out.append(
+            {
+                "merge_no": i,
+                "left": left,
+                "right": right,
+                "pair_freq": int(best["cnt"]),
+                "pattern": pat,
+                "merged": merged,
+            }
+        )
+        words = words.withColumn(
+            "sym", F.replace(F.col("sym"), F.lit(pat), F.lit(merged))
+        ).localCheckpoint()
+    return out
+
+
+def bpe_merges_df(spark, merges: list[dict]) -> DataFrame:
+    """Render a trained merge table as a DataFrame (for contracts /
+    persistence), sentinel-free."""
+    return spark.createDataFrame(
+        [
+            (m["merge_no"], m["left"], m["right"], m["pair_freq"])
+            for m in merges
+        ],
+        "merge_no int, left_sym string, right_sym string, pair_freq bigint",
+    )
+
+
+def bpe_apply(sym: Column, merges: list[dict]) -> Column:
+    """Apply a trained merge list, in order, to a sentinel-wrapped symbol
+    string — a chain of literal replaces, pure codegen. Fine for the
+    hundreds-of-merges regime; for ~50k-merge production vocabularies the
+    expression tree outgrows codegen (Janino 64KB) and the scale path is
+    the same chain applied by an Arrow-batched pandas UDF over the
+    VOCABULARY table (not the corpus), which stays millions of rows."""
+    for m in merges:
+        sym = F.replace(sym, F.lit(m["pattern"]), F.lit(m["merged"]))
+    return sym
+
+
+def bpe_encode_counts(
+    df: DataFrame,
+    merges: list[dict],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    marker: str = BPE_MARKER,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """(doc_id, n_words, n_subwords): per-document subword token counts
+    under a trained BPE vocabulary — the token accounting that feeds
+    pack_sequences / mix_plan at real tokenizer granularity instead of
+    whitespace words.
+
+    The merge chain runs over the VOCABULARY once (never per token
+    occurrence); the corpus is then one equi-join against the (w, n_sub)
+    map — broadcast by default (a few MB for realistic vocabularies; set
+    ``broadcast_vocab=False`` for web-junk vocabularies in the 10^8+
+    range to let AQE pick the shuffle join)."""
+    vocab = (
+        bpe_word_freq(df, text_col)
+        .withColumn("sym", bpe_init_symbols(F.col("w"), marker))
+        .select(
+            "w",
+            F.size(F.split(bpe_apply(F.col("sym"), merges), " ")).alias("n_sub"),
+        )
+    )
+    if broadcast_vocab:
+        vocab = F.broadcast(vocab)
+    toks = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w"))
+        .where(F.col("w") != "")
+    )
+    return (
+        toks.join(vocab, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sub").alias("n_subwords"),
+        )
     )

@@ -189,3 +189,99 @@ def test_dsir_target_disjoint_from_raw(spark):
         for r in training.dsir_log_weights(raw, tgt, n_buckets=B).collect()
     }
     assert got == _dsir_expected(raw_texts, tgt_texts, B)
+
+
+# ---------------------------------------------------------------------------
+# BPE subword training
+# ---------------------------------------------------------------------------
+
+
+def _py_bpe(texts: list[str], k: int):
+    """Independent pure-python BPE (Sennrich et al. pseudo-code): pair
+    counts over the word-freq vocab, (count DESC, pair ASC) argmax,
+    greedy left-to-right non-overlapping merge."""
+    import collections
+    import re
+
+    freq = collections.Counter()
+    for t in texts:
+        for w in re.sub(r"\s+", " ", t.lower()).strip().split(" "):
+            if w:
+                freq[w] += 1
+    vocab = {tuple(list(w) + ["</w>"]): c for w, c in freq.items()}
+    merges = []
+    for i in range(k):
+        pairs = collections.Counter()
+        for syms, c in vocab.items():
+            for j in range(len(syms) - 1):
+                pairs[(syms[j], syms[j + 1])] += c
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((i + 1, a, b, cnt))
+        new = {}
+        for syms, c in vocab.items():
+            out, j = [], 0
+            while j < len(syms):
+                if j < len(syms) - 1 and syms[j] == a and syms[j + 1] == b:
+                    out.append(a + b)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + c
+        vocab = new
+    return merges, vocab
+
+
+def _bpe_docs(spark):
+    # exercises the nasty cases: overlapping pairs ('aaaa' -> (a,a)
+    # counted 3x but merged non-overlapping into 'aa aa'), single-char
+    # words (symbol string = char + marker only), pair-count ties
+    # (broken on pair string), and merged symbols that later merge again.
+    texts = [
+        "aaaa aaaa aa a banana bandana",
+        "banana banana band and sand a",
+        "aaaa nan ban b an na a aa",
+    ]
+    return (
+        spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        ),
+        texts,
+    )
+
+
+def test_bpe_merges_match_independent_python(spark):
+    df, texts = _bpe_docs(spark)
+    k = 8
+    got = [
+        (m["merge_no"], m["left"], m["right"], m["pair_freq"])
+        for m in training.bpe_merges(df, k)
+    ]
+    want, _ = _py_bpe(texts, k)
+    assert got == want
+
+
+def test_bpe_encode_counts_match_independent_python(spark):
+    df, texts = _bpe_docs(spark)
+    k = 5
+    merges = training.bpe_merges(df, k)
+    _, vocab = _py_bpe(texts, k)
+    n_sub = {"".join(s).replace("</w>", ""): len(s) for s in vocab}
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_subwords"])
+        for r in training.bpe_encode_counts(df, merges).collect()
+    }
+    want = {}
+    for i, t in enumerate(texts):
+        ws = [w for w in t.lower().split() if w]
+        want[i] = (len(ws), sum(n_sub[w] for w in ws))
+    assert got == want
+
+
+def test_bpe_training_deterministic_under_repartition(spark):
+    df, _ = _bpe_docs(spark)
+    a = training.bpe_merges(df, 6)
+    b = training.bpe_merges(df.repartition(7), 6)
+    assert a == b
