@@ -2427,3 +2427,36 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     merges = training.bpe_merges(docs, _BPE_K)
     return training.bpe_encode_counts(docs, merges)
+
+
+@contract(
+    "q_warc_roundtrip",
+    f"""
+    SELECT 'https://example.org/doc/' || doc_id AS url,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS text_md5
+    FROM documents
+    """,
+)
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC source/sink (sources/warc.py, the Common-Crawl container):
+    documents rendered to WARC pieces (codegen record expr + text sink),
+    read back through the Content-Length-driven binaryFile parser; the
+    oracle checks every url survives with byte-identical payload
+    (octet length + md5 of the UTF-8 bytes)."""
+    import tempfile
+
+    from pdf_table_extractor_spark.sources import warc
+
+    docs = load(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("https://example.org/doc/"), F.col("doc_id")).alias("url"),
+        "text",
+    )
+    out = tempfile.mkdtemp(prefix="warc_contract_") + "/w"
+    warc.write_warc(pages, out, n_files=4)
+    return warc.read_warc(spark, out).select(
+        "url",
+        F.col("content_length").alias("n_bytes"),
+        F.md5("payload").alias("text_md5"),
+    )
