@@ -2460,3 +2460,70 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("content_length").alias("n_bytes"),
         F.md5("payload").alias("text_md5"),
     )
+
+
+@contract(
+    "q_dedup_incremental",
+    f"""
+    WITH oldd AS MATERIALIZED (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+    newd AS MATERIALIZED (SELECT * FROM documents WHERE doc_id % 3 = 0),
+    osh AS (
+      SELECT doc_id, unnest(list_transform(
+        generate_series(1, greatest(len(t) - 2, 0)),
+        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM (SELECT doc_id, string_split({SQ}, ' ') AS t FROM oldd)
+    ),
+    osig AS (
+      SELECT doc_id, MIN(md5('0:' || s)) AS h0, MIN(md5('1:' || s)) AS h1,
+             MIN(md5('2:' || s)) AS h2, MIN(md5('3:' || s)) AS h3
+      FROM osh GROUP BY doc_id
+    ),
+    oband AS MATERIALIZED (
+      SELECT DISTINCT key FROM (
+        SELECT '0|' || h0 || '|' || h1 AS key FROM osig
+        UNION ALL SELECT '1|' || h2 || '|' || h3 FROM osig)
+    ),
+    omd5 AS MATERIALIZED (SELECT DISTINCT md5(text) AS key FROM oldd),
+    nsh AS (
+      SELECT doc_id, unnest(list_transform(
+        generate_series(1, greatest(len(t) - 2, 0)),
+        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM (SELECT doc_id, string_split({SQ}, ' ') AS t FROM newd)
+    ),
+    nsig AS (
+      SELECT doc_id, MIN(md5('0:' || s)) AS h0, MIN(md5('1:' || s)) AS h1,
+             MIN(md5('2:' || s)) AS h2, MIN(md5('3:' || s)) AS h3
+      FROM nsh GROUP BY doc_id
+    ),
+    nearhit AS MATERIALIZED (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id, '0|' || h0 || '|' || h1 AS key FROM nsig
+        UNION ALL SELECT doc_id, '1|' || h2 || '|' || h3 FROM nsig) nb
+      WHERE key IN (SELECT key FROM oband)
+    ),
+    keepers AS MATERIALIZED (
+      SELECT md5(text) AS m, MIN(doc_id) AS keep_id FROM newd GROUP BY m
+    )
+    SELECT n.doc_id,
+           CASE WHEN md5(n.text) IN (SELECT key FROM omd5)
+                  THEN 'exact_dup_index'
+                WHEN nh.doc_id IS NOT NULL THEN 'near_dup_index'
+                WHEN n.doc_id <> k.keep_id THEN 'exact_dup_batch'
+                ELSE 'kept' END AS status
+    FROM newd n
+    LEFT JOIN nearhit nh ON n.doc_id = nh.doc_id
+    JOIN keepers k ON md5(n.text) = k.m
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a persisted index (dedup.dedup_index +
+    dedup.incremental_dedup): the new batch (doc_id % 3 = 0) dedups
+    against the kept corpus's skinny (kind,key) index — exact md5 hits,
+    LSH band collisions, then keep-first within the batch — without the
+    old corpus text ever being re-read. The oracle replays the index
+    build AND the three-rule decision."""
+    docs = load(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 3 != 0)
+    new = docs.where(F.col("doc_id") % 3 == 0)
+    idx = dedup.dedup_index(old, n_hashes=4, band_size=2)
+    return dedup.incremental_dedup(new, idx, n_hashes=4, band_size=2)

@@ -592,3 +592,117 @@ def fuzzy_keep(
         label.alias("label"),
         (label == F.col(id_col)).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup against a persisted index (the production crawl shape:
+# each new batch dedups against everything already KEPT without ever
+# re-reading or re-shuffling the old corpus text — only its index rows).
+# ---------------------------------------------------------------------------
+
+
+def band_key_rows(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """(id, key): one row per LSH band of each doc's minhash signature,
+    key = 'band_idx|h..|h..' (the flat string form an index stores)."""
+    sig = minhash_signatures(df, text_col, id_col, n_hashes=n_hashes)
+    n_bands = n_hashes // band_size
+    keys = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col(f"h{b * band_size + r}") for r in range(band_size)],
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select(F.col(id_col).alias("id"), F.explode(keys).alias("key"))
+
+
+def dedup_index(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Build the persisted dedup index of a kept corpus: (kind, key)
+    distinct rows — kind 'md5' (exact text hash) and 'band' (LSH band
+    key). O(docs × (1 + n_bands)) skinny string rows; the corpus text
+    itself never needs to be read again. Write it partitioned/bucketed
+    by key so incremental joins co-locate."""
+    ex = df.select(F.lit("md5").alias("kind"), F.md5(text_col).alias("key"))
+    bd = band_key_rows(
+        df, text_col=text_col, id_col=id_col, n_hashes=n_hashes, band_size=band_size
+    ).select(F.lit("band").alias("kind"), "key")
+    return ex.unionByName(bd).distinct()
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    index: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Dedup a new batch against a kept-corpus index: per new doc
+    (doc_id, status) with status ∈ 'exact_dup_index' (text md5 already
+    kept), 'near_dup_index' (any minhash band collides with the index),
+    'exact_dup_batch' (a smaller-id surviving copy exists in THIS
+    batch), 'kept'. Precedence exact > near > batch; an exact-dup group
+    shares its bands, so its status is uniform before the batch rule.
+
+    Scale: the old corpus contributes only skinny index rows. Three
+    joins, all equi-keyed on the hash/band string (uniform by
+    construction — no skew salting needed except Zipf-hot band keys of
+    boilerplate near-dup clusters, which AQE skew-split handles), plus
+    one batch-scale exact_dedup aggregate. The batch side is typically
+    ≪ the index; when small enough, broadcast it by hinting
+    ``new_docs`` upstream — the joins here leave strategy to AQE."""
+    nd = new_docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("__md5"))
+    idx_md5 = index.where(F.col("kind") == "md5").select("key")
+    idx_band = index.where(F.col("kind") == "band").select("key")
+
+    exact_hit = (
+        nd.join(idx_md5, nd["__md5"] == idx_md5["key"], "left_semi")
+        .select(id_col)
+        .withColumn("__exact", F.lit(True))
+    )
+    near_hit = (
+        band_key_rows(
+            new_docs,
+            text_col=text_col,
+            id_col=id_col,
+            n_hashes=n_hashes,
+            band_size=band_size,
+        )
+        .join(idx_band, "key", "left_semi")
+        .select(F.col("id").alias(id_col))
+        .distinct()
+        .withColumn("__near", F.lit(True))
+    )
+    keep = exact_dedup(new_docs, text_col, id_col).select(
+        F.col("text_md5").alias("__md5k"), F.col("keep_id")
+    )
+    out = (
+        nd.join(exact_hit, id_col, "left")
+        .join(near_hit, id_col, "left")
+        .join(keep, nd["__md5"] == keep["__md5k"], "left")
+    )
+    status = (
+        F.when(F.col("__exact"), F.lit("exact_dup_index"))
+        .when(F.col("__near"), F.lit("near_dup_index"))
+        .when(F.col(id_col) != F.col("keep_id"), F.lit("exact_dup_batch"))
+        .otherwise(F.lit("kept"))
+    )
+    return out.select(F.col(id_col), status.alias("status"))

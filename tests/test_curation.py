@@ -432,3 +432,46 @@ def test_semdedup_keep_rule(vecs):
         assert keep[i] == expect, i
     # the perturbed twin (30) of vector 0 must be dropped, its exemplar kept
     assert keep[0] and not keep[30]
+
+
+def test_incremental_dedup_statuses(spark):
+    """Incremental dedup against a persisted index: every status arm on
+    a deterministic fixture — exact index hit, LSH-band near-dup of a
+    kept doc (last word changed, both minhash bands preserved; md5 is
+    fixed so this is pinned forever), unique kept, and within-batch
+    keep-first. The old corpus participates only via its (kind,key)
+    index rows."""
+    from pdf_table_extractor_spark.operators import dedup
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    )
+    old = spark.createDataFrame(
+        [(1, base), (2, "mike november oscar papa quebec romeo sierra tango")],
+        "doc_id long, text string",
+    )
+    batch = "same batch copy text one two three four five six"
+    new = spark.createDataFrame(
+        [
+            (3, base),
+            (6, base.replace("lima", "zulu")),
+            (9, "uniform victor whiskey xray yankee zulu unique words here now"),
+            (12, batch),
+            (15, batch),
+        ],
+        "doc_id long, text string",
+    )
+    idx = dedup.dedup_index(old, n_hashes=4, band_size=2)
+    got = {
+        r["doc_id"]: r["status"]
+        for r in dedup.incremental_dedup(new, idx, n_hashes=4, band_size=2).collect()
+    }
+    assert got == {
+        3: "exact_dup_index",
+        6: "near_dup_index",
+        9: "kept",
+        12: "kept",
+        15: "exact_dup_batch",
+    }
+    # index rows are skinny strings only: (kind, key)
+    assert idx.columns == ["kind", "key"]
