@@ -1148,6 +1148,50 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @contract(
+    "q_bm25_topk",
+    rf"""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, unnest(string_split({SQ}, ' ')) AS tok FROM documents
+    ),
+    tf AS MATERIALIZED (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok
+    ),
+    dl AS MATERIALIZED (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    stats AS (SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl FROM dl),
+    qt AS (SELECT DISTINCT doc_id AS query_id, tok FROM tok WHERE doc_id < 3),
+    scored AS (
+      SELECT q.query_id, f.doc_id,
+             ROUND(SUM(
+               ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+               * (f.tf * 2.2)
+               / (f.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+             ), 4) AS bm25
+      FROM tf f
+      JOIN qt q USING (tok)
+      JOIN dfreq d USING (tok)
+      JOIN dl l USING (doc_id)
+      CROSS JOIN stats s
+      GROUP BY 1, 2
+    )
+    SELECT query_id,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS INT) AS rank,
+           doc_id, bm25
+    FROM scored QUALIFY rank <= 5
+    """,
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval (terms.bm25_topk): documents 0-2 act as the
+    query set (benchmark-seed retrieval); top-5 corpus hits per query."""
+    docs = load(spark, sf_dir, "documents")
+    queries = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return terms.bm25_topk(docs, queries, k=5)
+
+
+@contract(
     "q_corpus_stats",
     rf"""
     WITH tok AS (

@@ -214,6 +214,71 @@ def heavy_keys(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+) -> DataFrame:
+    """(query_id, rank, doc_id, bm25): top-k documents per query under
+    Okapi BM25 (Robertson & Walker; the Lucene idf variant
+    ln(1 + (N - df + 0.5)/(df + 0.5)), which is always positive).
+    The retrieval layer a curation pipeline uses to pull benchmark-like
+    or seed-like documents out of a crawl (targeted decontamination,
+    quality-seed expansion). Ranks break ties on (rounded score, doc_id)
+    so external SQL oracles reproduce them exactly.
+
+    Scale: the corpus side is two map-side-combined hash aggregates
+    (per-doc tf, corpus df) and ONE equi-join of tf against the
+    broadcast query-term list — the corpus is filtered to query terms
+    BEFORE any scoring work, so a 10^12-row corpus costs one tf
+    aggregate plus a small scored subset. N/avgdl is a 1-row broadcast.
+    The top-k window partitions by query_id over scored DOC rows of the
+    matching subset only; queries are bounded (a benchmark suite), so no
+    single-partition global window appears.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    tf = tok.groupBy(id_col, "tok").agg(F.count("*").alias("__tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("__tf").alias("__dl"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("__df"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+    )
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(F.array_distinct(tokens(F.col(query_text_col)))).alias("tok"),
+    ).distinct()
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("__df") + F.lit(0.5)) / (F.col("__df") + F.lit(0.5))
+    )
+    tf_norm = (F.col("__tf") * F.lit(k1 + 1.0)) / (
+        F.col("__tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "tok")
+        .join(dfreq, "tok")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum(idf * tf_norm), 4).alias("bm25"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "bm25")
+    )
+
+
 def kmv_distinct(
     df: DataFrame,
     *,

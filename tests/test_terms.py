@@ -144,3 +144,41 @@ def test_kmv_distinct_estimate_and_determinism(spark):
     small = spark.createDataFrame([(i % 7, "t") for i in range(100)], "k long, src string")
     (r3,) = terms.kmv_distinct(small, key_expr=F.col("k"), by="src", k=64).collect()
     assert r3["kmv_estimate"] == 7.0
+
+
+def test_bm25_topk_hand_computed(spark):
+    # 3-doc corpus, 1 query; hand-check the Lucene-idf BM25 score.
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "apple cherry"),
+            (3, "durian durian durian"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame([(10, "apple durian")], "query_id long, text string")
+    out = terms.bm25_topk(docs, queries, k=3, k1=1.2, b=0.75)
+    rows = {r["doc_id"]: r for r in out.collect()}
+
+    def score(tf, dl, df_t, n=3.0, avgdl=8.0 / 3.0, k1=1.2, b=0.75):
+        idf = math.log(1 + (n - df_t + 0.5) / (df_t + 0.5))
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    # doc 3: 'durian' tf=3, dl=3, df=1 ; doc 1: 'apple' tf=2, dl=3, df=2
+    assert rows[3]["bm25"] == round(score(3, 3, 1), 4)
+    assert rows[1]["bm25"] == round(score(2, 3, 2), 4)
+    assert rows[2]["bm25"] == round(score(1, 2, 2), 4)
+    # ranking: durian doc has the rarer term -> rank 1
+    assert rows[3]["rank"] == 1 and rows[1]["rank"] == 2 and rows[2]["rank"] == 3
+
+
+def test_bm25_topk_scores_only_query_matched_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha alpha")],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame([(1, "alpha"), (2, "zeta")], "query_id long, text string")
+    out = terms.bm25_topk(docs, queries, k=5).collect()
+    got = {(r["query_id"], r["doc_id"]) for r in out}
+    # query 1 matches docs 1 and 3 only; query 2 matches nothing
+    assert got == {(1, 1), (1, 3)}
