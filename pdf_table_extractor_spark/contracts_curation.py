@@ -978,6 +978,60 @@ def q_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @contract(
+    "q_kn_bigram_ppl",
+    rf"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, lang, string_split({SQ}, ' ') AS t FROM documents
+    ),
+    big AS MATERIALIZED (
+      SELECT doc_id, lang,
+             split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2
+      FROM (
+        SELECT doc_id, lang,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(t) - 1, 0)),
+                 i -> t[i] || ' ' || t[i + 1])) AS bg
+        FROM toks
+      )
+    ),
+    c12 AS MATERIALIZED (
+      SELECT w1, w2, COUNT(*) AS c12 FROM big WHERE lang = 'en' GROUP BY 1, 2
+    ),
+    ctx AS MATERIALIZED (
+      SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1f FROM c12 GROUP BY 1
+    ),
+    cont AS MATERIALIZED (SELECT w2, COUNT(*) AS n1b FROM c12 GROUP BY 1),
+    consts AS (
+      SELECT (SELECT COUNT(*) FROM c12)::DOUBLE AS b,
+             (SELECT COUNT(DISTINCT tok) FROM (
+                SELECT unnest(t) AS tok FROM toks WHERE lang = 'en'
+              ))::DOUBLE AS v
+    )
+    SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(-ln(
+             CASE WHEN x.c1 IS NOT NULL THEN
+               greatest(COALESCE(p.c12, 0) - 0.75, 0.0) / x.c1
+               + 0.75 * x.n1f / x.c1
+                 * (COALESCE(n.n1b, 0) + 1.0) / (k.b + k.v)
+             ELSE (COALESCE(n.n1b, 0) + 1.0) / (k.b + k.v)
+             END)), 4) AS nll
+    FROM big s
+    LEFT JOIN c12 p ON p.w1 = s.w1 AND p.w2 = s.w2
+    LEFT JOIN ctx x ON x.w1 = s.w1
+    LEFT JOIN cont n ON n.w2 = s.w2
+    CROSS JOIN consts k
+    GROUP BY s.doc_id
+    """,
+)
+def q_kn_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram LM (textquality.kn_bigram_nll):
+    train on the corpus's English slice (the CCNet pattern — a
+    target-language LM scores the whole crawl), score every document."""
+    docs = load(spark, sf_dir, "documents")
+    return textquality.kn_bigram_nll(docs, docs.filter(F.col("lang") == "en"))
+
+
+@contract(
     "q_domain_blocklist",
     "WITH d AS (" + _DOMAIN_URL_SQL + """)
     SELECT doc_id, url FROM d

@@ -271,6 +271,93 @@ def unigram_nll(
     return scored
 
 
+def bigram_pairs(col: Column) -> Column:
+    """array<struct<w1,w2>> of adjacent token pairs. The token split is
+    ``bind``-ed so it evaluates once per row (the slice arguments would
+    otherwise re-run the regexp+split twice — the CLAUDE.md
+    multi-reference gotcha)."""
+    return bind(
+        tokens(col),
+        lambda t: F.zip_with(
+            F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+            F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    )
+
+
+def kn_bigram_nll(
+    df: DataFrame,
+    train_df: DataFrame | None = None,
+    *,
+    discount: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_bigrams, nll): mean bigram negative log-likelihood per doc
+    under an interpolated Kneser–Ney LM (Kneser & Ney 1995; Chen &
+    Goodman 1999 eq. 4.25) trained on ``train_df`` (default: ``df``
+    itself). The CCNet-style quality signal one step past
+    ``unigram_nll``: a KenLM-shaped model whose training is itself a
+    Spark aggregate, so the LM scales with the corpus.
+
+        P(w2|w1) = max(c(w1 w2) - D, 0)/c(w1)
+                   + (D · N1+(w1,·)/c(w1)) · Pcont(w2)
+        Pcont(w2) = (N1+(·,w2) + 1) / (B + V)      [+1-smoothed so every
+                    token — including OOV — has positive mass]
+        unseen context w1 → P(w2|w1) = Pcont(w2)   [continuation backoff]
+
+    B = distinct training bigrams, V = training vocab, D = ``discount``.
+    Docs with < 2 tokens produce no bigram rows and are absent from the
+    output (token_counts covers them). nll rounds to 4 decimals so
+    external oracles agree despite engine float-summation order.
+
+    Scale: the LM is two hash aggregates over training bigram rows
+    (c12; per-context c1/N1+ fwd) plus one over w2 (continuation
+    counts); scoring joins key on (w1,w2)/w1/w2 token strings —
+    Zipf-hot keys are exactly what AQE skew-join splits, and for a
+    bounded vocabulary the three LM tables broadcast. B/V are a 1-row
+    broadcast. No windows, no UDFs, no driver-side model state."""
+    train = train_df if train_df is not None else df
+    tpairs = train.select(F.explode(bigram_pairs(F.col(text_col))).alias("p")).select(
+        "p.w1", "p.w2"
+    )
+    c12 = tpairs.groupBy("w1", "w2").agg(F.count("*").alias("__c12"))
+    ctx = c12.groupBy("w1").agg(
+        F.sum("__c12").alias("__c1"), F.count("*").alias("__n1f")
+    )
+    cont = c12.groupBy("w2").agg(F.count("*").alias("__n1b"))
+    vocab = train.select(F.explode(tokens(F.col(text_col))).alias("w")).agg(
+        F.count_distinct("w").cast("double").alias("__v")
+    )
+    n_big = c12.agg(F.count("*").cast("double").alias("__b"))
+    sc = df.select(
+        F.col(id_col), F.explode(bigram_pairs(F.col(text_col))).alias("p")
+    ).select(id_col, "p.w1", "p.w2")
+    d = F.lit(discount)
+    pcont = (F.coalesce(F.col("__n1b"), F.lit(0)) + F.lit(1.0)) / (
+        F.col("__b") + F.col("__v")
+    )
+    p_seen_ctx = (
+        F.greatest(F.coalesce(F.col("__c12"), F.lit(0)) - d, F.lit(0.0))
+        / F.col("__c1")
+        + d * F.col("__n1f") / F.col("__c1") * pcont
+    )
+    p = F.when(F.col("__c1").isNotNull(), p_seen_ctx).otherwise(pcont)
+    return (
+        sc.join(c12, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(cont, "w2", "left")
+        .crossJoin(F.broadcast(n_big))
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(-F.log(p)), 4).alias("nll"),
+        )
+    )
+
+
 def ppl_buckets(
     scored: DataFrame,
     *,

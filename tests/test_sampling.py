@@ -130,6 +130,25 @@ def test_unigram_nll_and_buckets(spark):
     assert b == {1: 1, 2: 2, 3: 3}  # ties broken by doc_id
 
 
+def test_kn_bigram_nll_hand_computed(spark):
+    # train 'a b a c': c12 = {ab:1, ba:1, ac:1}; ctx a:(c1=2,n1f=2),
+    # b:(1,1); cont n1b = {b:1, a:1, c:1}; B=3, V=3
+    train = spark.createDataFrame([(0, "a b a c")], "doc_id long, text string")
+    score = spark.createDataFrame(
+        [(1, "a b x"), (2, "x a"), (3, "a")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in textquality.kn_bigram_nll(score, train).collect()}
+    p_ab = (1 - 0.75) / 2 + 0.75 * 2 / 2 * (1 + 1) / (3 + 3)  # seen pair
+    p_bx = 0.75 * 1 / 1 * (0 + 1) / 6  # seen ctx, unseen pair, OOV w2
+    p_xa = (1 + 1) / 6  # unseen ctx -> continuation backoff
+    assert out[1]["n_bigrams"] == 2
+    assert out[1]["nll"] == round(-(math.log(p_ab) + math.log(p_bx)) / 2, 4)
+    assert out[2]["nll"] == round(-math.log(p_xa), 4)
+    assert 3 not in out  # single-token doc: no bigrams, absent
+    # self-trained scoring runs too (default train_df=df)
+    assert textquality.kn_bigram_nll(score).count() == 2
+
+
 def test_linear_quality_monotone_in_features(spark):
     import math as m
 
