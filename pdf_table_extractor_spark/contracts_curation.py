@@ -807,6 +807,61 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @contract(
+    "q_decontaminate_spans",
+    rf"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, string_split({SQ}, ' ') AS t FROM documents
+    ),
+    grams0 AS (
+      SELECT doc_id,
+             list_transform(range(greatest(len(t) - 4, 0)),
+                            i -> array_to_string(t[(i+1):(i+5)], ' ')) AS g
+      FROM toks
+    ),
+    keyed AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(generate_subscripts(g, 1) - 1 AS INT) AS pos,
+             md5(unnest(g)) AS gram_key
+      FROM grams0
+    ),
+    bench AS (SELECT DISTINCT gram_key FROM keyed WHERE doc_id < 10),
+    starts AS (
+      SELECT DISTINCT doc_id, pos FROM keyed JOIN bench USING (gram_key)
+    ),
+    tok AS (
+      SELECT doc_id,
+             CAST(generate_subscripts(t, 1) - 1 AS INT) AS i,
+             unnest(t) AS tok
+      FROM toks
+    ),
+    flag AS (
+      SELECT k.doc_id, k.i, k.tok, s.pos IS NOT NULL AS st
+      FROM tok k LEFT JOIN starts s ON s.doc_id = k.doc_id AND s.pos = k.i
+    ),
+    cov AS (
+      SELECT *, MAX(CASE WHEN st THEN i + 5 END) OVER (
+        PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS cu
+      FROM flag
+    )
+    SELECT doc_id,
+      COALESCE(string_agg(tok, ' ' ORDER BY i) FILTER (WHERE cu IS NULL OR i >= cu), '') AS clean_text,
+      CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      CAST(COUNT(*) FILTER (WHERE cu IS NOT NULL AND i < cu) AS BIGINT) AS n_dropped
+    FROM cov GROUP BY doc_id
+    """,
+)
+def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level benchmark decontamination (dedup.decontaminate_spans):
+    documents 0-9 act as the eval suite; every doc loses exactly the
+    word 5-gram spans it shares with them (the benchmark docs themselves
+    are fully cut — the sanity invariant)."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.decontaminate_spans(
+        docs, docs.filter(F.col("doc_id") < 10), n=5
+    )
+
+
+@contract(
     "q_dedup_cc",
     f"""
     WITH RECURSIVE pairs AS ({MINHASH_PAIRS_SQL}),

@@ -463,6 +463,26 @@ def drop_duplicated_spans(
     starts = joined.select(
         F.col(id_col), F.col("pos").alias("i"), F.lit(1).alias("__start")
     )
+    return _cut_spans(docs, starts, n=n, id_col=id_col, text_col=text_col)
+
+
+def _cut_spans(
+    docs: DataFrame,
+    starts: DataFrame,
+    *,
+    n: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """(id, clean_text, n_tokens, n_dropped): cut every n-token span whose
+    start position appears in ``starts`` (columns: id, i, __start=1).
+
+    Coverage without materialized intervals: token i is covered iff the
+    running max of (start + n) over starts <= i exceeds i — one window
+    pass per document (the gaps-and-islands shape shared with
+    drop_duplicated_spans and tables.assign_columns)."""
+    from pyspark.sql import Window
+
     tok = docs.select(
         F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("i", "tok")
     )
@@ -485,6 +505,45 @@ def drop_duplicated_spans(
         F.count("*").alias("n_tokens"),
         F.sum((~F.col("__keep")).cast("long")).alias("n_dropped"),
     )
+
+
+def decontaminate_spans(
+    docs: DataFrame,
+    bench: DataFrame,
+    *,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """(id, clean_text, n_tokens, n_dropped): surgical benchmark
+    decontamination — remove from every training document the SPANS that
+    share a word n-gram with the benchmark/eval corpus, keeping the rest
+    of the document (the GPT-3 appendix-C method, applied span-level like
+    Lee et al. rather than dropping whole documents; `contamination`
+    is the report-only sibling, this is the fix).
+
+    Scale: the benchmark side is tiny by construction (eval suites), so
+    its distinct gram-key set is BROADCAST — the corpus-side exploded
+    grams are never shuffled; corpus cost is one scan + codegen explode,
+    one broadcast semi-join, and the per-doc coverage window. The
+    benchmark never sees corpus data (no contamination in the other
+    direction either)."""
+    pos = ngram_positions(docs, n=n, id_col=id_col, text_col=text_col)
+    bgrams = (
+        ngram_positions(
+            bench.select(F.lit(0).alias("__bid"), F.col(bench_text_col)),
+            n=n,
+            id_col="__bid",
+            text_col=bench_text_col,
+        )
+        .select("gram_key")
+        .distinct()
+    )
+    starts = pos.join(F.broadcast(bgrams), "gram_key").select(
+        F.col(id_col), F.col("pos").alias("i"), F.lit(1).alias("__start")
+    )
+    return _cut_spans(docs, starts, n=n, id_col=id_col, text_col=text_col)
 
 
 # ---------------------------------------------------------------------------

@@ -475,3 +475,27 @@ def test_incremental_dedup_statuses(spark):
     }
     # index rows are skinny strings only: (kind, key)
     assert idx.columns == ["kind", "key"]
+
+
+def test_decontaminate_spans_cuts_exact_benchmark_overlap(spark):
+    docs = spark.createDataFrame(
+        [
+            # shares the 3-gram 'q1 q2 q3' mid-document
+            (1, "intro words q1 q2 q3 outro words here"),
+            # clean document: untouched
+            (2, "totally unrelated content with no overlap at all"),
+            # IS a benchmark doc verbatim: fully cut
+            (3, "q1 q2 q3 q4"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([("q1 q2 q3 q4",)], "text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup.decontaminate_spans(docs, bench, n=3).collect()
+    }
+    assert out[1]["clean_text"] == "intro words outro words here"
+    assert out[1]["n_dropped"] == 3
+    assert out[2]["clean_text"] == "totally unrelated content with no overlap at all"
+    assert out[2]["n_dropped"] == 0
+    assert out[3]["clean_text"] == "" and out[3]["n_dropped"] == 4
