@@ -2583,6 +2583,33 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @contract(
+    "q_jsonl_roundtrip",
+    """
+    SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+    FROM documents
+    """,
+)
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL source/sink (sources/jsonl.py, the LLM-corpus lingua
+    franca): documents rendered to newline-delimited JSON via codegen
+    to_json, read back through the schema-first native JSON source; the
+    oracle checks every row survives with byte-identical text (md5)."""
+    import tempfile
+
+    from pdf_table_extractor_spark.sources import jsonl
+
+    docs = load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="jsonl_contract_") + "/j"
+    jsonl.write_jsonl(docs, out, n_files=4)
+    back = jsonl.read_jsonl(
+        spark, out, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    return back.select(
+        "doc_id", "lang", "source", "n_chars", F.md5("text").alias("text_md5")
+    )
+
+
+@contract(
     "q_warc_roundtrip",
     f"""
     SELECT 'https://example.org/doc/' || doc_id AS url,

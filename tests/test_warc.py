@@ -66,3 +66,47 @@ def test_warc_write_plan_is_jvm_side(spark):
     )
     plan = df.select(rec.alias("value"))._jdf.queryExecution().optimizedPlan().toString()
     assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_jsonl_roundtrip_unicode_and_corrupt_line(spark, tmp_path):
+    from pdf_table_extractor_spark.sources import jsonl
+
+    df = spark.createDataFrame(
+        [
+            (1, 'quotes " and \\ backslash', "en"),
+            (2, "newline\nand tab\tinside", "pt"),
+            (3, "unicode: ação águia 中文 🎉", "zh"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = str(tmp_path / "docs")
+    jsonl.write_jsonl(df, out, n_files=2)
+    back = jsonl.read_jsonl(spark, out, "doc_id long, text string, lang string")
+    got = {r["doc_id"]: (r["text"], r["lang"]) for r in back.collect()}
+    exp = {r["doc_id"]: (r["text"], r["lang"]) for r in df.collect()}
+    assert got == exp
+
+    # a malformed line lands in the corrupt column, not as a crash
+    with open(f"{out}/extra.json", "w") as f:
+        f.write('{"doc_id": 9, "text": "ok", "lang": "en"}\n')
+        f.write("{not json at all\n")
+    back2 = jsonl.read_jsonl(
+        spark, out,
+        "doc_id long, text string, lang string, _corrupt_record string",
+    ).cache()  # Spark disallows queries touching ONLY the corrupt column
+    bad = back2.filter(F.col("_corrupt_record").isNotNull())
+    assert bad.count() == 1
+    assert back2.filter(F.col("doc_id") == 9).count() == 1
+
+
+def test_jsonl_gzip_compression(spark, tmp_path):
+    import glob
+
+    from pdf_table_extractor_spark.sources import jsonl
+
+    df = spark.createDataFrame([(i, f"text {i}") for i in range(10)], "doc_id long, text string")
+    out = str(tmp_path / "gz")
+    jsonl.write_jsonl(df, out, n_files=1, compression="gzip")
+    assert glob.glob(f"{out}/*.gz")
+    back = jsonl.read_jsonl(spark, out, "doc_id long, text string")
+    assert back.count() == 10
