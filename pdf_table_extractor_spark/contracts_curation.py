@@ -1857,6 +1857,28 @@ def q_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @contract(
+    "q_embed_covariance",
+    """
+    WITH e AS (SELECT embedding AS v FROM embeddings),
+    p AS (
+      SELECT unnest(flatten(list_transform(generate_series(1, len(v)), i ->
+             list_transform(generate_series(i, len(v)), j ->
+               struct_pack(i := i, j := j, x := v[i]::DOUBLE, y := v[j]::DOUBLE))))) AS u
+      FROM e
+    )
+    SELECT u.i AS i, u.j AS j, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND((SUM(u.x*u.y) - SUM(u.x)*SUM(u.y)/COUNT(*))/COUNT(*), 6) AS cov
+    FROM p GROUP BY 1, 2
+    """,
+)
+def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding covariance upper triangle (similarity.embed_covariance,
+    the data half of PCA whitening); the mapInPandas partial-aggregate
+    scale path is asserted equal in tests/test_curation.py."""
+    return similarity.embed_covariance(load(spark, sf_dir, "embeddings"))
+
+
+@contract(
     "q_quantize_int8",
     """
     WITH s AS (

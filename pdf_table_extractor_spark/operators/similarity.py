@@ -533,3 +533,189 @@ def quantize_int8(
         F.round(mx, 6).alias("q_max"),
         q.alias("q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA whitening: the embedding-preprocessing step in front of clustering /
+# SemDeDup / IVF (decorrelated, variance-equalized coordinates make
+# euclidean cells rounder and cosine thresholds sharper). The DATA work —
+# the d×d covariance — is distributed aggregation; the MODEL work — the
+# d×d eigendecomposition — is driver-side numpy on a model-sized matrix
+# (768² doubles ≈ 4.7 MB), exactly like holding k-means centroids or
+# trained classifier weights on the driver.
+# ---------------------------------------------------------------------------
+
+
+def embed_covariance(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    method: str = "expr",
+    round_to: int = 6,
+) -> DataFrame:
+    """(i, j, n, cov): upper triangle (i <= j, 1-based dims) of the
+    embedding covariance matrix, cov = (Σxy − ΣxΣy/n)/n (population).
+
+    ``method='expr'`` (oracle-exact): per row, a codegen nested
+    transform emits the d(d+1)/2 (i, j, x·y) terms, then ONE hash
+    aggregate — n·d²/2 exploded rows, right up to ~10⁷ rows × moderate d.
+
+    ``method='partial'`` (the 10^9-row × 768-dim path): an Arrow-batched
+    mapInPandas computes each PARTITION's (n, Σx, Σy, Σxy) partials with
+    one float64 BLAS call (vectors never explode into rows), then the
+    same hash aggregate combines partitions — shuffle volume is
+    partitions × d²/2 partial rows, independent of row count. Same
+    result up to float-summation order (both sides round to
+    ``round_to``)."""
+    v = F.col(vec_col)
+    if method == "expr":
+        pairs = bind(
+            v,
+            lambda vv: F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(vv)),
+                    lambda i: F.transform(
+                        F.sequence(i, F.size(vv)),
+                        lambda j: F.struct(
+                            i.alias("i"),
+                            j.alias("j"),
+                            F.element_at(vv, i).cast("double").alias("x"),
+                            F.element_at(vv, j).cast("double").alias("y"),
+                        ),
+                    ),
+                )
+            ),
+        )
+        ex = df.select(F.explode(pairs).alias("p")).select(
+            "p.i", "p.j", "p.x", "p.y"
+        )
+        partial = ex.groupBy("i", "j").agg(
+            F.count("*").alias("__n"),
+            F.sum("x").alias("__sx"),
+            F.sum("y").alias("__sy"),
+            F.sum(F.col("x") * F.col("y")).alias("__sxy"),
+        )
+    elif method == "partial":
+        import numpy as np
+        import pandas as pd
+
+        def part(batches):
+            n = 0
+            sx = None
+            sxy = None
+            for pdf in batches:
+                m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+                n += m.shape[0]
+                sx = m.sum(axis=0) if sx is None else sx + m.sum(axis=0)
+                g = m.T @ m
+                sxy = g if sxy is None else sxy + g
+            if n == 0:
+                return
+            d = len(sx)
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {
+                    "i": iu + 1,
+                    "j": ju + 1,
+                    "__n": n,
+                    "__sx": sx[iu],
+                    "__sy": sx[ju],
+                    "__sxy": sxy[iu, ju],
+                }
+            )
+
+        part_schema = "i int, j int, __n long, __sx double, __sy double, __sxy double"
+        partial = (
+            df.select(v.alias(vec_col))
+            .mapInPandas(part, part_schema)
+            .groupBy("i", "j")
+            .agg(
+                F.sum("__n").alias("__n"),
+                F.sum("__sx").alias("__sx"),
+                F.sum("__sy").alias("__sy"),
+                F.sum("__sxy").alias("__sxy"),
+            )
+        )
+    else:
+        raise ValueError(f"method must be 'expr' or 'partial', got {method!r}")
+    n = F.col("__n")
+    cov = (F.col("__sxy") - F.col("__sx") * F.col("__sy") / n) / n
+    return partial.select(
+        "i", "j", n.alias("n"), F.round(cov, round_to).alias("cov")
+    )
+
+
+def pca_model(
+    cov_df: DataFrame, *, k: int | None = None
+) -> tuple[list[float], list[list[float]]]:
+    """(eigenvalues desc, components) from an ``embed_covariance``
+    output. DRIVER-SIDE BY DESIGN: the input is d(d+1)/2 MODEL rows
+    (the covariance), never data rows — collecting it is the same move
+    as holding trained classifier weights. Signs are fixed (largest-
+    magnitude entry of each component made positive) so the model is
+    deterministic across LAPACK builds up to eigenvalue ties."""
+    import numpy as np
+
+    rows = cov_df.collect()
+    d = max(r["j"] for r in rows)
+    m = np.zeros((d, d))
+    for r in rows:
+        m[r["i"] - 1, r["j"] - 1] = r["cov"]
+        m[r["j"] - 1, r["i"] - 1] = r["cov"]
+    vals, vecs = np.linalg.eigh(m)
+    order = np.argsort(vals)[::-1]
+    vals, vecs = vals[order], vecs[:, order]
+    if k is not None:
+        vals, vecs = vals[:k], vecs[:, :k]
+    comps = []
+    for c in range(vecs.shape[1]):
+        col = vecs[:, c]
+        if col[np.argmax(np.abs(col))] < 0:
+            col = -col
+        comps.append([float(x) for x in col])
+    return [float(x) for x in vals], comps
+
+
+def pca_project(
+    df: DataFrame,
+    components: list[list[float]],
+    means: list[float],
+    *,
+    eigvals: list[float] | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "proj",
+    round_to: int = 6,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """(id, proj): center on ``means`` and project onto ``components``
+    (from ``pca_model``); pass ``eigvals`` to whiten (divide coordinate
+    c by sqrt(λ_c + eps) — unit variance per retained direction).
+
+    Scale: the model enters as literal arrays inside ONE codegen
+    projection — no join, no broadcast table, no UDF; cost is a scan."""
+    from pdf_table_extractor_spark.operators.dedup import bind
+
+    mean_arr = F.array(*[F.lit(float(x)) for x in means])
+    centered = F.zip_with(
+        F.col(vec_col), mean_arr, lambda x, m: x.cast("double") - m
+    )
+
+    def coords_of(cv: Column) -> Column:
+        # cv is a bound lambda var: the centering runs ONCE per row even
+        # though every component's dot product references it (the
+        # CLAUDE.md multi-reference gotcha).
+        coords = []
+        for c, comp in enumerate(components):
+            carr = F.array(*[F.lit(float(x)) for x in comp])
+            coord = F.aggregate(
+                F.zip_with(cv, carr, lambda x, w: x * w),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+            if eigvals is not None:
+                coord = coord / F.lit(float((eigvals[c] + eps) ** 0.5))
+            coords.append(F.round(coord, round_to))
+        return F.array(*coords)
+
+    return df.select(F.col(id_col), bind(centered, coords_of).alias(out_col))

@@ -499,3 +499,53 @@ def test_decontaminate_spans_cuts_exact_benchmark_overlap(spark):
     assert out[2]["clean_text"] == "totally unrelated content with no overlap at all"
     assert out[2]["n_dropped"] == 0
     assert out[3]["clean_text"] == "" and out[3]["n_dropped"] == 4
+
+
+def test_embed_covariance_both_methods_match_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    data = rng.randn(40, 5).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(data)],
+        "vec_id long, embedding array<float>",
+    )
+    exp = np.cov(data.astype("float64"), rowvar=False, bias=True)
+    for method in ("expr", "partial"):
+        got = similarity.embed_covariance(df, method=method).collect()
+        assert len(got) == 5 * 6 // 2
+        for r in got:
+            assert r["n"] == 40
+            assert abs(r["cov"] - exp[r["i"] - 1, r["j"] - 1]) < 2e-6, (method, r)
+
+
+def test_pca_model_and_whitened_projection(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    # anisotropic cloud: dominant direction along (1,1,0)/sqrt(2)
+    base = rng.randn(200, 3) * np.array([3.0, 0.5, 0.1])
+    rot = np.array([[2**-0.5, 2**-0.5, 0], [-(2**-0.5), 2**-0.5, 0], [0, 0, 1.0]])
+    data = (base @ rot).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(data)],
+        "vec_id long, embedding array<float>",
+    )
+    cov = similarity.embed_covariance(df)
+    vals, comps = similarity.pca_model(cov, k=2)
+    assert vals[0] > vals[1] > 0
+    # top component aligns with the planted dominant direction
+    assert abs(abs(np.dot(comps[0], rot[0])) - 1.0) < 0.05
+    means = [float(m) for m in data.astype("float64").mean(axis=0)]
+    proj = similarity.pca_project(
+        df, comps, means, eigvals=vals, vec_col="embedding"
+    )
+    mat = np.array([r["proj"] for r in proj.orderBy("vec_id").collect()])
+    # whitening: each retained coordinate has ~unit variance, ~zero mean
+    assert np.allclose(mat.mean(axis=0), 0.0, atol=1e-3)
+    assert np.allclose(mat.var(axis=0), 1.0, atol=0.05)
+    # spark projection == numpy projection
+    exp = (data.astype("float64") - means) @ np.array(comps).T / np.sqrt(
+        np.array(vals) + 1e-9
+    )
+    assert np.allclose(mat, np.round(exp, 6), atol=2e-6)
