@@ -244,9 +244,23 @@ def bm25_topk(
     single-partition global window appears.
     """
     tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
-    tf = tok.groupBy(id_col, "tok").agg(F.count("*").alias("__tf"))
-    dl = tf.groupBy(id_col).agg(F.sum("__tf").alias("__dl"))
-    dfreq = tf.groupBy("tok").agg(F.count("*").alias("__df"))
+    # The tf aggregate feeds THREE consumers (scoring join, df, dl) and dl
+    # feeds two (join back, N/avgdl stats). The constant-true
+    # nondeterministic guard keeps join-inferred isnotnull constraints
+    # from pushing below each consumer's copy (they would specialize the
+    # exchange children and defeat ReuseExchange — the plans/extract.py
+    # lesson), so the corpus is tokenized and tf-aggregated ONCE, with
+    # every consumer reading the same reused shuffle output.
+    guard = F.spark_partition_id() >= 0
+    tf = tok.groupBy(id_col, "tok").agg(F.count("*").alias("__tf")).where(guard)
+    dl = tf.groupBy(id_col).agg(F.sum("__tf").alias("__dl")).where(guard)
+    # The always-true __tf reference keeps column pruning from dropping
+    # the count out of this consumer's copy of the tf child (a pruned
+    # copy is a DIFFERENT subtree — no ReuseExchange — and re-tokenizes
+    # the whole corpus to save an 8-byte column).
+    dfreq = (
+        tf.where(F.col("__tf") > 0).groupBy("tok").agg(F.count("*").alias("__df"))
+    )
     stats = dl.agg(
         F.count("*").cast("double").alias("__n"),
         F.avg("__dl").alias("__avgdl"),

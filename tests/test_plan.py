@@ -257,3 +257,54 @@ def test_mean_pool_no_vector_collect(spark):
     # collect_list only ever sees the DIM-level means, never raw vectors
     assert "collect_list" not in plan.split("HashAggregate")[0]
     assert plan.count("Exchange") <= 2  # (grp,dim) agg + grp pack agg
+
+
+def test_decontaminate_spans_broadcasts_benchmark_grams(spark):
+    from pdf_table_extractor_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, "w a b c d e f g h") for i in range(20)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([("a b c d e",)], "text string")
+    plan = _physical(dedup.decontaminate_spans(docs, bench, n=5))
+    # the eval-suite gram keys are the broadcast side: the corpus's
+    # exploded gram stream is never shuffled for the contamination join
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_broadcasts_query_terms_and_stats(spark):
+    from pdf_table_extractor_spark.operators import terms
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} common words") for i in range(30)],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame([(1, "tok1 tok2")], "query_id long, text string")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _physical(terms.bm25_topk(docs, queries, k=3))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # corpus tf rows meet the query terms through a broadcast join (the
+    # corpus-side prune); N/avgdl arrives as a 1-row broadcast; and the
+    # corpus is scanned + tokenized exactly ONCE — tf/dl/dfreq/stats all
+    # read reused exchanges (the guard + pruning pins in terms.bm25_topk)
+    assert "BroadcastHashJoin" in plan and "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Scan ExistingRDD[doc_id") == 1
+    assert plan.count("ReusedExchange") >= 3
+    # the scoring window partitions by query_id — never a global window
+    assert "hashpartitioning(query_id" in plan
+
+
+def test_embed_covariance_partial_shuffles_partials_only(spark):
+    from pdf_table_extractor_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    plan = _physical(similarity.embed_covariance(df, method="partial"))
+    # one ArrowEvalPython-free mapInPandas stage + ONE (i,j) hash
+    # aggregate exchange; the vectors themselves are never shuffled
+    assert plan.count("Exchange") == 1
+    assert "MapInPandas" in plan
