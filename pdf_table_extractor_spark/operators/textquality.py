@@ -322,15 +322,29 @@ def kn_bigram_nll(
     tpairs = train.select(F.explode(bigram_pairs(F.col(text_col))).alias("p")).select(
         "p.w1", "p.w2"
     )
-    c12 = tpairs.groupBy("w1", "w2").agg(F.count("*").alias("__c12"))
+    # c12 feeds FOUR consumers (ctx, cont, B, the scoring join); the
+    # constant-true nondeterministic guard stops join-inferred isnotnull
+    # constraints from specializing each consumer's copy of its child, so
+    # the training corpus is scanned and bigram-exploded ONCE and every
+    # consumer reads the same reused (w1,w2) exchange (see
+    # terms.bm25_topk / plans/extract.py for the pattern + measurements).
+    c12 = (
+        tpairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("__c12"))
+        .where(F.spark_partition_id() >= 0)
+    )
+    # The always-true __c12 references keep column pruning from dropping
+    # the count out of these consumers' copies of the c12 child (a pruned
+    # copy is a different subtree — no ReuseExchange; see terms.bm25_topk).
+    c12_full = c12.where(F.col("__c12") > 0)
     ctx = c12.groupBy("w1").agg(
         F.sum("__c12").alias("__c1"), F.count("*").alias("__n1f")
     )
-    cont = c12.groupBy("w2").agg(F.count("*").alias("__n1b"))
+    cont = c12_full.groupBy("w2").agg(F.count("*").alias("__n1b"))
     vocab = train.select(F.explode(tokens(F.col(text_col))).alias("w")).agg(
         F.count_distinct("w").cast("double").alias("__v")
     )
-    n_big = c12.agg(F.count("*").cast("double").alias("__b"))
+    n_big = c12_full.agg(F.count("*").cast("double").alias("__b"))
     sc = df.select(
         F.col(id_col), F.explode(bigram_pairs(F.col(text_col))).alias("p")
     ).select(id_col, "p.w1", "p.w2")

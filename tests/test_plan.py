@@ -308,3 +308,21 @@ def test_embed_covariance_partial_shuffles_partials_only(spark):
     # aggregate exchange; the vectors themselves are never shuffled
     assert plan.count("Exchange") == 1
     assert "MapInPandas" in plan
+
+
+def test_kn_bigram_trains_on_one_exploded_pass(spark):
+    from pdf_table_extractor_spark.operators import textquality
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e") for i in range(20)], "doc_id long, text string"
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _physical(textquality.kn_bigram_nll(docs))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # c12 feeds ctx/cont/B/scoring through ONE reused (w1,w2) exchange;
+    # only three source passes exist by construction (shared bigram
+    # counts, per-doc scoring bigrams, unigram vocab)
+    assert plan.count("ReusedExchange") >= 3
+    assert plan.count("Scan ExistingRDD[doc_id") == 3
