@@ -2500,6 +2500,54 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@contract(
+    "q_ann_ivf",
+    _kmeans_sql(k=4, n_iter=2)
+    + """
+    , qp AS MATERIALIZED (
+      SELECT qid, qv, cell FROM (
+        SELECT e.vec_id AS qid, e.embedding AS qv, c.cent_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_cosine_similarity(e.embedding, c.cvec) DESC,
+                 c.cent_id) AS crk
+        FROM embeddings e CROSS JOIN c2 c WHERE e.vec_id < 10)
+      WHERE crk <= 2
+    ),
+    cand AS (
+      SELECT qp.qid, e.vec_id AS nid,
+             list_cosine_similarity(qp.qv, e.embedding) AS cos
+      FROM qp JOIN af ON qp.cell = af.cent_id
+              JOIN embeddings e ON af.vec_id = e.vec_id
+      WHERE e.vec_id != qp.qid
+    )
+    SELECT qid AS query_id,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank,
+           nid AS neighbor_id
+    FROM (SELECT DISTINCT qid, nid, cos FROM cand)
+    QUALIFY rank <= 3
+    """,
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-IVF ANN (similarity.ivf_topk with kmeans_iters>0): two
+    rounded Lloyd's iterations build the coarse quantizer, every corpus
+    vector lives in its argmax cell, queries probe their 2 nearest cells.
+    The oracle replays the ENTIRE index build — the k-means trajectory
+    (shared `_kmeans_sql` CTEs, same rounding/tie-breaks as q_semdedup),
+    the one-cell corpus assignment `af`, the 2-cell query probe, and the
+    in-cell cosine top-3 — so the trained scale path (not just the
+    seeded-centroid variant) is SQL-verified end to end."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        n_centroids=4,
+        n_probe=2,
+        k=3,
+        kmeans_iters=2,
+        round_to=6,
+    )
+
+
 def _bpe_sql(k: int, select: str) -> str:
     """CTE chain replaying training.bpe_merges' trajectory in DuckDB:
     word freqs (ONE corpus pass), sentinel-wrapped char symbols, then per

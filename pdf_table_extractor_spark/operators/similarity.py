@@ -288,6 +288,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     kmeans_iters: int = 0,
+    round_to: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: assign every vector to its
     nearest centroid cell, search queries only inside their `n_probe`
@@ -301,11 +302,20 @@ def ivf_topk(
     broadcast-join argmax, and the search is an equi-join on cell id — the
     same shuffle-friendly shape as the LSH variant, with recall controlled
     by n_probe instead of bucket bits.
+
+    ``round_to`` forwards to `kmeans_centroids`: rounding each iteration's
+    centroid means pins the training trajectory so a SQL oracle replays the
+    whole index build + search bit-identically (see q_ann_ivf).
     """
     if kmeans_iters > 0:
         cents = F.broadcast(
             kmeans_centroids(
-                corpus, n_centroids, kmeans_iters, id_col=id_col, vec_col=vec_col
+                corpus,
+                n_centroids,
+                kmeans_iters,
+                id_col=id_col,
+                vec_col=vec_col,
+                round_to=round_to,
             )
         )
     else:
