@@ -2777,3 +2777,133 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.where(F.col("doc_id") % 3 == 0)
     idx = dedup.dedup_index(old, n_hashes=4, band_size=2)
     return dedup.incremental_dedup(new, idx, n_hashes=4, band_size=2)
+
+
+def _pca_power_sql(k: int, n_iter: int, round_to: int = 6) -> str:
+    """CTE chain replaying pca_power_model's rounded power-iteration
+    trajectory in DuckDB: the covariance upper triangle (same SQL as
+    q_embed_covariance), symmetrized to m0, then per component c:
+    v0 = round(1/sqrt(d)); n_iter steps of w = M·v, v = round(w/|w|);
+    lam_c = round(v'Mv); sign-fixed output copy (largest-|coordinate|,
+    lowest-position tie-break); deflation m_c = round(m_{c-1} - lam vv').
+    Every feed-forward intermediate is rounded to ``round_to`` on BOTH
+    engines, so the trajectories are bit-pinned — the same trick as
+    `_kmeans_sql` / `_bpe_sql`. MATERIALIZED throughout (the
+    multi-referenced-CTE re-inlining gotcha). Also emits `mu` (rounded
+    per-dim means), `comps` (0-based component id c, dim i, weight v)
+    and `lams` (c, lam) for the whitening projection."""
+    rt = round_to
+    parts = [
+        f"""WITH e AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    pp AS (
+      SELECT unnest(flatten(list_transform(generate_series(1, len(v)), i ->
+             list_transform(generate_series(i, len(v)), j ->
+               struct_pack(i := i, j := j, x := v[i], y := v[j]))))) AS u
+      FROM e
+    ),
+    covu AS MATERIALIZED (
+      SELECT u.i AS i, u.j AS j,
+             ROUND((SUM(u.x*u.y) - SUM(u.x)*SUM(u.y)/COUNT(*))/COUNT(*), {rt}) AS cov
+      FROM pp GROUP BY 1, 2
+    ),
+    m0 AS MATERIALIZED (
+      SELECT i, j, cov FROM covu
+      UNION ALL SELECT j AS i, i AS j, cov FROM covu WHERE i < j
+    ),
+    mu AS MATERIALIZED (
+      SELECT i, ROUND(AVG(x), {rt}) AS mu FROM (
+        SELECT UNNEST(generate_series(1, len(v))) AS i, UNNEST(v) AS x FROM e)
+      GROUP BY i
+    )"""
+    ]
+    for c in range(1, k + 1):
+        parts.append(
+            f""", v{c}_0 AS MATERIALIZED (
+      SELECT i, ROUND(1.0 / SQRT((SELECT MAX(j) FROM covu)), {rt}) AS v
+      FROM (SELECT UNNEST(generate_series(1, (SELECT MAX(j) FROM covu))) AS i)
+    )"""
+        )
+        for t in range(1, n_iter + 1):
+            parts.append(
+                f""", w{c}_{t} AS MATERIALIZED (
+      SELECT m.i AS i, SUM(m.cov * v.v) AS w
+      FROM m{c - 1} m JOIN v{c}_{t - 1} v ON m.j = v.i GROUP BY m.i
+    ), v{c}_{t} AS MATERIALIZED (
+      SELECT i, ROUND(w / (SELECT SQRT(SUM(w * w)) FROM w{c}_{t}), {rt}) AS v
+      FROM w{c}_{t}
+    )"""
+            )
+        parts.append(
+            f""", l{c} AS MATERIALIZED (
+      SELECT ROUND(SUM(a.v * m.cov * b.v), {rt}) AS lam
+      FROM m{c - 1} m JOIN v{c}_{n_iter} a ON m.i = a.i
+                      JOIN v{c}_{n_iter} b ON m.j = b.i
+    ), comp{c} AS MATERIALIZED (
+      SELECT i, v * (SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END
+                     FROM v{c}_{n_iter} ORDER BY ABS(v) DESC, i ASC LIMIT 1) AS v
+      FROM v{c}_{n_iter}
+    )"""
+        )
+        if c < k:
+            parts.append(
+                f""", m{c} AS MATERIALIZED (
+      SELECT m.i, m.j, ROUND(m.cov - (SELECT lam FROM l{c}) * a.v * b.v, {rt}) AS cov
+      FROM m{c - 1} m JOIN v{c}_{n_iter} a ON m.i = a.i
+                      JOIN v{c}_{n_iter} b ON m.j = b.i
+    )"""
+            )
+    comps = " UNION ALL ".join(
+        f"SELECT {c - 1} AS c, i, v FROM comp{c}" for c in range(1, k + 1)
+    )
+    lams = " UNION ALL ".join(
+        f"SELECT {c - 1} AS c, lam FROM l{c}" for c in range(1, k + 1)
+    )
+    parts.append(f""", comps AS MATERIALIZED ({comps})
+    , lams AS MATERIALIZED ({lams})""")
+    return "".join(parts)
+
+
+@contract(
+    "q_pca_whiten",
+    _pca_power_sql(k=2, n_iter=8)
+    + """
+    , ex AS MATERIALIZED (
+      SELECT vec_id, UNNEST(generate_series(1, len(v))) AS i, UNNEST(v) AS x
+      FROM e
+    )
+    SELECT ex.vec_id AS vec_id, cp.c AS c,
+           ROUND(SUM((ex.x - mu.mu) * cp.v) / SQRT(l.lam + 1e-9), 6) AS coord
+    FROM ex JOIN mu ON ex.i = mu.i
+            JOIN comps cp ON ex.i = cp.i
+            JOIN lams l ON cp.c = l.c
+    GROUP BY ex.vec_id, cp.c, l.lam
+    """,
+)
+def q_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA whitening end-to-end with a fully SQL-replayable model build:
+    embed_covariance (one exploded hash aggregate) -> pca_power_model
+    (driver-side rounded power iteration over the d(d+1)/2 MODEL rows —
+    never data rows) -> pca_project (model as literals in ONE codegen
+    projection, coordinates divided by sqrt(lam + 1e-9)). The oracle
+    replays the ENTIRE trajectory — covariance, 8 rounded power steps x
+    2 deflated components, means, projection — so the learned whitening
+    transform itself is SQL-verified, not just the final matmul."""
+    emb = load(spark, sf_dir, "embeddings")
+    cov = similarity.embed_covariance(emb)
+    vals, comps = similarity.pca_power_model(cov, k=2, n_iter=8)
+    means = [
+        r["mu"]
+        for r in (
+            emb.select(F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("pos")
+            .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("mu"))
+            .orderBy("pos")
+            .collect()
+        )
+    ]
+    proj = similarity.pca_project(emb, comps, means, eigvals=vals)
+    return proj.select(
+        "vec_id", F.posexplode("proj").alias("c", "coord")
+    )

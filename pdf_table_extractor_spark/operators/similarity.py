@@ -686,6 +686,70 @@ def pca_model(
     return [float(x) for x in vals], comps
 
 
+def _round_half_up(x: float, r: int) -> float:
+    """Half-away-from-zero rounding — the semantics Spark's ``round`` and
+    DuckDB's ``ROUND`` share (Python's builtin is banker's)."""
+    import math
+
+    s = 10.0 ** r
+    return math.copysign(math.floor(abs(x) * s + 0.5), x) / s
+
+
+def pca_power_model(
+    cov_df: DataFrame,
+    *,
+    k: int = 2,
+    n_iter: int = 8,
+    round_to: int = 6,
+) -> tuple[list[float], list[list[float]]]:
+    """(eigenvalues desc, components) via fixed-round power iteration with
+    deflation over an ``embed_covariance`` output, every intermediate
+    rounded to ``round_to`` — a trajectory-pinned eigensolver. Unlike
+    ``pca_model`` (LAPACK ``eigh``, an engine-private float path no other
+    engine can reproduce), every step here is plain rounded arithmetic, so
+    a SQL oracle replays the WHOLE model build bit-identically
+    (q_pca_whiten replays it in DuckDB — the same trick as the k-means /
+    BPE / linear-quality trajectories). DRIVER-SIDE BY DESIGN: the input
+    is d(d+1)/2 MODEL rows, never data rows, exactly like ``pca_model``.
+
+    Trajectory: v₀ = round(1/√d)·𝟙; step v ← round(Mv/|Mv|); after
+    ``n_iter`` steps λ = round(vᵀMv); sign-fix the OUTPUT copy (largest-
+    |coordinate|, lowest-position tie-break, made positive — deflation is
+    sign-invariant); deflate M ← round(M − λvvᵀ). Approximate for small
+    eigen-gaps (documented), which is fine for whitening: coordinates are
+    decorrelated along whatever directions the fixed trajectory found,
+    and both engines find the same ones."""
+    rows = cov_df.collect()
+    d = max(r["j"] for r in rows)
+    m = [[0.0] * d for _ in range(d)]
+    for r in rows:
+        m[r["i"] - 1][r["j"] - 1] = r["cov"]
+        m[r["j"] - 1][r["i"] - 1] = r["cov"]
+    vals: list[float] = []
+    comps: list[list[float]] = []
+    for _c in range(k):
+        v = [_round_half_up(1.0 / d ** 0.5, round_to)] * d
+        for _t in range(n_iter):
+            w = [sum(m[i][j] * v[j] for j in range(d)) for i in range(d)]
+            nrm = sum(x * x for x in w) ** 0.5
+            v = [_round_half_up(x / nrm, round_to) for x in w]
+        lam = _round_half_up(
+            sum(v[i] * m[i][j] * v[j] for i in range(d) for j in range(d)),
+            round_to,
+        )
+        amax = max(range(d), key=lambda i: (abs(v[i]), -i))
+        vals.append(lam)
+        comps.append([-x for x in v] if v[amax] < 0 else list(v))
+        m = [
+            [
+                _round_half_up(m[i][j] - lam * v[i] * v[j], round_to)
+                for j in range(d)
+            ]
+            for i in range(d)
+        ]
+    return vals, comps
+
+
 def pca_project(
     df: DataFrame,
     components: list[list[float]],

@@ -519,6 +519,31 @@ def test_embed_covariance_both_methods_match_numpy(spark):
             assert abs(r["cov"] - exp[r["i"] - 1, r["j"] - 1]) < 2e-6, (method, r)
 
 
+def test_pca_power_model_matches_eigh(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    # well-separated spectrum so 8 power steps converge
+    base = rng.randn(300, 4) * np.array([4.0, 1.5, 0.4, 0.05])
+    q, _ = np.linalg.qr(rng.randn(4, 4))
+    data = (base @ q).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(data)],
+        "vec_id long, embedding array<float>",
+    )
+    cov = similarity.embed_covariance(df)
+    pvals, pcomps = similarity.pca_power_model(cov, k=2, n_iter=8)
+    evals, ecomps = similarity.pca_model(cov, k=2)
+    assert pvals[0] > pvals[1] > 0
+    for c in range(2):
+        assert abs(pvals[c] - evals[c]) < 1e-3 * max(1.0, evals[c])
+        # same direction up to the shared sign fix
+        assert abs(abs(np.dot(pcomps[c], ecomps[c])) - 1.0) < 1e-4
+    # deterministic: identical trajectory on a rerun
+    pvals2, pcomps2 = similarity.pca_power_model(cov, k=2, n_iter=8)
+    assert pvals2 == pvals and pcomps2 == pcomps
+
+
 def test_pca_model_and_whitened_projection(spark):
     import numpy as np
 
