@@ -2907,3 +2907,112 @@ def q_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     return proj.select(
         "vec_id", F.posexplode("proj").alias("c", "coord")
     )
+
+
+def _pq_sql(m: int, k: int, n_iter: int, round_to: int = 6) -> str:
+    """CTE chain replaying pq_train's per-subspace rounded Lloyd's
+    trajectory (squared-L2, seeds = k lowest-id vectors' slices per
+    subspace, argmin with (d2 ASC, cent_id) tie-break, per-position
+    rounded means, empty cells keep the previous centroid) plus the
+    final `codes` assignment against the trained codebooks. Emits `sv`
+    (subspace slices) and `codes` for downstream ADC. MATERIALIZED
+    throughout (the multi-referenced-CTE re-inlining gotcha)."""
+    d2 = (
+        "list_sum(list_transform(generate_series(1, len({a})), ii -> "
+        "({a}[ii]-{b}[ii])*({a}[ii]-{b}[ii])))"
+    )
+    parts = [
+        f"""WITH e AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    sv AS MATERIALIZED (
+      SELECT vec_id, sub,
+             list_slice(v, sub*(len(v)//{m})+1, (sub+1)*(len(v)//{m})) AS sv
+      FROM e, (SELECT UNNEST(generate_series(0, {m - 1})) AS sub)
+    ),
+    c0 AS MATERIALIZED (
+      SELECT sub,
+             CAST(ROW_NUMBER() OVER (PARTITION BY sub ORDER BY vec_id) AS INT) AS cent_id,
+             sv AS cvec
+      FROM sv
+      WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT {k})
+    )"""
+    ]
+    assign = f""", {{name}} AS MATERIALIZED (
+      SELECT vec_id, sub, cent_id, sv FROM (
+        SELECT s.vec_id, s.sub, c.cent_id, s.sv,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+                 {d2.format(a='s.sv', b='c.cvec')} ASC, c.cent_id) AS rk
+        FROM sv s JOIN {{prev}} c USING (sub)) WHERE rk = 1
+    )"""
+    for i in range(1, n_iter + 1):
+        parts.append(assign.format(name=f"a{i}", prev=f"c{i - 1}"))
+        parts.append(
+            f""", u{i} AS MATERIALIZED (
+      SELECT sub, cent_id, list(mx ORDER BY pos) AS cvec FROM (
+        SELECT sub, cent_id, pos, ROUND(AVG(x), {round_to}) AS mx FROM (
+          SELECT sub, cent_id, UNNEST(sv) AS x,
+                 UNNEST(generate_series(1, len(sv))) AS pos FROM a{i})
+        GROUP BY sub, cent_id, pos) GROUP BY sub, cent_id
+    ), c{i} AS MATERIALIZED (
+      SELECT c.sub, c.cent_id, COALESCE(u.cvec, c.cvec) AS cvec
+      FROM c{i - 1} c LEFT JOIN u{i} u USING (sub, cent_id)
+    )"""
+        )
+    parts.append(
+        f""", codes AS MATERIALIZED (
+      SELECT vec_id, sub, cent_id AS code FROM (
+        SELECT s.vec_id, s.sub, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+                 {d2.format(a='s.sv', b='c.cvec')} ASC, c.cent_id) AS rk
+        FROM sv s JOIN c{n_iter} c USING (sub)) WHERE rk = 1
+    )"""
+    )
+    return "".join(parts)
+
+
+@contract(
+    "q_ann_pq",
+    _pq_sql(m=4, k=4, n_iter=2)
+    + """
+    , lut AS MATERIALIZED (
+      SELECT s.vec_id AS query_id, s.sub, c.cent_id AS code,
+             ROUND(list_sum(list_transform(generate_series(1, len(s.sv)), ii ->
+               (s.sv[ii]-c.cvec[ii])*(s.sv[ii]-c.cvec[ii]))), 6) AS d2
+      FROM sv s JOIN c2 c USING (sub) WHERE s.vec_id < 10
+    ),
+    cand AS (
+      SELECT l.query_id, cd.vec_id AS neighbor_id, ROUND(SUM(l.d2), 6) AS adist
+      FROM codes cd JOIN lut l ON cd.sub = l.sub AND cd.code = l.code
+      WHERE cd.vec_id != l.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adist ASC, neighbor_id) AS rank,
+           neighbor_id
+    FROM cand QUALIFY rank <= 3
+    """,
+)
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jegou et al., PAMI 2011) end-to-end:
+    pq_train (4 subspaces x 4 centroids, two rounded Lloyd's iterations,
+    all subspaces trained in the SAME distributed passes) -> pq_codes
+    (the corpus collapses to 4 small ints per vector — the table that
+    lives at 100 TB) -> pq_adc_topk (broadcast per-query distance LUT +
+    one sum aggregate; full vectors never shuffled at query time). The
+    oracle replays the ENTIRE pipeline — subspace slicing, the k-means
+    trajectory per subspace, code assignment, the rounded ADC LUT, and
+    the top-3 ranking — so the trained compression index itself is
+    SQL-verified, not just the final ranking."""
+    emb = load(spark, sf_dir, "embeddings")
+    books = similarity.pq_train(emb, m=4, k=4, n_iter=2, round_to=6)
+    codes = similarity.pq_codes(emb, books, m=4)
+    return similarity.pq_adc_topk(
+        codes,
+        books,
+        emb.filter(F.col("vec_id") < 10),
+        k=3,
+        m=4,
+        round_to=6,
+    )

@@ -379,6 +379,205 @@ def ivf_topk(
     )
 
 
+def sqdist(a: Column, b: Column) -> Column:
+    """Σ (a_i − b_i)² as an ordered fold (aggregate over zip_with) —
+    squared L2, the metric PQ codebooks are trained and probed with."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _subspace_rows(
+    df: DataFrame, m: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, sub, sv): explode each vector into its ``m`` contiguous
+    subspace slices (sub is 0-based; dim must divide by m — enforced by
+    the slice arithmetic: a ragged tail would silently shrink the last
+    subvector, so callers pick m | dim). One narrow explode — no shuffle."""
+    v = F.col(vec_col).cast("array<double>")
+    dsub = (F.size(F.col("__v")) / m).cast("int")
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        v.alias("__v"),
+    ).select(
+        "id",
+        "sub",
+        F.slice(F.col("__v"), F.col("sub") * dsub + 1, dsub).alias("sv"),
+    )
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Product-quantization codebooks (Jégou et al., PAMI 2011): split the
+    dimension into ``m`` contiguous subspaces and train an independent
+    k-means (squared-L2) in each — ALL m codebooks in the same distributed
+    passes, the subspace id simply joining the grouping key. Returns
+    (sub, cent_id, cvec) — m·k small rows.
+
+    Scale: per iteration ONE broadcast join (m·k centroid rows) + one
+    min_by hash aggregate + one posexplode partial-aggregate mean — the
+    exact `kmeans_centroids` shape with `sub` added to every key; no
+    window over the corpus, no driver data loops. Seeding/tie-breaks are
+    deterministic (k lowest-id vectors per subspace, lowest cent_id on
+    distance ties); ``round_to`` pins each iteration's centroid means so
+    a SQL oracle replays the whole training trajectory (q_ann_pq)."""
+    sv = _subspace_rows(corpus, m, id_col, vec_col)
+    seeds = _subspace_rows(
+        corpus.orderBy(id_col).limit(k), m, id_col, vec_col
+    )
+    cents = seeds.select(
+        "sub",
+        F.row_number()
+        .over(Window.partitionBy("sub").orderBy("id"))
+        .alias("cent_id"),
+        F.col("sv").alias("cvec"),
+    )
+    for _ in range(n_iter):
+        assigned = (
+            sv.join(F.broadcast(cents), "sub")
+            .withColumn("d2", sqdist(F.col("sv"), F.col("cvec")))
+            .groupBy("id", "sub")
+            .agg(
+                F.min_by(
+                    F.struct("cent_id", "sv"), F.struct("d2", "cent_id")
+                ).alias("best")
+            )
+            .select(
+                "sub",
+                F.col("best.cent_id").alias("cent_id"),
+                F.col("best.sv").alias("sv"),
+            )
+        )
+        updated = (
+            assigned.select("sub", "cent_id", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("sub", "cent_id", "pos")
+            .agg(
+                (
+                    F.round(F.avg("x"), round_to)
+                    if round_to is not None
+                    else F.avg("x")
+                ).alias("mx")
+            )
+            .groupBy("sub", "cent_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mx"))),
+                    lambda s: s["mx"],
+                ).alias("cvec")
+            )
+        )
+        cents = (
+            cents.alias("old")
+            .join(updated.alias("new"), ["sub", "cent_id"], "left")
+            .select(
+                "sub",
+                "cent_id",
+                F.coalesce(F.col("new.cvec"), F.col("old.cvec")).alias("cvec"),
+            )
+        )
+    return cents
+
+
+def pq_codes(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, sub, code): quantize every vector to its nearest centroid per
+    subspace. THIS is the table that lives at 100 TB — m small ints per
+    vector instead of the float array (64-dim float32 → 4 ints is 16×
+    smaller before encoding) — and the only corpus-sized input ADC search
+    needs. One broadcast join + one min_by hash aggregate."""
+    sv = _subspace_rows(corpus, m, id_col, vec_col)
+    return (
+        sv.join(F.broadcast(codebooks), "sub")
+        .withColumn("d2", sqdist(F.col("sv"), F.col("cvec")))
+        .groupBy("id", "sub")
+        .agg(F.min(F.struct("d2", "cent_id")).alias("best"))
+        .select("id", "sub", F.col("best.cent_id").alias("code"))
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query, a lookup
+    table of squared-L2 distances from its subvectors to every centroid
+    (Q·m·k_cents rows — model-sized), then every corpus candidate's
+    distance is the SUM of m table entries. (query_id, rank, neighbor_id),
+    ranked by (adist asc, neighbor_id). ``round_to`` rounds each LUT entry
+    so a SQL oracle's ADC sums rank identically (q_ann_pq).
+
+    Scale: the LUT broadcasts; the corpus side touches ONLY the skinny
+    codes table — one broadcast equi-join on (sub, code) + one
+    map-side-combinable sum aggregate. Full vectors are never shuffled,
+    never even read at query time — the canonical RAM-resident ANN shape
+    (compose with ivf_topk cells to prune candidates first)."""
+    d2 = sqdist(F.col("sv"), F.col("cvec"))
+    if round_to is not None:
+        d2 = F.round(d2, round_to)
+    lut = (
+        _subspace_rows(queries, m, id_col, vec_col)
+        .withColumnRenamed("id", "query_id")
+        .join(F.broadcast(codebooks), "sub")
+        .select(
+            "query_id",
+            "sub",
+            F.col("cent_id").alias("code"),
+            d2.alias("d2"),
+        )
+    )
+    # the adist round matters beyond oracle parity: candidates sharing a
+    # code signature have MATHEMATICALLY equal sums, but float-add order
+    # would break those ties by ulp noise instead of the neighbor_id
+    # tie-break — rounding restores deterministic, run-invariant ranking
+    adist = F.sum("d2")
+    if round_to is not None:
+        adist = F.round(adist, round_to)
+    cand = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("id") != F.col("query_id"))
+        .groupBy("query_id", F.col("id").alias("neighbor_id"))
+        .agg(adist.alias("adist"), F.count("*").alias("__m"))
+        # a candidate missing LUT rows for some subspace would under-sum:
+        # keep only complete m-subspace sums (always true by construction,
+        # cheap to enforce)
+        .filter(F.col("__m") == m)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
 def near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

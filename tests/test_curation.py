@@ -180,6 +180,48 @@ def test_kmeans_centroids_and_trained_ivf(vecs):
     assert approx and approx[0].neighbor_id == 30
 
 
+def test_pq_codes_and_adc_topk(vecs):
+    # codebooks: 4 subspaces (dim 8 -> 2 each) x 3 centroids, deterministic
+    books = similarity.pq_train(vecs, m=4, k=3, n_iter=2, round_to=6)
+    rows = books.collect()
+    assert len(rows) == 4 * 3
+    assert all(len(r.cvec) == 2 for r in rows)
+    again = {(r.sub, r.cent_id): list(r.cvec) for r in
+             similarity.pq_train(vecs, m=4, k=3, n_iter=2, round_to=6).collect()}
+    assert {(r.sub, r.cent_id): list(r.cvec) for r in rows} == again
+    # codes: exactly m small ints per vector, every code a trained centroid
+    codes = similarity.pq_codes(vecs, books, m=4)
+    by_id = {}
+    for r in codes.collect():
+        by_id.setdefault(r.id, []).append(r.code)
+        assert 1 <= r.code <= 3
+    assert all(len(v) == 4 for v in by_id.values()) and len(by_id) == 31
+    # ADC: the perturbed twin (30) quantizes to vector 0's own codes, so
+    # its asymmetric distance is the GLOBAL minimum (the query's LUT is
+    # minimized per subspace exactly at its own code) — every neighbor
+    # ranked above it is an exact quantization tie broken by lower id
+    out = similarity.pq_adc_topk(
+        codes, books, vecs.filter("vec_id = 0"), k=31, m=4, round_to=6
+    ).collect()
+    ranks = {r.neighbor_id: r.rank for r in out if r.query_id == 0}
+    assert 30 in ranks
+    cb = {(r.sub, r.cent_id): list(r.cvec) for r in rows}
+    q0 = [float(x) for x in vecs.filter("vec_id = 0").first().embedding]
+
+    def adist(nid):
+        s = 0.0
+        for sub in range(4):
+            c = cb[(sub, by_id[nid][sub])]
+            qs = q0[sub * 2 : sub * 2 + 2]
+            s += round(sum((a - b) ** 2 for a, b in zip(qs, c)), 6)
+        return round(s, 6)
+
+    a30 = adist(30)
+    assert all(adist(n) >= a30 for n in by_id if n != 0)
+    above = [n for n, rk in ranks.items() if rk < ranks[30]]
+    assert all(adist(n) == a30 and n < 30 for n in above)
+
+
 def test_pii_scrub(spark):
     rows = [
         (0, "contact me at jane.doe+x@mail.example.com or +55 (11) 98765-4321"),
