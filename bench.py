@@ -49,6 +49,11 @@ HEADLINE = [
     "q_repetition_stats",
     "q_pack_sequences",
     "q_dsir_weights",
+    # round-3 late additions: the retrieval + LM-scoring headliners (the
+    # two heaviest new join/aggregate topologies — BM25's shared-tf
+    # exchange fan-out and Kneser-Ney's single bigram-explode LM train).
+    "q_bm25_topk",
+    "q_kn_bigram_ppl",
 ]
 
 
@@ -137,6 +142,13 @@ def main() -> None:
         # round-3 re-measurement of the same campaign, with the per-session
         # hardware controls that attribute its delta (BENCH/BASELINE.md)
         ("scaling_1_to_4_r3", ("scaling_r3_14.json",)),
+        # round-3 continuation: PINNED-tree campaign (SPARK_GRAFT_TASKSET=1,
+        # the cgroup-bounded executor analogue) with bracketing host probes;
+        # the unpinned r3c rerun sits alongside. BENCH/BASELINE.md explains
+        # why the pinned protocol is the faithful one and why this host's
+        # shared bus caps it (probe-correlated at Pearson 0.73).
+        ("scaling_1_to_4_r3_pinned", ("scaling_r3d_14.json",)),
+        ("scaling_1_to_4_r3_unpinned_rerun", ("scaling_r3c_14.json",)),
     ):
         for fname in names:
             scaling_path = os.path.join(bench_dir, fname)

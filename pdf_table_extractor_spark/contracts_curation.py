@@ -3016,3 +3016,54 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=4,
         round_to=6,
     )
+
+
+@contract(
+    "q_bucketed_join",
+    """
+    SELECT o.o_orderkey, o.o_orderpriority,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_lines
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey LIMIT 25
+    """,
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-bucketed fact-fact join (sources/bucketed.py): orders and
+    lineitem persisted hash-bucketed + sorted on their orderkey, then
+    joined THROUGH THE CATALOG — the bucket spec satisfies the join's
+    required distribution, so the physical plan carries NO Exchange on
+    either side (asserted in tests/test_plan.py; at 100 TB that is the
+    whole fact-table shuffle paid once at write time instead of on every
+    consumer job). Bucketing is pure physical layout: the result is
+    row-identical to the plain join, which is exactly what the oracle
+    checks."""
+    import tempfile
+
+    from pdf_table_extractor_spark.sources import bucketed
+
+    root = tempfile.mkdtemp(prefix="bucketed_contract_")
+    bucketed.write_bucketed(
+        load(spark, sf_dir, "orders"),
+        "bx_orders", key="o_orderkey", n_buckets=4, path=root + "/orders",
+    )
+    bucketed.write_bucketed(
+        load(spark, sf_dir, "lineitem"),
+        "bx_lineitem", key="l_orderkey", n_buckets=4, path=root + "/lineitem",
+    )
+    j = bucketed.bucketed_join(
+        spark, "bx_lineitem", "bx_orders",
+        on=[F.col("l_orderkey") == F.col("o_orderkey")],
+    )
+    return (
+        j.groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(25)
+    )

@@ -326,3 +326,27 @@ def test_kn_bigram_trains_on_one_exploded_pass(spark):
     # counts, per-doc scoring bigrams, unigram vocab)
     assert plan.count("ReusedExchange") >= 3
     assert plan.count("Scan ExistingRDD[doc_id") == 3
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    from pdf_table_extractor_spark.sources import bucketed
+
+    left = spark.range(0, 200).selectExpr("id AS k", "id * 2 AS a")
+    right = spark.range(0, 200).selectExpr("id AS k", "id * 3 AS b")
+    bucketed.write_bucketed(left, "bx_plan_l", key="k", n_buckets=4, path=str(tmp_path / "l"))
+    bucketed.write_bucketed(right, "bx_plan_r", key="k", n_buckets=4, path=str(tmp_path / "r"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        j = bucketed.bucketed_join(spark, "bx_plan_l", "bx_plan_r", on="k")
+        plan = _physical(j)
+        n = j.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # the whole point of bucketing: the fact-fact equi-join runs with NO
+    # shuffle on either side — the write-time bucket layout satisfies the
+    # join's required distribution across jobs, not just within one plan
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    assert n == 200
