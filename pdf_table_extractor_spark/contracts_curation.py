@@ -3067,3 +3067,54 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "o_orderkey")
         .limit(25)
     )
+
+
+@contract(
+    "q_asof_join",
+    """
+    WITH views AS (
+      SELECT user_id, ts, ROUND(MAX(value), 2) AS view_value
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    ),
+    clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id, v.view_value,
+           epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+    FROM clicks c
+    ASOF LEFT JOIN views v ON c.user_id = v.user_id AND c.ts >= v.ts
+    ORDER BY c.event_id
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward-inclusive as-of join (operators/asof.py): each click event
+    aligned to the same user's latest at-or-before view. The Spark plan is
+    union + ONE hash exchange + partition-local sort + ffill window — no
+    join operator at all (tests/test_plan.py asserts 1 Exchange, 0 joins);
+    the oracle is DuckDB's native ASOF LEFT JOIN, a genuinely independent
+    implementation of the same semantics. Timestamps surface only as the
+    match gap in microseconds (both engines' epoch bases cancel); the
+    payload is rounded identically on both sides."""
+    from pdf_table_extractor_spark.operators import asof
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 2).alias("view_value"))
+    )
+    j = asof.asof_join(
+        clicks, views, ["user_id"], "ts", ["view_value"], right_ts_as="view_ts"
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "view_value",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("view_ts").cast("timestamp"))
+        ).alias("gap_us"),
+    ).orderBy("event_id")

@@ -350,3 +350,30 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan
     assert n == 200
+
+
+def test_asof_join_is_one_exchange_no_join(spark):
+    import datetime as dt
+
+    from pdf_table_extractor_spark.operators import asof
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(i, "k%d" % (i % 3), t0 + dt.timedelta(seconds=i)) for i in range(30)],
+        "id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("k%d" % (i % 3), t0 + dt.timedelta(seconds=i), float(i)) for i in range(0, 30, 2)],
+        "k string, ts timestamp, v double",
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        j = asof.asof_join(left, right, ["k"], "ts", ["v"])
+        plan = _physical(j)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # the whole point: temporal alignment WITHOUT a join — one hash
+    # exchange on the key feeds a partition-local sort + ffill window
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
