@@ -3118,3 +3118,51 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.unix_micros(F.col("view_ts").cast("timestamp"))
         ).alias("gap_us"),
     ).orderBy("event_id")
+
+
+@contract(
+    "q_range_join",
+    """
+    WITH clicks AS (
+      SELECT event_id AS click_id, ts FROM events WHERE event_type = 'click'
+    ),
+    wins AS (
+      SELECT event_id AS win_id, ts AS w_start,
+             ts + INTERVAL 300 SECOND AS w_end
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT c.click_id, w.win_id,
+           epoch_us(c.ts) - epoch_us(w.w_start) AS offset_us
+    FROM clicks c JOIN wins w ON c.ts >= w.w_start AND c.ts <= w.w_end
+    ORDER BY click_id, win_id
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join (operators/intervals.py): every click
+    inside any 300 s error window. Spark side is the equi-bucketed
+    rewrite — bucket explode + hash equi-join + exact BETWEEN post-filter
+    (never a nested-loop/cartesian; tests/test_plan.py asserts the plan);
+    the oracle is DuckDB's native inequality join (IEJoin), a genuinely
+    independent evaluation of the same predicate."""
+    from pdf_table_extractor_spark.operators import intervals
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "ts"
+    )
+    wins = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("win_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 300 SECOND")).alias("w_end"),
+    )
+    j = intervals.interval_join(
+        clicks, wins, "ts", "w_start", "w_end", bucket_s=300
+    )
+    return j.select(
+        "click_id",
+        "win_id",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("w_start").cast("timestamp"))
+        ).alias("offset_us"),
+    ).orderBy("click_id", "win_id")

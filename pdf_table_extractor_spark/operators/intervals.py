@@ -1,0 +1,95 @@
+"""Range (point-in-interval) join via time-bucket equi-keys.
+
+Web-scale uses: which page fetches fall inside an outage/maintenance
+window; crawl events during a domain's rate-limit period; capture inside
+a content-license validity interval. Spark plans a bare
+``p.ts BETWEEN i.start AND i.end`` as BroadcastNestedLoopJoin (or a
+cartesian when neither side broadcasts) — O(|points|·|intervals|)
+comparisons, a scale-killer. This implementation turns the range
+predicate into an EQUI-join:
+
+1. pick a bucket width (seconds); each point gets the single bucket
+   ``floor(epoch/B)``, each interval explodes into the buckets it
+   covers (``sequence(b_start, b_end)`` — with ``B`` ≈ the typical
+   interval length that is ≤ 2 rows per interval);
+2. hash equi-join on the bucket id (+ any ``key_cols``), then apply the
+   exact ``BETWEEN`` as a post-filter.
+
+A (point, interval) pair can meet in at most ONE bucket — the point's —
+so no dedup pass is needed. Cost at 100 TB: one shuffle of each side on
+``(key, bucket)``, AQE-skew-splittable; the explode factor is
+``len/B + 1`` per interval and is ENFORCED (``max_span_buckets``,
+default 1024: a malformed open-ended interval fails the job loudly via
+``assert_true`` instead of silently materializing millions of rows —
+the same trust-nothing stance as ngram_jaccard_pairs' scope guard).
+``inclusive="both"`` mirrors SQL BETWEEN; half-open variants for
+abutting windows.
+
+Reference parity: none (the reference is per-file, no temporal data) —
+beyond-reference cluster surface named by the build brief's custom
+operator list (range join), sibling of operators/asof.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_BOUNDS = {
+    "both": (">=", "<="),
+    "left": (">=", "<"),
+    "right": (">", "<="),
+    "neither": (">", "<"),
+}
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    pt_ts: str,
+    iv_start: str,
+    iv_end: str,
+    *,
+    bucket_s: int,
+    key_cols: list[str] | None = None,
+    inclusive: str = "both",
+    max_span_buckets: int = 1024,
+) -> DataFrame:
+    """Inner-join each point row to every interval row containing its
+    timestamp (and matching ``key_cols``, if given). Column names must be
+    disjoint between the two frames. ``bucket_s`` should approximate the
+    typical interval length; intervals wider than
+    ``max_span_buckets * bucket_s`` fail the job (malformed/open-ended
+    interval guard)."""
+    lo_op, hi_op = _BOUNDS[inclusive]
+    key_cols = key_cols or []
+    bucket = "__rj_bucket"
+    us = 1_000_000 * int(bucket_s)
+
+    def _b(col: str):
+        return F.floor(F.unix_micros(F.col(col).cast("timestamp")) / us)
+
+    b0, b1 = _b(iv_start), _b(iv_end)
+    # assert_true returns NULL on pass and fails the task on violation;
+    # routing the explode through it makes the guard unprunable.
+    guard = F.assert_true(
+        b1 - b0 <= F.lit(int(max_span_buckets)),
+        F.lit(
+            f"interval_join: interval wider than max_span_buckets"
+            f"={max_span_buckets} buckets of {bucket_s}s — malformed or "
+            "open-ended interval, or bucket_s far too small"
+        ),
+    )
+    iv = intervals.withColumn(
+        bucket, F.explode(F.when(guard.isNull(), F.sequence(b0, b1)))
+    )
+    pt = points.withColumn(bucket, _b(pt_ts))
+    cond = [pt[bucket] == iv[bucket]]
+    cond += [pt[k] == iv[k] for k in key_cols]
+    joined = pt.join(iv, cond, "inner").drop(pt[bucket]).drop(iv[bucket])
+    lo = F.expr(f"{pt_ts} {lo_op} {iv_start}")
+    hi = F.expr(f"{pt_ts} {hi_op} {iv_end}")
+    out = joined.filter(lo & hi)
+    for k in key_cols:  # collapse the duplicated key columns
+        out = out.drop(iv[k])
+    return out

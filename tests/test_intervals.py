@@ -1,0 +1,72 @@
+"""Unit tests for the equi-bucketed range join (operators/intervals.py):
+hand-computed containment across bucket boundaries, inclusivity modes,
+key scoping, and the malformed-interval guard."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pdf_table_extractor_spark.operators import intervals
+
+
+def _ts(s: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+def _frames(spark):
+    pts = spark.createDataFrame(
+        [(1, "a", _ts(5)), (2, "a", _ts(10)), (3, "b", _ts(10)), (4, "a", _ts(25))],
+        "pid long, k string, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        # window W1 spans the 0/10 bucket boundary at bucket_s=10
+        [(100, "a", _ts(4), _ts(12)), (200, "b", _ts(9), _ts(10)), (300, "a", _ts(30), _ts(40))],
+        "iid long, k string, s timestamp, e timestamp",
+    )
+    return pts, ivs
+
+
+def test_interval_join_containment_across_buckets(spark):
+    pts, ivs = _frames(spark)
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in intervals.interval_join(
+            pts, ivs, "ts", "s", "e", bucket_s=10
+        ).collect()
+    )
+    # unscoped: pure temporal containment — pids 2 and 3 (ts=10) are in
+    # BOTH W1 (4..12, crossing the bucket-10 edge) and W2 (9..10,
+    # end-inclusive); pid=4 (ts=25) is in no window
+    assert got == [(1, 100), (2, 100), (2, 200), (3, 100), (3, 200)]
+
+
+def test_interval_join_key_scoped_and_half_open(spark):
+    pts, ivs = _frames(spark)
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in intervals.interval_join(
+            pts, ivs, "ts", "s", "e", bucket_s=10, key_cols=["k"]
+        ).collect()
+    )
+    assert got == [(1, 100), (2, 100), (3, 200)]
+    half = sorted(
+        (r["pid"], r["iid"])
+        for r in intervals.interval_join(
+            pts, ivs, "ts", "s", "e", bucket_s=10, key_cols=["k"], inclusive="left"
+        ).collect()
+    )
+    # ts=10 == e of W2: excluded under [s, e)
+    assert half == [(1, 100), (2, 100)]
+
+
+def test_interval_join_guard_fails_open_ended(spark):
+    pts, ivs = _frames(spark)
+    wide = spark.createDataFrame(
+        [(900, "a", _ts(0), _ts(10_000_000))], "iid long, k string, s timestamp, e timestamp"
+    )
+    with pytest.raises(Exception, match="max_span_buckets"):
+        intervals.interval_join(
+            pts, wide, "ts", "s", "e", bucket_s=10, max_span_buckets=100
+        ).collect()

@@ -377,3 +377,34 @@ def test_asof_join_is_one_exchange_no_join(spark):
     assert "Join" not in plan and "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Window" in plan
+
+
+def test_interval_join_is_equi_not_nested_loop(spark):
+    import datetime as dt
+
+    from pdf_table_extractor_spark.operators import intervals
+
+    t0 = dt.datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(seconds=i * 7)) for i in range(50)],
+        "pid long, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(seconds=i * 40), t0 + dt.timedelta(seconds=i * 40 + 30))
+         for i in range(10)],
+        "iid long, s timestamp, e timestamp",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        j = intervals.interval_join(pts, ivs, "ts", "s", "e", bucket_s=30)
+        plan = _physical(j)
+        n = j.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # the range predicate must ride an EQUI join on the bucket key, never
+    # a nested-loop/cartesian scan of points x intervals
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert n > 0
