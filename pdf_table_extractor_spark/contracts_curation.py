@@ -3166,3 +3166,50 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.unix_micros(F.col("w_start").cast("timestamp"))
         ).alias("offset_us"),
     ).orderBy("click_id", "win_id")
+
+
+_HYPER_LEVEL = """
+    SELECT '{g}' AS grain,
+           strftime(time_bucket(INTERVAL {iv}, ts), '%Y-%m-%d %H:%M:%S')
+             AS bucket_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(MIN(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+           CAST(MAX(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
+    FROM events GROUP BY 2, 3
+"""
+
+
+@contract(
+    "q_hypertable_rollup",
+    " UNION ALL ".join(
+        _HYPER_LEVEL.format(g=g, iv=iv)
+        for g, iv in [
+            ("1 hour", "'1 hour'"),
+            ("6 hours", "'6 hours'"),
+            ("1 day", "'1 day'"),
+        ]
+    ),
+)
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain continuous aggregate (operators/hypertable.py): hour /
+    6-hour / day event rollups in ONE raw scan — each coarser grain
+    re-aggregates the finer aggregate, and exchange reuse makes the
+    union cost what the coarsest grain alone would (tests/test_plan.py
+    asserts 1 scan + reused exchanges). The oracle computes every level
+    independently from raw with DuckDB time_bucket — so it also proves
+    the re-aggregation algebra (sum-of-counts, min-of-mins...) exact.
+    Grains chosen to be epoch-aligned in both engines (weeks are not)."""
+    from pdf_table_extractor_spark.operators import hypertable
+
+    e = load(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    return hypertable.hypertable_rollup(
+        e,
+        "ts",
+        ["1 hour", "6 hours", "1 day"],
+        ["event_type"],
+        ["cents"],
+    )

@@ -408,3 +408,64 @@ def test_interval_join_is_equi_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     assert n > 0
+
+
+def test_hypertable_rollup_scans_raw_once(spark):
+    import datetime as dt
+
+    from pdf_table_extractor_spark.operators import hypertable
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(i, "t%d" % (i % 2), t0 + dt.timedelta(minutes=13 * i), i * 10)
+         for i in range(200)],
+        "id long, typ string, ts timestamp, v long",
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        roll = hypertable.hypertable_rollup(
+            df, "ts", ["1 hour", "6 hours", "1 day"], ["typ"], ["v"]
+        )
+        plan = _physical(roll)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # hierarchical re-aggregation: the raw table is scanned ONCE; the
+    # 6-hour branch reuses the hour exchange and the day branch reuses
+    # the 6-hour exchange (whose subtree already carries the hour reuse)
+    assert plan.count("Scan ExistingRDD") == 1
+    assert plan.count("ReusedExchange") == 2
+
+
+def test_hypertable_reagg_matches_direct(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from pdf_table_extractor_spark.operators import hypertable
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(i, "t%d" % (i % 2), t0 + dt.timedelta(minutes=13 * i), i * 10)
+         for i in range(200)],
+        "id long, typ string, ts timestamp, v long",
+    )
+    roll = hypertable.hypertable_rollup(
+        df, "ts", ["1 hour", "1 day"], ["typ"], ["v"]
+    )
+    got = {
+        (r["bucket_start"], r["typ"]): (r["n"], r["sum_v"], r["min_v"], r["max_v"])
+        for r in roll.filter(F.col("grain") == "1 day").collect()
+    }
+    direct = {
+        (r["b"], r["typ"]): (r["n"], r["s"], r["mn"], r["mx"])
+        for r in df.groupBy(
+            F.date_format(F.window("ts", "1 day")["start"], "yyyy-MM-dd HH:mm:ss").alias("b"),
+            "typ",
+        )
+        .agg(
+            F.count("*").alias("n"), F.sum("v").alias("s"),
+            F.min("v").alias("mn"), F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == direct
