@@ -54,6 +54,11 @@ HEADLINE = [
     # exchange fan-out and Kneser-Ney's single bigram-explode LM train).
     "q_bm25_topk",
     "q_kn_bigram_ppl",
+    # the temporal-alignment family (round-3 continuation): joinless
+    # as-of (union + one exchange + ffill window) and the hierarchical
+    # multi-grain rollup (one raw scan via exchange reuse)
+    "q_asof_join",
+    "q_hypertable_rollup",
 ]
 
 

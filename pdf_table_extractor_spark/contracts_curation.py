@@ -3213,3 +3213,51 @@ def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type"],
         ["cents"],
     )
+
+
+@contract(
+    "q_asof_join_bucketed",
+    """
+    WITH views AS (
+      SELECT user_id, ts, ROUND(MAX(value), 2) AS view_value
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    ),
+    clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id, v.view_value,
+           epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+    FROM clicks c
+    ASOF LEFT JOIN views v ON c.user_id = v.user_id AND c.ts >= v.ts
+    ORDER BY c.event_id
+    """,
+)
+def q_asof_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-key scale path of q_asof_join (bucket_s=3600: no window
+    holds more than one key-hour; the cross-bucket carry is an as-of over
+    per-bucket right tails). Same DuckDB ASOF oracle as the plain path —
+    the two implementations must be row-identical."""
+    from pdf_table_extractor_spark.operators import asof
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 2).alias("view_value"))
+    )
+    j = asof.asof_join(
+        clicks, views, ["user_id"], "ts", ["view_value"],
+        right_ts_as="view_ts", bucket_s=3600,
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "view_value",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("view_ts").cast("timestamp"))
+        ).alias("gap_us"),
+    ).orderBy("event_id")

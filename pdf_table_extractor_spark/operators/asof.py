@@ -54,6 +54,7 @@ def asof_join(
     *,
     right_ts_as: str | None = None,
     tolerance_s: float | None = None,
+    bucket_s: int | None = None,
 ) -> DataFrame:
     """For each left row, attach ``payload_cols`` from the latest right
     row with ``right.ts_col <= left.ts_col`` and equal ``key_cols``
@@ -64,7 +65,19 @@ def asof_join(
     order). ``right_ts_as`` additionally exposes the matched right
     timestamp under that name; ``tolerance_s`` nulls matches older than
     the given number of seconds.
-    """
+
+    ``bucket_s`` is the hot-key scale path: with it, NO window ever holds
+    more than one ``(key, time-bucket)`` of data (a mega-host's full
+    history never lands on one task). Semantics are identical — proven by
+    contract (q_asof_join_bucketed shares the plain path's DuckDB ASOF
+    oracle) and property test. Mechanics: the in-bucket pass is the same
+    union+ffill keyed on ``(key, bucket)``; the cross-bucket carry — what
+    a left row at the start of a bucket should inherit — is an as-of over
+    per-bucket right-side TAILS (one ``max_by`` hash aggregate, then a
+    per-key window over ~#buckets rows, orders of magnitude smaller than
+    the data), equi-joined back on ``(key, bucket)``. Pick ``bucket_s``
+    so a bucket of the hottest key fits a task (e.g. one hour of the
+    biggest host's captures)."""
     side = "__asof_side"
     pack = "__asof_pack"
     # Right payload rides in ONE struct (incl. its ts): ffill then sees a
@@ -77,31 +90,72 @@ def asof_join(
         F.lit(0).alias(side),
     )
     l = left.withColumn(side, F.lit(1))
-    u = l.unionByName(r, allowMissingColumns=True)
-    w = (
+
+    def _finalize(u: DataFrame, filled) -> DataFrame:
+        if tolerance_s is not None:
+            # gate AFTER the fill: an out-of-window match is dropped, not
+            # replaced by an older one (merge_asof semantics)
+            age = F.col(ts_col).cast("timestamp").cast("double") - filled[
+                "__rts"
+            ].cast("timestamp").cast("double")
+            filled = F.when(age <= F.lit(float(tolerance_s)), filled)
+        return (
+            u.withColumn(pack, filled)
+            .filter(F.col(side) == 1)
+            .select(
+                *left.columns,
+                *[F.col(pack)[c].alias(c) for c in payload_cols],
+                *(
+                    [F.col(pack)["__rts"].alias(right_ts_as)]
+                    if right_ts_as
+                    else []
+                ),
+            )
+        )
+
+    if bucket_s is None:
+        u = l.unionByName(r, allowMissingColumns=True)
+        w = (
+            Window.partitionBy(*key_cols)
+            .orderBy(F.col(ts_col).asc(), F.col(side).asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return _finalize(u, F.last(pack, ignorenulls=True).over(w))
+
+    bcol = "__asof_b"
+    us = 1_000_000 * int(bucket_s)
+    _b = F.floor(F.unix_micros(F.col(ts_col).cast("timestamp")) / us)
+    l2, r2 = l.withColumn(bcol, _b), r.withColumn(bcol, _b)
+    # cross-bucket carry: per-(key,bucket) right tails (hash aggregate),
+    # then for each DISTINCT left bucket the latest tail of any STRICTLY
+    # earlier bucket (same-bucket rights are the in-bucket pass's job —
+    # at equal bucket the probe sorts first)
+    tails = r2.groupBy(*key_cols, bcol).agg(
+        F.max_by(F.col(pack), F.col(pack)["__rts"]).alias(pack)
+    ).withColumn(side, F.lit(0))
+    probes = (
+        l2.select(*key_cols, bcol).distinct().withColumn(side, F.lit(1))
+    )
+    wc = (
         Window.partitionBy(*key_cols)
+        .orderBy(F.col(bcol).asc(), F.col(side).desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carry = (
+        probes.unionByName(tails, allowMissingColumns=True)
+        .withColumn("__asof_carry", F.last(pack, ignorenulls=True).over(wc))
+        .filter(F.col(side) == 1)
+        .select(*key_cols, bcol, "__asof_carry")
+    )
+    u = l2.unionByName(r2, allowMissingColumns=True)
+    win = (
+        Window.partitionBy(*key_cols, bcol)
         .orderBy(F.col(ts_col).asc(), F.col(side).asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = F.last(pack, ignorenulls=True).over(w)
-    if tolerance_s is not None:
-        # gate AFTER the fill: an out-of-window match is dropped, not
-        # replaced by an older one (merge_asof semantics)
-        age = F.col(ts_col).cast("timestamp").cast("double") - filled[
-            "__rts"
-        ].cast("timestamp").cast("double")
-        filled = F.when(age <= F.lit(float(tolerance_s)), filled)
-    out = (
-        u.withColumn(pack, filled)
+    u2 = (
+        u.withColumn(pack, F.last(pack, ignorenulls=True).over(win))
         .filter(F.col(side) == 1)
-        .select(
-            *left.columns,
-            *[F.col(pack)[c].alias(c) for c in payload_cols],
-            *(
-                [F.col(pack)["__rts"].alias(right_ts_as)]
-                if right_ts_as
-                else []
-            ),
-        )
+        .join(carry, on=[*key_cols, bcol], how="left")
     )
-    return out
+    return _finalize(u2, F.coalesce(F.col(pack), F.col("__asof_carry")))

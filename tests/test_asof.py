@@ -68,3 +68,37 @@ def test_asof_null_field_in_matched_row_survives(spark):
         left, right, ["k"], "ts", ["v"], right_ts_as="rts"
     ).collect()[0]
     assert row["rts"] == _ts(8) and row["v"] is None
+
+
+def test_asof_bucketed_matches_plain(spark):
+    # deterministic pseudo-random corpus: 3 keys, sparse rights, empty
+    # buckets, keys with no rights at all
+    import hashlib
+
+    def h(x):
+        return int(hashlib.md5(str(x).encode()).hexdigest()[:6], 16)
+
+    left = spark.createDataFrame(
+        [(i, "k%d" % (h(i) % 3), _ts(h(i) % 900)) for i in range(300)],
+        "id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("k%d" % (h(j * 7) % 2), _ts(h(j + 1000) % 900), float(j))
+         for j in range(60)],
+        "k string, ts timestamp, v double",
+    ).groupBy("k", "ts").agg(F.max("v").alias("v"))
+    kw = dict(right_ts_as="rts")
+    plain = asof.asof_join(left, right, ["k"], "ts", ["v"], **kw)
+    for bucket_s in (50, 7, 2000):  # multi-bucket, tiny, one-bucket
+        buck = asof.asof_join(
+            left, right, ["k"], "ts", ["v"], bucket_s=bucket_s, **kw
+        )
+        assert sorted(map(tuple, buck.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+    # tolerance composes with the carry too
+    pt = asof.asof_join(left, right, ["k"], "ts", ["v"], tolerance_s=40)
+    bt = asof.asof_join(
+        left, right, ["k"], "ts", ["v"], tolerance_s=40, bucket_s=50
+    )
+    assert sorted(map(tuple, bt.collect())) == sorted(map(tuple, pt.collect()))

@@ -469,3 +469,30 @@ def test_hypertable_reagg_matches_direct(spark):
         .collect()
     }
     assert got == direct
+
+
+def test_asof_bucketed_windows_never_partition_by_key_alone_over_data(spark):
+    import datetime as dt
+
+    from pdf_table_extractor_spark.operators import asof
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(i, "hot", t0 + dt.timedelta(seconds=i)) for i in range(100)],
+        "id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("hot", t0 + dt.timedelta(seconds=i), float(i)) for i in range(0, 100, 3)],
+        "k string, ts timestamp, v double",
+    )
+    plan = _physical(
+        asof.asof_join(left, right, ["k"], "ts", ["v"], bucket_s=10)
+    )
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    # the window over the DATA must be keyed (k, bucket); only the carry
+    # window (over per-bucket tails, ~#buckets rows) may key on k alone
+    data_specs = [s for s in specs if "__asof_b" in s]
+    assert data_specs, plan
