@@ -3261,3 +3261,35 @@ def q_asof_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.unix_micros(F.col("view_ts").cast("timestamp"))
         ).alias("gap_us"),
     ).orderBy("event_id")
+
+
+@contract(
+    "q_scd2_intervals",
+    """
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from_s,
+           strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                    '%Y-%m-%d %H:%M:%S.%f') AS valid_to_s
+    FROM events WHERE event_type = 'view'
+    ORDER BY event_id
+    """,
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity intervals (operators/urls.capture_intervals): each
+    user's view captures become [ts, next-ts) validity rows, open-ended
+    for the latest. Timestamps surface as microsecond-precision strings
+    (tz-independent, null-safe for the open end)."""
+    from pdf_table_extractor_spark.operators import urls
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select("event_id", "user_id", "ts")
+    )
+    iv = urls.capture_intervals(ev, key_col="user_id", ts_col="ts")
+    return iv.select(
+        "event_id",
+        "user_id",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("valid_from_s"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("valid_to_s"),
+    ).orderBy("event_id")

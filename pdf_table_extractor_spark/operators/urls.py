@@ -219,6 +219,32 @@ def latest_capture(
     )
 
 
+def capture_intervals(
+    df,
+    *,
+    key_col: str = "url",
+    ts_col: str = "warc_us",
+):
+    """SCD2 validity intervalization: each capture of a key is valid from
+    its own timestamp until the NEXT capture of the same key (open-ended
+    ``valid_to = null`` for the current capture). Turns an append-only
+    capture log into a temporal snapshot table — composed with
+    ``operators.intervals.interval_join`` this answers "what content was
+    live at time T" without a per-query sort (time travel over crawl
+    history; latest_capture is the special case T = now).
+
+    Scale: ONE lead() window partitioned by the key — bounded by captures
+    per key (CDX cardinality, not corpus size), the same per-key history
+    class as latest_capture's aggregate; a pathological single-url
+    capture flood is capped upstream by domain_cap."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc())
+    return df.withColumn("valid_to", F.lead(F.col(ts_col)).over(w)).withColumnRenamed(
+        ts_col, "valid_from"
+    )
+
+
 #: Bare-URL matcher (RE2-compatible: no lookarounds) for link extraction
 #: from plain text / extracted main content.
 URL_RE = r"""https?://[^\s"'<>]+"""
