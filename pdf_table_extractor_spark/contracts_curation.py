@@ -3293,3 +3293,42 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("valid_from_s"),
         F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("valid_to_s"),
     ).orderBy("event_id")
+
+
+@contract(
+    "q_range_join_anti",
+    """
+    WITH wins AS (
+      SELECT ts AS w_start, ts + INTERVAL 300 SECOND AS w_end
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT event_id AS click_id
+    FROM events c
+    WHERE c.event_type = 'click'
+      AND NOT EXISTS (
+        SELECT 1 FROM wins w
+        WHERE c.ts >= w.w_start AND c.ts <= w.w_end
+      )
+    ORDER BY click_id
+    """,
+)
+def q_range_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blackout filtering (operators/intervals.py, how='left_anti'):
+    clicks that fall inside NO 300 s error window — the curation form of
+    the range join (drop fetches during outages). Same equi-bucketed
+    plan as q_range_join with the containment predicate folded into the
+    anti-join condition; oracle is an independent NOT EXISTS in DuckDB."""
+    from pdf_table_extractor_spark.operators import intervals
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "ts"
+    )
+    wins = ev.filter(F.col("event_type") == "error").select(
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 300 SECOND")).alias("w_end"),
+    )
+    j = intervals.interval_join(
+        clicks, wins, "ts", "w_start", "w_end", bucket_s=300, how="left_anti"
+    )
+    return j.select("click_id").orderBy("click_id")

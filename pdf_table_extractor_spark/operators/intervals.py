@@ -54,13 +54,21 @@ def interval_join(
     key_cols: list[str] | None = None,
     inclusive: str = "both",
     max_span_buckets: int = 1024,
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join each point row to every interval row containing its
+    """Join each point row to every interval row containing its
     timestamp (and matching ``key_cols``, if given). Column names must be
     disjoint between the two frames. ``bucket_s`` should approximate the
     typical interval length; intervals wider than
     ``max_span_buckets * bucket_s`` fail the job (malformed/open-ended
-    interval guard)."""
+    interval guard).
+
+    ``how``: ``inner`` (default) returns point×interval match rows;
+    ``left_semi`` keeps each point that falls in ≥1 window (once);
+    ``left_anti`` keeps points in NO window — blackout filtering (drop
+    fetches during outages) as the same equi-bucketed plan. Semi/anti are
+    exact because a containing interval always covers the point's own
+    bucket, so the bucket equi-key never loses a potential match."""
     lo_op, hi_op = _BOUNDS[inclusive]
     key_cols = key_cols or []
     bucket = "__rj_bucket"
@@ -84,12 +92,23 @@ def interval_join(
         bucket, F.explode(F.when(guard.isNull(), F.sequence(b0, b1)))
     )
     pt = points.withColumn(bucket, _b(pt_ts))
+    import operator
+
+    opmap = {
+        ">=": operator.ge,
+        "<=": operator.le,
+        ">": operator.gt,
+        "<": operator.lt,
+    }
     cond = [pt[bucket] == iv[bucket]]
     cond += [pt[k] == iv[k] for k in key_cols]
-    joined = pt.join(iv, cond, "inner").drop(pt[bucket]).drop(iv[bucket])
-    lo = F.expr(f"{pt_ts} {lo_op} {iv_start}")
-    hi = F.expr(f"{pt_ts} {hi_op} {iv_end}")
-    out = joined.filter(lo & hi)
+    cond += [
+        opmap[lo_op](pt[pt_ts], iv[iv_start]),
+        opmap[hi_op](pt[pt_ts], iv[iv_end]),
+    ]
+    if how in ("left_semi", "left_anti"):
+        return pt.join(iv, cond, how).drop(bucket)
+    out = pt.join(iv, cond, how).drop(pt[bucket]).drop(iv[bucket])
     for k in key_cols:  # collapse the duplicated key columns
         out = out.drop(iv[k])
     return out

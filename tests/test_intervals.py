@@ -70,3 +70,28 @@ def test_interval_join_guard_fails_open_ended(spark):
         intervals.interval_join(
             pts, wide, "ts", "s", "e", bucket_s=10, max_span_buckets=100
         ).collect()
+
+
+def test_interval_join_semi_and_anti(spark):
+    pts, ivs = _frames(spark)
+    semi = sorted(
+        r["pid"]
+        for r in intervals.interval_join(
+            pts, ivs, "ts", "s", "e", bucket_s=10, how="left_semi"
+        ).collect()
+    )
+    anti = sorted(
+        r["pid"]
+        for r in intervals.interval_join(
+            pts, ivs, "ts", "s", "e", bucket_s=10, how="left_anti"
+        ).collect()
+    )
+    # pids 2 and 3 match TWO windows each but appear ONCE in semi; pid=4
+    # (ts=25, in no window) is exactly the anti set
+    assert semi == [1, 2, 3]
+    assert anti == [4]
+    # semi/anti keep only point columns
+    cols = intervals.interval_join(
+        pts, ivs, "ts", "s", "e", bucket_s=10, how="left_semi"
+    ).columns
+    assert cols == ["pid", "k", "ts"]
