@@ -75,6 +75,15 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def bucket_spec(spark: SparkSession, table: str) -> tuple[int, str] | None:
+    """(n_buckets, bucket_columns) from the catalog, or None if the table
+    is not bucketed."""
+    rows = {r[0]: r[1] for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect()}
+    if "Num Buckets" not in rows:
+        return None
+    return int(rows["Num Buckets"]), rows.get("Bucket Columns", "")
+
+
 def bucketed_join(
     spark: SparkSession,
     left_table: str,
@@ -85,7 +94,19 @@ def bucketed_join(
     """Equi-join two co-bucketed tables. When both sides were written
     with the same ``key``/``n_buckets``, the physical plan is a
     SortMergeJoin with NO Exchange on either side (bucket outputs already
-    satisfy the join's HashClusteredDistribution)."""
+    satisfy the join's HashClusteredDistribution).
+
+    Spark treats a bucket-count MISMATCH as a silent re-shuffle of one
+    side — the whole write-time investment quietly evaporates. Enforce
+    instead of trust: raise when the catalog specs disagree."""
+    ls, rs = bucket_spec(spark, left_table), bucket_spec(spark, right_table)
+    if ls is None or rs is None or ls[0] != rs[0]:
+        raise ValueError(
+            f"bucketed_join: bucket specs differ or missing — "
+            f"{left_table}={ls}, {right_table}={rs}; a mismatch would "
+            "silently re-shuffle one side (rewrite with matching "
+            "n_buckets, or use a plain join deliberately)"
+        )
     return read_bucketed(spark, left_table).join(
         read_bucketed(spark, right_table), on=on, how=how
     )

@@ -496,3 +496,16 @@ def test_asof_bucketed_windows_never_partition_by_key_alone_over_data(spark):
     # window (over per-bucket tails, ~#buckets rows) may key on k alone
     data_specs = [s for s in specs if "__asof_b" in s]
     assert data_specs, plan
+
+
+def test_bucketed_join_rejects_mismatched_buckets(spark, tmp_path):
+    import pytest as _pytest
+
+    from pdf_table_extractor_spark.sources import bucketed
+
+    left = spark.range(0, 50).selectExpr("id AS k", "id * 2 AS a")
+    right = spark.range(0, 50).selectExpr("id AS k", "id * 3 AS b")
+    bucketed.write_bucketed(left, "bx_mm_l", key="k", n_buckets=4, path=str(tmp_path / "l"))
+    bucketed.write_bucketed(right, "bx_mm_r", key="k", n_buckets=8, path=str(tmp_path / "r"))
+    with _pytest.raises(ValueError, match="silently re-shuffle"):
+        bucketed.bucketed_join(spark, "bx_mm_l", "bx_mm_r", on="k")
