@@ -3332,3 +3332,50 @@ def q_range_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks, wins, "ts", "w_start", "w_end", bucket_s=300, how="left_anti"
     )
     return j.select("click_id").orderBy("click_id")
+
+
+@contract(
+    "q_overlap_join",
+    """
+    WITH e AS (
+      SELECT event_id AS e_id, ts AS es, ts + INTERVAL 300 SECOND AS ee
+      FROM events WHERE event_type = 'error'
+    ),
+    p AS (
+      SELECT event_id AS p_id, ts AS ps, ts + INTERVAL 600 SECOND AS pe
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT e_id, p_id,
+           epoch_us(least(ee, pe)) - epoch_us(greatest(es, ps)) AS ov_us
+    FROM e JOIN p ON es <= pe AND ps <= ee
+    ORDER BY e_id, p_id
+    """,
+)
+def q_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (operators/intervals.overlap_join): error
+    windows × purchase windows that intersect, with the overlap length.
+    Spark side is the equi-bucketed meet-trick join (each pair survives
+    in exactly ONE bucket — no dedup pass); the oracle is DuckDB's native
+    inequality join over the raw overlap predicate."""
+    from pdf_table_extractor_spark.operators import intervals
+
+    ev = load(spark, sf_dir, "events")
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"),
+        F.col("ts").alias("es"),
+        (F.col("ts") + F.expr("INTERVAL 300 SECOND")).alias("ee"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("ps"),
+        (F.col("ts") + F.expr("INTERVAL 600 SECOND")).alias("pe"),
+    )
+    j = intervals.overlap_join(e, p, "es", "ee", "ps", "pe", bucket_s=600)
+    return j.select(
+        "e_id",
+        "p_id",
+        (
+            F.unix_micros(F.least("ee", "pe").cast("timestamp"))
+            - F.unix_micros(F.greatest("es", "ps").cast("timestamp"))
+        ).alias("ov_us"),
+    ).orderBy("e_id", "p_id")

@@ -112,3 +112,62 @@ def interval_join(
     for k in key_cols:  # collapse the duplicated key columns
         out = out.drop(iv[k])
     return out
+
+
+def overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    *,
+    bucket_s: int,
+    key_cols: list[str] | None = None,
+    strict: bool = False,
+    max_span_buckets: int = 1024,
+) -> DataFrame:
+    """Interval×interval overlap join: every (left, right) pair whose
+    spans intersect (``strict=True`` excludes mere endpoint touching).
+    Use: which SCD2 content-validity spans (urls.capture_intervals)
+    overlap an outage/policy window; session co-occurrence.
+
+    Same equi-bucket rewrite as interval_join, plus the dedup-free MEET
+    trick: an overlapping pair shares every bucket in the intersection,
+    so joining on exploded buckets alone would emit the pair once per
+    shared bucket. Instead the join keeps a pair only in the bucket of
+    ``greatest(l_start, r_start)`` — a point both intervals must cover
+    whenever they overlap — so each pair survives in EXACTLY one bucket:
+    no distinct pass, no window, just the hash equi-join. Both explodes
+    carry the interval_join max_span guard."""
+    key_cols = key_cols or []
+    us = 1_000_000 * int(bucket_s)
+
+    def _b(col):
+        return F.floor(F.unix_micros(col.cast("timestamp")) / us)
+
+    def _explode(df: DataFrame, s: str, e: str, bucket: str) -> DataFrame:
+        b0, b1 = _b(F.col(s)), _b(F.col(e))
+        guard = F.assert_true(
+            b1 - b0 <= F.lit(int(max_span_buckets)),
+            F.lit(
+                f"overlap_join: interval wider than max_span_buckets"
+                f"={max_span_buckets} buckets of {bucket_s}s"
+            ),
+        )
+        return df.withColumn(
+            bucket, F.explode(F.when(guard.isNull(), F.sequence(b0, b1)))
+        )
+
+    lb, rb = "__ov_lb", "__ov_rb"
+    lt = _explode(left, l_start, l_end, lb)
+    rt = _explode(right, r_start, r_end, rb)
+    lo = lt[l_start] < rt[r_end] if strict else lt[l_start] <= rt[r_end]
+    hi = rt[r_start] < lt[l_end] if strict else rt[r_start] <= lt[l_end]
+    meet = _b(F.greatest(lt[l_start], rt[r_start]))
+    cond = [lt[lb] == rt[rb], lt[lb] == meet, lo, hi]
+    cond += [lt[k] == rt[k] for k in key_cols]
+    out = lt.join(rt, cond, "inner").drop(lt[lb]).drop(rt[rb])
+    for k in key_cols:
+        out = out.drop(rt[k])
+    return out

@@ -95,3 +95,31 @@ def test_interval_join_semi_and_anti(spark):
         pts, ivs, "ts", "s", "e", bucket_s=10, how="left_semi"
     ).columns
     assert cols == ["pid", "k", "ts"]
+
+
+def test_overlap_join_meet_trick_no_duplicates(spark):
+    # L1 and R1 share THREE buckets at bucket_s=10 — the meet trick must
+    # emit the pair exactly once; touching endpoints obey strict
+    L = spark.createDataFrame(
+        [(1, _ts(5), _ts(35)), (2, _ts(50), _ts(55))],
+        "lid long, ls timestamp, le timestamp",
+    )
+    R = spark.createDataFrame(
+        [(10, _ts(0), _ts(40)), (20, _ts(55), _ts(60)), (30, _ts(70), _ts(80))],
+        "rid long, rs timestamp, re timestamp",
+    )
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in intervals.overlap_join(
+            L, R, "ls", "le", "rs", "re", bucket_s=10
+        ).collect()
+    )
+    # (1,10) overlaps across 4 shared buckets -> once; (2,20) touch at 55
+    assert got == [(1, 10), (2, 20)]
+    strict = sorted(
+        (r["lid"], r["rid"])
+        for r in intervals.overlap_join(
+            L, R, "ls", "le", "rs", "re", bucket_s=10, strict=True
+        ).collect()
+    )
+    assert strict == [(1, 10)]
