@@ -141,11 +141,18 @@ def asof_join(
         .orderBy(F.col(bcol).asc(), F.col(side).desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # carry columns get fresh names: carry shares lineage with u2's left
+    # side, so joining on same-named attributes trips Spark's ambiguous-
+    # self-join resolution (warns today, fails under
+    # spark.sql.analyzer.failAmbiguousSelfJoin elsewhere)
     carry = (
         probes.unionByName(tails, allowMissingColumns=True)
         .withColumn("__asof_carry", F.last(pack, ignorenulls=True).over(wc))
         .filter(F.col(side) == 1)
-        .select(*key_cols, bcol, "__asof_carry")
+        .select(
+            *[F.col(c).alias(f"__c_{c}") for c in [*key_cols, bcol]],
+            "__asof_carry",
+        )
     )
     u = l2.unionByName(r2, allowMissingColumns=True)
     win = (
@@ -153,9 +160,17 @@ def asof_join(
         .orderBy(F.col(ts_col).asc(), F.col(side).asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    u2 = (
-        u.withColumn(pack, F.last(pack, ignorenulls=True).over(win))
-        .filter(F.col(side) == 1)
-        .join(carry, on=[*key_cols, bcol], how="left")
+    u2 = u.withColumn(pack, F.last(pack, ignorenulls=True).over(win)).filter(
+        F.col(side) == 1
+    )
+    # eqNullSafe: windows group NULL keys together (the plain path matches
+    # null-key rows to null-key rights), so the carry join-back must too —
+    # a plain equi-join would silently drop every null-key cross-bucket
+    # match and diverge from the plain path
+    cond = [
+        F.col(c).eqNullSafe(F.col(f"__c_{c}")) for c in [*key_cols, bcol]
+    ]
+    u2 = u2.join(carry, cond, "left").drop(
+        *[f"__c_{c}" for c in [*key_cols, bcol]]
     )
     return _finalize(u2, F.coalesce(F.col(pack), F.col("__asof_carry")))

@@ -38,6 +38,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+_UNIT_S = {
+    "second": 1, "seconds": 1,
+    "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600,
+    "day": 86400, "days": 86400,
+    "week": 604800, "weeks": 604800,
+}
+
+
+def _grain_seconds(grain: str) -> int:
+    """Parse Spark window-duration strings ('1 hour', '90 minutes')."""
+    import re
+
+    m = re.fullmatch(r"\s*(\d+)\s+(\w+)\s*", grain)
+    if not m or m.group(2).lower() not in _UNIT_S:
+        raise ValueError(f"hypertable_rollup: unparseable grain {grain!r}")
+    return int(m.group(1)) * _UNIT_S[m.group(2).lower()]
+
 
 def hypertable_rollup(
     df: DataFrame,
@@ -53,6 +71,18 @@ def hypertable_rollup(
     hierarchically. Output: ``grain`` (the input string), ``bucket_start``
     (formatted string), ``key_cols``, ``count_alias`` plus
     ``sum_/min_/max_<c>`` for each ``c`` in ``sum_cols``."""
+    # a coarser grain that does NOT evenly contain the finer one would
+    # silently assign whole finer buckets to the wrong coarse window
+    # (the re-agg windows the finer BUCKET START) — data corruption, so
+    # validate loudly up front
+    secs = [_grain_seconds(g) for g in grains]
+    for (ga, sa), (gb, sb) in zip(zip(grains, secs), zip(grains[1:], secs[1:])):
+        if sb < sa or sb % sa != 0:
+            raise ValueError(
+                f"hypertable_rollup: grain {gb!r} is not a whole multiple "
+                f"of the finer grain {ga!r} — finer buckets would be "
+                "misassigned; reorder or choose divisible grains"
+            )
     sums = [F.sum(c).alias(f"sum_{c}") for c in sum_cols]
     mins = [F.min(c).alias(f"min_{c}") for c in sum_cols]
     maxs = [F.max(c).alias(f"max_{c}") for c in sum_cols]

@@ -43,6 +43,44 @@ _BOUNDS = {
 }
 
 
+def _guarded_span(b0, b1, max_span_buckets: int, bucket_s: int, who: str):
+    """``sequence(b0, b1)`` with loud, PRECISE failure for the two
+    malformed-interval classes that would otherwise blow up silently:
+
+    - reversed (end < start): a negative span trivially passes a
+      ``span <= max`` test while ``sequence`` steps BACKWARD by -1,
+      materializing |span| rows of garbage before the post-filter.
+    - wider than ``max_span_buckets``: the explode-factor bound.
+
+    NULL bounds are NOT an error: SQL comparison semantics make an
+    open-ended interval match nothing (the inner join's inferred
+    isnotnull prunes the row anyway, and a NOT EXISTS oracle agrees for
+    the anti form) — here the sequence evaluates to null and the explode
+    drops the row, consistently across join modes. Callers who want an
+    open interval to mean "until the horizon" pass ``open_end_fill``.
+
+    The remaining predicates are null-safe so the error that fires is
+    the one that applies. assert_true returns NULL on pass; routing the
+    sequence through the combined guard makes it unprunable."""
+    nn = b0.isNotNull() & b1.isNotNull()
+    a_rev = F.assert_true(
+        ~nn | (b1 >= b0),
+        F.lit(f"{who}: reversed interval (end < start) — malformed input"),
+    )
+    a_wide = F.assert_true(
+        ~nn | (b1 < b0) | (b1 - b0 <= F.lit(int(max_span_buckets))),
+        F.lit(
+            f"{who}: interval wider than max_span_buckets"
+            f"={max_span_buckets} buckets of {bucket_s}s — "
+            "bucket_s far too small or interval malformed"
+        ),
+    )
+    return F.when(
+        nn & a_rev.isNull() & a_wide.isNull(),
+        F.sequence(b0, b1),
+    )
+
+
 def interval_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -55,13 +93,21 @@ def interval_join(
     inclusive: str = "both",
     max_span_buckets: int = 1024,
     how: str = "inner",
+    open_end_fill=None,
 ) -> DataFrame:
     """Join each point row to every interval row containing its
     timestamp (and matching ``key_cols``, if given). Column names must be
     disjoint between the two frames. ``bucket_s`` should approximate the
     typical interval length; intervals wider than
-    ``max_span_buckets * bucket_s`` fail the job (malformed/open-ended
-    interval guard).
+    ``max_span_buckets * bucket_s`` or reversed (end < start) fail the
+    job with a precise error. Open-ended (NULL end) intervals follow SQL
+    comparison semantics — they match NOTHING (exactly what the
+    equivalent BETWEEN / NOT EXISTS query does).
+
+    ``open_end_fill`` (a timestamp/datetime) opts open ends into meaning
+    "valid until this horizon" instead — pass the snapshot time when
+    joining against ``urls.capture_intervals`` output, whose CURRENT
+    capture row is open-ended by design.
 
     ``how``: ``inner`` (default) returns point×interval match rows;
     ``left_semi`` keeps each point that falls in ≥1 window (once);
@@ -77,19 +123,16 @@ def interval_join(
     def _b(col: str):
         return F.floor(F.unix_micros(F.col(col).cast("timestamp")) / us)
 
+    end_col = F.col(iv_end)
+    if open_end_fill is not None:
+        end_col = F.coalesce(end_col, F.lit(open_end_fill))
+        intervals = intervals.withColumn(iv_end, end_col)
     b0, b1 = _b(iv_start), _b(iv_end)
-    # assert_true returns NULL on pass and fails the task on violation;
-    # routing the explode through it makes the guard unprunable.
-    guard = F.assert_true(
-        b1 - b0 <= F.lit(int(max_span_buckets)),
-        F.lit(
-            f"interval_join: interval wider than max_span_buckets"
-            f"={max_span_buckets} buckets of {bucket_s}s — malformed or "
-            "open-ended interval, or bucket_s far too small"
-        ),
-    )
     iv = intervals.withColumn(
-        bucket, F.explode(F.when(guard.isNull(), F.sequence(b0, b1)))
+        bucket,
+        F.explode(
+            _guarded_span(b0, b1, max_span_buckets, bucket_s, "interval_join")
+        ),
     )
     pt = points.withColumn(bucket, _b(pt_ts))
     import operator
@@ -126,9 +169,14 @@ def overlap_join(
     key_cols: list[str] | None = None,
     strict: bool = False,
     max_span_buckets: int = 1024,
+    open_end_fill=None,
 ) -> DataFrame:
     """Interval×interval overlap join: every (left, right) pair whose
     spans intersect (``strict=True`` excludes mere endpoint touching).
+    ``open_end_fill`` clamps NULL ends ON EITHER SIDE to an analysis
+    horizon (capture_intervals' current row is open-ended by design);
+    without it, NULL/reversed/too-wide intervals fail loudly and
+    precisely (see _guarded_span).
     Use: which SCD2 content-validity spans (urls.capture_intervals)
     overlap an outage/policy window; session co-occurrence.
 
@@ -147,16 +195,14 @@ def overlap_join(
         return F.floor(F.unix_micros(col.cast("timestamp")) / us)
 
     def _explode(df: DataFrame, s: str, e: str, bucket: str) -> DataFrame:
+        if open_end_fill is not None:
+            df = df.withColumn(e, F.coalesce(F.col(e), F.lit(open_end_fill)))
         b0, b1 = _b(F.col(s)), _b(F.col(e))
-        guard = F.assert_true(
-            b1 - b0 <= F.lit(int(max_span_buckets)),
-            F.lit(
-                f"overlap_join: interval wider than max_span_buckets"
-                f"={max_span_buckets} buckets of {bucket_s}s"
-            ),
-        )
         return df.withColumn(
-            bucket, F.explode(F.when(guard.isNull(), F.sequence(b0, b1)))
+            bucket,
+            F.explode(
+                _guarded_span(b0, b1, max_span_buckets, bucket_s, "overlap_join")
+            ),
         )
 
     lb, rb = "__ov_lb", "__ov_rb"

@@ -96,17 +96,33 @@ def bucketed_join(
     SortMergeJoin with NO Exchange on either side (bucket outputs already
     satisfy the join's HashClusteredDistribution).
 
-    Spark treats a bucket-count MISMATCH as a silent re-shuffle of one
-    side — the whole write-time investment quietly evaporates. Enforce
-    instead of trust: raise when the catalog specs disagree."""
+    Spark treats a bucket-count OR bucket-column mismatch — or a join key
+    that isn't the bucket column — as a silent re-shuffle of one side:
+    the whole write-time investment quietly evaporates. Enforce instead
+    of trust: raise on any of the three. Column-expression ``on``
+    conditions skip the join-key containment check (their attributes
+    aren't inspectable by name) but still require matching specs."""
     ls, rs = bucket_spec(spark, left_table), bucket_spec(spark, right_table)
     if ls is None or rs is None or ls[0] != rs[0]:
         raise ValueError(
-            f"bucketed_join: bucket specs differ or missing — "
+            f"bucketed_join: bucket counts differ or missing — "
             f"{left_table}={ls}, {right_table}={rs}; a mismatch would "
             "silently re-shuffle one side (rewrite with matching "
             "n_buckets, or use a plain join deliberately)"
         )
+    def _cols(spec: str) -> list[str]:
+        return [c.strip(" `") for c in spec.strip("[]").split(",") if c.strip()]
+
+    lc, rc = _cols(ls[1]), _cols(rs[1])
+    on_names = [on] if isinstance(on, str) else list(on)
+    if all(isinstance(c, str) for c in on_names):
+        if not (set(lc) <= set(on_names) and set(rc) <= set(on_names)):
+            raise ValueError(
+                f"bucketed_join: join key {on_names} does not cover the "
+                f"bucket columns ({left_table}={lc}, {right_table}={rc}) — "
+                "the bucket layout cannot satisfy this join's distribution "
+                "and Spark would silently re-shuffle"
+            )
     return read_bucketed(spark, left_table).join(
         read_bucketed(spark, right_table), on=on, how=how
     )

@@ -102,3 +102,22 @@ def test_asof_bucketed_matches_plain(spark):
         left, right, ["k"], "ts", ["v"], tolerance_s=40, bucket_s=50
     )
     assert sorted(map(tuple, bt.collect())) == sorted(map(tuple, pt.collect()))
+
+
+def test_asof_bucketed_null_keys_match_plain(spark):
+    # null keys group together in windows; the bucketed carry join-back
+    # must be null-safe or cross-bucket null-key matches vanish
+    left = spark.createDataFrame(
+        [(1, None, _ts(500)), (2, "a", _ts(500))],
+        "id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(None, _ts(3), 30.0), ("a", _ts(4), 40.0)],
+        "k string, ts timestamp, v double",
+    )
+    plain = sorted(map(tuple, asof.asof_join(left, right, ["k"], "ts", ["v"]).collect()))
+    buck = sorted(
+        map(tuple, asof.asof_join(left, right, ["k"], "ts", ["v"], bucket_s=50).collect())
+    )
+    assert buck == plain
+    assert dict((r[0], r[3]) for r in buck) == {1: 30.0, 2: 40.0}

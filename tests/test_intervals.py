@@ -123,3 +123,35 @@ def test_overlap_join_meet_trick_no_duplicates(spark):
         ).collect()
     )
     assert strict == [(1, 10)]
+
+
+def test_interval_join_open_and_reversed_guards(spark):
+    pts, _ = _frames(spark)
+    open_iv = spark.createDataFrame(
+        [(1, "a", _ts(0), None)], "iid long, k string, s timestamp, e timestamp"
+    )
+    # SQL semantics: an open-ended (NULL end) interval matches NOTHING —
+    # in inner AND anti modes (a NOT EXISTS oracle agrees)
+    assert intervals.interval_join(pts, open_iv, "ts", "s", "e", bucket_s=10).count() == 0
+    assert (
+        intervals.interval_join(
+            pts, open_iv, "ts", "s", "e", bucket_s=10, how="left_anti"
+        ).count()
+        == 4
+    )
+    # open_end_fill opts the open row into "valid until the horizon"
+    # (the capture_intervals composition)
+    got = intervals.interval_join(
+        pts, open_iv, "ts", "s", "e", bucket_s=10, open_end_fill=_ts(100)
+    ).count()
+    assert got == 4  # every point falls in [0, horizon]
+    reversed_iv = spark.createDataFrame(
+        [(2, "a", _ts(50), _ts(0))], "iid long, k string, s timestamp, e timestamp"
+    )
+    with pytest.raises(Exception, match="reversed"):
+        intervals.interval_join(pts, reversed_iv, "ts", "s", "e", bucket_s=10).collect()
+    with pytest.raises(Exception, match="reversed"):
+        intervals.overlap_join(
+            pts.selectExpr("pid", "k", "ts AS s2", "ts AS e2"),
+            reversed_iv, "s2", "e2", "s", "e", bucket_s=10,
+        ).collect()

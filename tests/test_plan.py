@@ -509,3 +509,32 @@ def test_bucketed_join_rejects_mismatched_buckets(spark, tmp_path):
     bucketed.write_bucketed(right, "bx_mm_r", key="k", n_buckets=8, path=str(tmp_path / "r"))
     with _pytest.raises(ValueError, match="silently re-shuffle"):
         bucketed.bucketed_join(spark, "bx_mm_l", "bx_mm_r", on="k")
+
+
+def test_bucketed_join_rejects_wrong_join_key(spark, tmp_path):
+    import pytest as _pytest
+
+    from pdf_table_extractor_spark.sources import bucketed
+
+    left = spark.range(0, 50).selectExpr("id AS k", "id AS j", "id * 2 AS a")
+    right = spark.range(0, 50).selectExpr("id AS k", "id AS j", "id * 3 AS b")
+    bucketed.write_bucketed(left, "bx_wk_l", key="k", n_buckets=4, path=str(tmp_path / "l"))
+    bucketed.write_bucketed(right, "bx_wk_r", key="k", n_buckets=4, path=str(tmp_path / "r"))
+    with _pytest.raises(ValueError, match="does not cover the"):
+        bucketed.bucketed_join(spark, "bx_wk_l", "bx_wk_r", on="j")
+    # joining on (k, j) still covers the bucket column k: allowed
+    assert bucketed.bucketed_join(spark, "bx_wk_l", "bx_wk_r", on=["k", "j"]).count() == 50
+
+
+def test_hypertable_rejects_nondivisible_grains(spark):
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from pdf_table_extractor_spark.operators import hypertable
+
+    df = spark.createDataFrame(
+        [(1, "t", dt.datetime(2024, 1, 1), 5)], "id long, typ string, ts timestamp, v long"
+    )
+    with _pytest.raises(ValueError, match="whole multiple"):
+        hypertable.hypertable_rollup(df, "ts", ["1 hour", "90 minutes"], ["typ"], ["v"])
