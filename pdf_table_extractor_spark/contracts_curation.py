@@ -3379,3 +3379,52 @@ def q_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.unix_micros(F.greatest("es", "ps").cast("timestamp"))
         ).alias("ov_us"),
     ).orderBy("e_id", "p_id")
+
+
+@contract(
+    "q_time_travel",
+    """
+    SELECT user_id,
+           arg_max(event_id, ts) AS live_event_id
+    FROM events
+    WHERE event_type = 'view' AND ts <= TIMESTAMP '2024-01-15 00:00:00'
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel by composition: capture_intervals (SCD2 validity
+    spans, open-ended current row) + interval_join with half-open
+    containment and an open_end_fill horizon answers "which view capture
+    was live at T per user". The oracle derives the same answer a
+    completely different way — arg_max over the raw captures at the
+    cutoff — so the contract proves the whole composition (lead window,
+    open-end clamp, bucket explode, containment) end to end."""
+    from pdf_table_extractor_spark.operators import intervals, urls
+
+    T = "2024-01-15 00:00:00"
+    views = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select("event_id", "user_id", "ts")
+    )
+    spans = urls.capture_intervals(views, key_col="user_id", ts_col="ts")
+    points = views.select("user_id").distinct().withColumn(
+        "at_ts", F.lit(T).cast(views.schema["ts"].dataType)
+    )
+    import datetime as _dt
+
+    live = intervals.interval_join(
+        points,
+        spans,
+        "at_ts",
+        "valid_from",
+        "valid_to",
+        bucket_s=86400,
+        key_cols=["user_id"],
+        inclusive="left",  # SCD2 half-open [valid_from, valid_to)
+        open_end_fill=_dt.datetime(2024, 3, 1),
+    )
+    return live.select(
+        "user_id", F.col("event_id").alias("live_event_id")
+    ).orderBy("user_id")
