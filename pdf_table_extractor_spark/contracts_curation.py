@@ -3468,3 +3468,45 @@ def q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@contract(
+    "q_sliding_window",
+    """
+    WITH ex AS (
+      SELECT event_type, value, ts, unnest(generate_series(0, 2)) AS k
+      FROM events
+    )
+    SELECT strftime(
+             make_timestamp(((epoch_us(ts) // 300000000) - k) * 300000000),
+             '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM ex GROUP BY 1, 2
+    """,
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (900 s size / 300 s slide): each event
+    lands in size/slide = 3 overlapping windows. Spark side is the native
+    F.window slide form (the batch shape of the streaming aggregation in
+    streaming/ingest.py); the oracle replays the window assignment
+    explicitly — every event exploded to its 3 aligned window starts —
+    so the contract pins Spark's slide/alignment semantics exactly."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "900 seconds", "300 seconds").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+            "cents",
+        )
+    )
