@@ -63,11 +63,17 @@ HEADLINE = [
 
 
 def ensure_corpus(spark, n_docs: int) -> str:
+    """Cached synthetic corpus, regenerated when synth.py is newer than the
+    cache (same stale-staging trap job.stage_pages guards against: a synth
+    change with an old /tmp cache would silently bench outdated pages)."""
     from pdf_table_extractor_spark import synth
 
     path = f"/tmp/bench_pages_{n_docs}"
     marker = os.path.join(path, "_SUCCESS")
-    if not os.path.exists(marker):
+    fresh = os.path.exists(marker) and os.stat(marker).st_mtime >= os.stat(
+        synth.__file__
+    ).st_mtime
+    if not fresh:
         synth.synth_spark(spark, n_docs, parallelism=64).write.mode("overwrite").parquet(path)
     return path
 
