@@ -3510,3 +3510,72 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents",
         )
     )
+
+
+@contract(
+    "q_merge_upsert",
+    """
+    WITH tgt AS (
+      SELECT user_id, MAX(event_id) AS event_id, MAX(event_id) AS ver
+      FROM events
+      WHERE event_type = 'view' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+      GROUP BY user_id
+    ),
+    ch AS (
+      SELECT user_id, MAX(event_id) AS c_eid, MAX(event_id) AS cv,
+             arg_max(event_type = 'purchase', event_id) AS is_delete
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-25 00:00:00'
+        AND event_type IN ('view', 'purchase')
+      GROUP BY user_id
+    ),
+    m AS (
+      SELECT COALESCE(t.user_id, c.user_id) AS user_id,
+             c.user_id IS NOT NULL
+               AND (t.user_id IS NULL OR c.cv >= t.ver) AS fresh,
+             t.event_id AS t_eid, t.ver AS t_ver,
+             c.c_eid, c.cv, c.is_delete
+      FROM tgt t FULL JOIN ch c ON t.user_id = c.user_id
+    )
+    SELECT user_id,
+           CASE WHEN fresh THEN c_eid ELSE t_eid END AS event_id,
+           CASE WHEN fresh THEN cv    ELSE t_ver END AS ver
+    FROM m WHERE NOT (fresh AND is_delete)
+    ORDER BY user_id
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE apply (operators/urls.merge_upsert): a latest-view-per-
+    user snapshot (state before Jan 15) absorbs a ten-day change batch —
+    'view' events upsert, 'purchase' events delete, versioned by
+    event_id so out-of-order ids exercise the stale-replay guard. The
+    oracle replays the reduce + full-join + freshness/delete resolution
+    in independent SQL; covered paths: insert, update, stale-ignored,
+    delete, delete-of-absent, untouched-target."""
+    from pdf_table_extractor_spark.operators import urls
+
+    ev = load(spark, sf_dir, "events")
+    ts_t = ev.schema["ts"].dataType
+    t0 = F.lit("2024-01-15 00:00:00").cast(ts_t)
+    t1 = F.lit("2024-01-25 00:00:00").cast(ts_t)
+    tgt = (
+        ev.filter((F.col("event_type") == "view") & (F.col("ts") < t0))
+        .groupBy("user_id")
+        .agg(F.max("event_id").alias("event_id"))
+        .withColumn("ver", F.col("event_id"))
+    )
+    ch = ev.filter(
+        (F.col("ts") >= t0)
+        & (F.col("ts") < t1)
+        & F.col("event_type").isin("view", "purchase")
+    ).select(
+        "user_id",
+        "event_id",
+        F.col("event_id").alias("ver"),
+        (F.col("event_type") == "purchase").alias("is_delete"),
+    )
+    merged = urls.merge_upsert(
+        tgt, ch, key_cols=["user_id"], version_col="ver", delete_col="is_delete"
+    )
+    return merged.orderBy("user_id")

@@ -328,3 +328,90 @@ def snapshot_diff(
         "old_hash",
         "new_hash",
     )
+
+
+def merge_upsert(
+    target,
+    changes,
+    *,
+    key_cols,
+    version_col: str,
+    delete_col: str | None = None,
+    batch_partitions: int | None = None,
+):
+    """Apply a CDC change batch to a snapshot table — MERGE INTO semantics
+    (Delta/Iceberg ``WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT /
+    WHEN MATCHED AND is_delete DELETE``) expressed as plain DataFrames,
+    the maintenance op that keeps a 100 TB latest-state table current
+    from an append-only change stream (sibling of ``snapshot_diff``,
+    which plans the batch; this one applies it).
+
+    Semantics, per key:
+
+    - the batch is first reduced last-writer-wins on ``version_col``
+      (``max_by`` hash aggregate — partial-aggregates map-side, no
+      window sort; (key, version) must be unique, same determinism
+      contract as ``latest_capture``'s tiebreak);
+    - a surviving change REPLACES the matched target row iff its version
+      is >= the target's (stale replays — a re-delivered old change —
+      are ignored, the at-least-once-delivery guard);
+    - a fresh change with ``delete_col`` true removes the row (also
+      swallowing delete-of-absent no-ops);
+    - unmatched target rows pass through untouched.
+
+    Output schema == target schema. ``changes`` must carry the key
+    columns, every target payload column (incl. ``version_col``), and
+    ``delete_col`` if given.
+
+    Scale: one map-side-combinable aggregate over the batch + ONE
+    full-outer equi-join on the keys. Full-outer joins can never
+    broadcast in Spark, so the way to avoid re-shuffling the 100 TB
+    snapshot every batch is the repo's bucketed-table layout
+    (sources/bucketed.py): keep the snapshot bucketed on ``key_cols``
+    and pass ``batch_partitions=<its bucket count>`` — the batch is
+    then hash-repartitioned ONCE (to the bucket count; the aggregate
+    AND the join both reuse that single exchange, ClusteredDistribution
+    is count-agnostic) while the snapshot side reads bucket-aligned
+    with no Exchange at all (plan-asserted in tests/test_plan.py).
+    Writing the result back bucketed keeps the property for the next
+    batch — the steady-state incremental-maintenance loop costs one
+    small shuffle per batch, ever. Both inputs are pre-projected so the
+    join carries no extra columns. Nothing is collected; no windows.
+
+    Reference parity: none (the reference is stateless per-file) —
+    beyond-reference pipeline surface, same family as snapshot_diff /
+    latest_capture.
+    """
+    keys = list(key_cols)
+    payload = [c for c in target.columns if c not in keys]
+    if version_col not in payload:
+        raise ValueError(f"version_col {version_col!r} must be a target payload column")
+    ch_cols = payload + ([delete_col] if delete_col else [])
+    missing = [c for c in keys + ch_cols if c not in changes.columns]
+    if missing:
+        raise ValueError(f"changes is missing columns: {missing}")
+
+    ch = changes.select(*keys, *ch_cols)
+    if batch_partitions:
+        ch = ch.repartition(batch_partitions, *keys)
+    reduced = ch.groupBy(*keys).agg(
+        F.max_by(F.struct(*ch_cols), F.col(version_col)).alias("__c")
+    )
+    t = target.select(*keys, F.struct(*payload).alias("__t"))
+    j = t.join(reduced, keys, "full")
+
+    fresh = F.col("__c").isNotNull() & (
+        F.col("__t").isNull()
+        | (F.col("__c")[version_col] >= F.col("__t")[version_col])
+    )
+    deleted = fresh & (F.col("__c")[delete_col] if delete_col else F.lit(False))
+    # per-field resolution (not a whole-struct CASE): the change struct
+    # carries delete_col so the struct types differ, and field-wise
+    # winners let column pruning drop anything downstream doesn't read
+    return j.filter(~deleted).select(
+        *keys,
+        *[
+            F.when(fresh, F.col("__c")[c]).otherwise(F.col("__t")[c]).alias(c)
+            for c in payload
+        ],
+    )

@@ -616,3 +616,50 @@ def test_pca_model_and_whitened_projection(spark):
         np.array(vals) + 1e-9
     )
     assert np.allclose(mat, np.round(exp, 6), atol=2e-6)
+
+
+def test_merge_upsert_covers_every_resolution_path(spark):
+    """insert / update / stale-ignored / delete / delete-of-absent /
+    untouched-target, each pinned to its own key."""
+    from pdf_table_extractor_spark.operators import urls
+
+    target = spark.createDataFrame(
+        [
+            ("upd", "old", 10),   # updated by a fresher change
+            ("stale", "keep", 10),  # change carries an OLDER version
+            ("del", "gone", 10),  # deleted by the batch
+            ("only", "mine", 10),  # no change at all
+        ],
+        "k string, v string, ver int",
+    )
+    changes = spark.createDataFrame(
+        [
+            ("ins", "new", 5, False),     # insert (absent from target)
+            ("upd", "mid", 11, False),    # superseded within the batch...
+            ("upd", "newest", 12, False),  # ...by this last-writer
+            ("stale", "replay", 9, False),  # stale replay — ignored
+            ("del", "x", 11, True),       # delete wins
+            ("ghost", "x", 7, True),      # delete-of-absent no-op
+        ],
+        "k string, v string, ver int, is_delete boolean",
+    )
+    out = urls.merge_upsert(
+        target, changes, key_cols=["k"], version_col="ver", delete_col="is_delete"
+    )
+    got = {r["k"]: (r["v"], r["ver"]) for r in out.collect()}
+    assert got == {
+        "ins": ("new", 5),
+        "upd": ("newest", 12),
+        "stale": ("keep", 10),
+        "only": ("mine", 10),
+    }
+
+    # no delete_col: pure upsert, deletes impossible
+    out2 = urls.merge_upsert(
+        target, changes.drop("is_delete"), key_cols=["k"], version_col="ver"
+    )
+    got2 = {r["k"]: r["v"] for r in out2.collect()}
+    assert got2["del"] == "x" and got2["ghost"] == "x" and len(got2) == 6
+
+    with pytest.raises(ValueError):
+        urls.merge_upsert(target, changes.drop("v"), key_cols=["k"], version_col="ver")

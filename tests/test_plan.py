@@ -538,3 +538,40 @@ def test_hypertable_rejects_nondivisible_grains(spark):
     )
     with _pytest.raises(ValueError, match="whole multiple"):
         hypertable.hypertable_rollup(df, "ts", ["1 hour", "90 minutes"], ["typ"], ["v"])
+
+
+def test_merge_upsert_on_bucketed_snapshot_shuffles_only_the_batch(spark, tmp_path):
+    """The incremental-maintenance loop: snapshot bucketed on the key +
+    batch_partitions = bucket count => the whole MERGE plan has exactly
+    ONE Exchange (the batch repartition, reused by its aggregate AND the
+    full-outer join) and the 100TB-side scan feeds the join unshuffled."""
+    from pdf_table_extractor_spark.operators import urls
+    from pdf_table_extractor_spark.sources import bucketed
+
+    snap = spark.range(0, 200).selectExpr("id AS k", "id * 2 AS v", "id AS ver")
+    bucketed.write_bucketed(snap, "mx_snap", key="k", n_buckets=4, path=str(tmp_path / "s"))
+    changes = spark.range(100, 300).selectExpr(
+        "id AS k", "id * 3 AS v", "id + 1000 AS ver", "id % 2 = 0 AS is_delete"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        out = urls.merge_upsert(
+            bucketed.read_bucketed(spark, "mx_snap"),
+            changes,
+            key_cols=["k"],
+            version_col="ver",
+            delete_col="is_delete",
+            batch_partitions=4,
+        )
+        plan = _physical(out)
+        n = out.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.sql("DROP TABLE IF EXISTS mx_snap")
+    assert plan.count("Exchange") == 1
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    # rows: snapshot keys 0..99 untouched (100) + keys 100..299 where the
+    # change is odd-keyed upsert (100 survive), even-keyed deletes drop
+    assert n == 200
