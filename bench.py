@@ -59,6 +59,8 @@ HEADLINE = [
     # multi-grain rollup (one raw scan via exchange reuse)
     "q_asof_join",
     "q_hypertable_rollup",
+    # CDC MERGE apply (reduce + full-outer join + resolution)
+    "q_merge_upsert",
 ]
 
 

@@ -306,3 +306,49 @@ def test_pagerank_conserves_mass(spark, raw_edges):
     pr = {r["host"]: r["pr"] for r in pagerank(df, iters=4).collect()}
     assert abs(sum(pr.values()) - 1.0) < 1e-3  # teleport + dangling conserve mass
     assert all(p > 0 for p in pr.values())
+
+
+_merge_op = st.tuples(
+    st.integers(min_value=0, max_value=6),   # key
+    st.integers(min_value=0, max_value=15),  # version
+    st.booleans(),                           # is_delete
+)
+
+
+@given(st.lists(st.lists(_merge_op, min_size=1, max_size=8), min_size=1, max_size=3))
+@settings(max_examples=6, deadline=None)
+def test_merge_upsert_matches_dict_replay(spark, raw_batches):
+    """Sequential merge_upsert over random change batches ≡ a python dict
+    replay of the same rules (last-writer-wins reduce, >= freshness guard,
+    delete wins, delete-of-absent no-op) — multi-batch composition, the
+    streaming/merge.py loop's algebra."""
+    from pdf_table_extractor_spark.operators import urls
+
+    state: dict = {}
+    cur = spark.createDataFrame([], "k long, v string, ver long")
+    for raw in raw_batches:
+        seen, batch = set(), []
+        for k, ver, d in raw:
+            if (k, ver) in seen:  # (key, version) unique per batch: the
+                continue          # operator's documented determinism contract
+            seen.add((k, ver))
+            batch.append((k, f"v{k}_{ver}", ver, d))
+        red: dict = {}
+        for k, v, ver, d in batch:
+            if k not in red or ver > red[k][1]:
+                red[k] = (v, ver, d)
+        for k, (v, ver, d) in red.items():
+            c = state.get(k)
+            if c is None or ver >= c[1]:
+                if d:
+                    state.pop(k, None)
+                else:
+                    state[k] = (v, ver)
+        ch = spark.createDataFrame(
+            batch, "k long, v string, ver long, is_delete boolean"
+        )
+        cur = urls.merge_upsert(
+            cur, ch, key_cols=["k"], version_col="ver", delete_col="is_delete"
+        )
+    got = {r["k"]: (r["v"], r["ver"]) for r in cur.collect()}
+    assert got == state
