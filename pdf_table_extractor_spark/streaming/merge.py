@@ -151,3 +151,24 @@ def start_snapshot_maintenance(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def vacuum(snapshot_root: str, keep_last: int = 2) -> list[str]:
+    """Drop all but the newest ``keep_last`` snapshot versions (never the
+    current one; ``keep_last >= 2`` retains the replay base the streaming
+    checkpoint may still need — see the crash-safety notes above).
+    Returns the removed version names. Driver-side directory bookkeeping
+    only — cheap at any scale; the deletes are the filesystem's problem."""
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = sorted(
+        (d for d in os.listdir(snapshot_root) if d.startswith("v_")),
+        key=lambda d: int(d.split("_", 1)[1]),
+    )
+    cur = current_version(snapshot_root)
+    doomed = [v for v in versions[:-keep_last] if v != cur]
+    for v in doomed:
+        shutil.rmtree(os.path.join(snapshot_root, v))
+    return doomed

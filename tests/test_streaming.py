@@ -334,3 +334,24 @@ def test_snapshot_maintenance_stream_and_replay_idempotence(spark, tmp_path):
     assert again == final
     # time travel: the seed version is still readable
     assert sm.read_version(spark, root, "v_0").count() == 4
+
+
+def test_snapshot_vacuum_keeps_current_and_replay_base(spark, tmp_path):
+    from pdf_table_extractor_spark.streaming import merge as sm
+
+    root = str(tmp_path / "snap")
+    seed = spark.createDataFrame([(1, "a", 1)], "k long, v string, ver long")
+    sm.init_snapshot(seed, root)
+    for b in range(3):  # v_1, v_2, v_3
+        ch = spark.createDataFrame(
+            [(1, f"a{b}", 10 + b, False)], "k long, v string, ver long, is_delete boolean"
+        )
+        sm.apply_changes_batch(
+            spark, ch, b, root, key_cols=["k"], version_col="ver", delete_col="is_delete"
+        )
+    removed = sm.vacuum(root, keep_last=2)
+    assert removed == ["v_0", "v_1"]
+    assert sm.current_version(root) == "v_3"
+    assert sm.read_snapshot(spark, root).collect()[0]["v"] == "a2"
+    # replay base v_2 survives for the checkpoint's last-batch replay
+    assert sm.read_version(spark, root, "v_2").count() == 1
