@@ -66,7 +66,11 @@ _PRIORITY: list[str] = [
     "q_assign_shards", "q_boilerplate_main", "q_temperature_resample",
     "q_dedup_exact", "q_dedup_minhash", "q_unigram_ppl",
     "q_tfidf_topk", "q_semdedup", "q_domain_cap",
-    "q_dsir_weights", "q_pack_sequences", "q_gopher_quality",
+    # the round-3 temporal/MERGE family takes the last three window slots:
+    # newest code gets the driver's hard gate; the displaced contracts
+    # (q_dsir_weights, q_pack_sequences, q_gopher_quality) are unchanged
+    # since they went green and stay covered by tools/check_contract.py.
+    "q_asof_join", "q_hypertable_rollup", "q_merge_upsert",
     "q_contamination",
 ]
 
