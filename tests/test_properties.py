@@ -352,3 +352,122 @@ def test_merge_upsert_matches_dict_replay(spark, raw_batches):
         )
     got = {r["k"]: (r["v"], r["ver"]) for r in cur.collect()}
     assert got == state
+
+
+_EPOCH = dt.datetime(2026, 3, 1)
+
+_asof_left = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 120)),  # (key, ts offset s)
+    min_size=1, max_size=25,
+)
+_asof_right = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 120), st.integers(0, 99)),
+    min_size=1, max_size=25,
+)
+
+
+@given(_asof_left, _asof_right,
+       st.sampled_from([None, 7.0]), st.sampled_from([None, 13]))
+@settings(max_examples=8, deadline=None)
+def test_asof_join_matches_pandas_merge_asof(spark, raw_l, raw_r, tol, bucket_s):
+    """asof_join (plain AND bucketed carry path) ≡ pandas.merge_asof
+    (backward-inclusive, by-key, tolerance) on random key/ts layouts —
+    the independent oracle the DuckDB ASOF contract can't fuzz."""
+    import pandas as pd
+
+    from pdf_table_extractor_spark.operators.asof import asof_join
+
+    lrows = [(k, _EPOCH + dt.timedelta(seconds=s)) for k, s in raw_l]
+    rrows = sorted({(k, s): (k, _EPOCH + dt.timedelta(seconds=s), v)
+                    for k, s, v in raw_r}.values())  # unique per (key, ts)
+    from collections import Counter
+
+    lf = spark.createDataFrame(lrows, "k int, ts timestamp")
+    rf = spark.createDataFrame(rrows, "k int, ts timestamp, val int")
+    got = Counter(
+        (r["k"], r["ts"], r["val"])
+        for r in asof_join(
+            lf, rf, ["k"], "ts", ["val"],
+            tolerance_s=tol, bucket_s=bucket_s,
+        ).collect()
+    )
+    lp = pd.DataFrame(lrows, columns=["k", "ts"]).sort_values("ts", kind="stable")
+    rp = pd.DataFrame(rrows, columns=["k", "ts", "val"]).sort_values("ts", kind="stable")
+    mp = pd.merge_asof(
+        lp, rp, on="ts", by="k", direction="backward",
+        tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+    )
+    want = Counter(
+        (int(r.k), r.ts.to_pydatetime(), None if pd.isna(r.val) else int(r.val))
+        for r in mp.itertuples()
+    )
+    assert got == want
+
+
+_iv = st.tuples(st.integers(0, 40), st.integers(0, 25))  # (start s, length s)
+
+
+@given(st.lists(_iv, min_size=1, max_size=12),
+       st.lists(_iv, min_size=1, max_size=12),
+       st.booleans())
+@settings(max_examples=8, deadline=None)
+def test_overlap_join_matches_bruteforce(spark, raw_l, raw_r, strict):
+    """overlap_join's equi-bucket + meet-trick plan ≡ the O(n·m) python
+    definition of interval intersection, exactly once per pair, for
+    strict and touching-inclusive modes, across bucket boundaries."""
+    from pdf_table_extractor_spark.operators.intervals import overlap_join
+
+    def ts(s):
+        return _EPOCH + dt.timedelta(seconds=s)
+
+    lrows = [(i, ts(s), ts(s + n)) for i, (s, n) in enumerate(raw_l)]
+    rrows = [(j, ts(s), ts(s + n)) for j, (s, n) in enumerate(raw_r)]
+    lf = spark.createDataFrame(lrows, "lid int, ls timestamp, le timestamp")
+    rf = spark.createDataFrame(rrows, "rid int, rs timestamp, re timestamp")
+    out = overlap_join(
+        lf, rf, "ls", "le", "rs", "re", bucket_s=7, strict=strict
+    ).collect()
+    got = sorted((r["lid"], r["rid"]) for r in out)
+    assert len(got) == len(set(got))  # meet trick: exactly once per pair
+    want = sorted(
+        (i, j)
+        for i, ls, le in lrows
+        for j, rs, re in rrows
+        if ((ls < re and rs < le) if strict else (ls <= re and rs <= le))
+    )
+    assert got == want
+
+
+@given(st.lists(st.tuples(st.integers(0, 1), st.integers(0, 40)),
+                min_size=1, max_size=15),
+       st.lists(st.tuples(st.integers(0, 1), _iv), min_size=1, max_size=10),
+       st.sampled_from(["inner", "left_semi", "left_anti"]))
+@settings(max_examples=8, deadline=None)
+def test_interval_join_matches_bruteforce(spark, raw_pt, raw_iv, how):
+    """interval_join (point-in-interval, key-scoped, both-inclusive) ≡
+    brute-force containment for inner/semi/anti forms."""
+    from pdf_table_extractor_spark.operators.intervals import interval_join
+
+    def ts(s):
+        return _EPOCH + dt.timedelta(seconds=s)
+
+    pts = [(i, k, ts(s)) for i, (k, s) in enumerate(raw_pt)]
+    ivs = [(j, k, ts(s), ts(s + n)) for j, (k, (s, n)) in enumerate(raw_iv)]
+    pf = spark.createDataFrame(pts, "pid int, k int, pts timestamp")
+    vf = spark.createDataFrame(ivs, "iid int, k int, ivs timestamp, ive timestamp")
+    out = interval_join(
+        pf, vf, "pts", "ivs", "ive",
+        bucket_s=7, key_cols=["k"], how=how,
+    ).collect()
+    matches = {
+        (i, j)
+        for i, pk, pt in pts
+        for j, ik, s, e in ivs
+        if pk == ik and s <= pt <= e
+    }
+    if how == "inner":
+        assert sorted((r["pid"], r["iid"]) for r in out) == sorted(matches)
+    else:
+        in_any = {i for i, _ in matches}
+        want = in_any if how == "left_semi" else {p[0] for p in pts} - in_any
+        assert sorted(r["pid"] for r in out) == sorted(want)
