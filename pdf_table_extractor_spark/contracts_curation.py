@@ -3579,3 +3579,67 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         tgt, ch, key_cols=["user_id"], version_col="ver", delete_col="is_delete"
     )
     return merged.orderBy("user_id")
+
+
+@contract(
+    "q_validate_pages",
+    """
+    WITH pages AS (
+      SELECT CASE WHEN doc_id % 89 = 0 THEN NULL
+                  ELSE 'https://h' || (doc_id % 50) || '.example/doc/' || doc_id
+             END AS url,
+             CASE WHEN doc_id % 11 = 0 THEN NULL ELSE text END AS text,
+             CASE WHEN doc_id % 7 = 0 AND doc_id % 11 != 0 THEN encode(text)
+             END AS html,
+             doc_id
+      FROM documents
+    ), flagged AS (
+      SELECT doc_id, url,
+             CASE WHEN url IS NULL OR url = '' THEN 'null_url'
+                  WHEN text IS NULL AND html IS NULL THEN 'no_payload'
+                  WHEN strlen(text) > 400 THEN 'text_too_large'
+                  WHEN octet_length(html) > 450 THEN 'html_too_large'
+             END AS reason
+      FROM pages
+    )
+    SELECT doc_id, url, reason FROM flagged WHERE reason IS NOT NULL
+    ORDER BY doc_id
+    """,
+)
+def q_validate_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural quarantine classifier (operators/quarantine.py
+    validate_pages / quarantine_reason): documents recast as a pages
+    frame with deterministic null-url / missing-payload / oversized
+    slices; the contract returns the quarantined rows with their reason
+    tokens. Pure codegen (when-cascade over octet lengths) — the oracle
+    replays the same CASE in DuckDB. The job-level wiring (per-bucket
+    quarantine table + lineage counters + per-doc UDF guards) is
+    exercised end-to-end by tests/test_quarantine.py."""
+    from pdf_table_extractor_spark.operators.quarantine import quarantine_reason
+
+    docs = load(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 89 == 0, F.lit(None)).otherwise(
+            F.concat(
+                F.lit("https://h"),
+                (F.col("doc_id") % 50).cast("string"),
+                F.lit(".example/doc/"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("url"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("text")).alias("text"),
+        F.when(
+            (F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 11 != 0),
+            F.encode(F.col("text"), "UTF-8"),
+        ).alias("html"),
+    )
+    flagged = pages.withColumn(
+        "reason", quarantine_reason(max_text_bytes=400, max_html_bytes=450)
+    )
+    return (
+        flagged.filter(F.col("reason").isNotNull())
+        .select("doc_id", "url", "reason")
+        .orderBy("doc_id")
+    )

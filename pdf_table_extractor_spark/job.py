@@ -23,6 +23,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pdf_table_extractor_spark.operators.quarantine import parse_failures, validate_pages
 from pdf_table_extractor_spark.plans.extract import extract, extract_spans
 from pdf_table_extractor_spark.ship import ensure_shipped
 from pdf_table_extractor_spark.sources.catalog import LocalCatalog
@@ -161,6 +162,16 @@ def _run_bucket(
     if committed_urls is not None:
         # idempotence even if commit state is partially recovered
         sub = sub.join(committed_urls, "url", "left_anti")
+    # Poison-pill containment (operators/quarantine.py): structurally-bad
+    # rows (null url / no payload / oversized) go to a per-bucket
+    # quarantine table instead of an Arrow batch; parse-level poison inside
+    # the UDFs degrades per-document and ticks the parse_failures
+    # accumulator, snapshotted into this bucket's lineage below (approx
+    # under task retries / concurrent buckets — the quarantine TABLE is
+    # the exact record).
+    sub, quarantined = validate_pages(sub)
+    acc = parse_failures(spark.sparkContext)
+    failures_before = acc.value if acc is not None else 0
     if use_cache:
         # round-1 relic: the old extract DAG fanned one scan into 16
         # branches, so caching the bucket was load-bearing. The single-pass
@@ -171,6 +182,8 @@ def _run_bucket(
         sub = sub.cache()
     out = extract(sub).cache()
     spans = extract_spans(sub) if emit_spans else None
+    quarantined = quarantined.cache()
+    n_quarantined = quarantined.count()
     stats = out.agg(
         F.count("*").alias("n_pages"),
         F.count("csv").alias("n_ok"),
@@ -185,12 +198,18 @@ def _run_bucket(
             "n_pages": stats.n_pages,
             "n_ok": stats.n_ok,
             "n_empty": stats.n_pages - stats.n_ok,
+            "n_quarantined": n_quarantined,
+            "n_parse_failed": (
+                (acc.value - failures_before) if acc is not None else 0
+            ),
             "n_rows_total": int(stats.n_rows_total),
             "bytes_out": int(stats.bytes_out),
             "wall_ms": int((time.perf_counter() - t0) * 1000),
         },
         spans_df=spans,
+        quarantine_df=quarantined if n_quarantined else None,
     )
+    quarantined.unpersist()
     out.unpersist()
     if use_cache:
         sub.unpersist()

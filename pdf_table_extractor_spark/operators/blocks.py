@@ -20,6 +20,8 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql.functions import pandas_udf
 
+from pdf_table_extractor_spark.operators.quarantine import guard_doc, parse_failures
+
 BLOCK_SCHEMA = (
     "array<struct<page_no:int,kind:string,text:string,"
     "x0:double,x1:double,top:double,bottom:double>>"
@@ -57,11 +59,13 @@ def _parse_to_tuples(raw: bytes) -> list[tuple]:
 def _parse_blocks_udf():
     # Deferred: pandas_udf with a DDL return type needs an active session,
     # so the UDF is created on first use, not at import.
+    parse = guard_doc(_parse_to_tuples)  # undecodable/garbled doc → None
+
     @pandas_udf(BLOCK_SCHEMA)
     def _udf(html_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for html_col in html_iter:
             out = [
-                None if raw is None else _parse_to_tuples(bytes(raw))
+                None if raw is None else parse(bytes(raw))
                 for raw in html_col
             ]
             yield pd.Series(out, dtype=object)
@@ -90,6 +94,8 @@ def word_rows(pages):
     (rulings included)."""
     import pandas as pd  # noqa: F811 — executor-side import
 
+    acc = parse_failures()  # captured driver-side into the closure
+
     def gen(batches):
         for b in batches:
             urls: list = []
@@ -100,20 +106,29 @@ def word_rows(pages):
             for url, raw in zip(b["url"], b["html"]):
                 if raw is None:
                     continue
-                page_no = 0
-                for line in bytes(raw).decode("utf-8").splitlines():
-                    if not line:
-                        continue
-                    k = line[0]
-                    if k == "W" and line[1] == " ":
-                        x0, _x1, top, _bottom, text = line[2:].split(" ", 4)
-                        urls.append(url)
-                        pnos.append(page_no)
-                        texts.append(text)
-                        x0s.append(float(x0))
-                        tops.append(float(top))
-                    elif k == "P":
-                        page_no = int(line.split(" ", 2)[1])
+                n0 = len(urls)
+                try:
+                    page_no = 0
+                    for line in bytes(raw).decode("utf-8").splitlines():
+                        if not line:
+                            continue
+                        k = line[0]
+                        if k == "W" and line[1] == " ":
+                            x0, _x1, top, _bottom, text = line[2:].split(" ", 4)
+                            urls.append(url)
+                            pnos.append(page_no)
+                            texts.append(text)
+                            x0s.append(float(x0))
+                            tops.append(float(top))
+                        elif k == "P":
+                            page_no = int(line.split(" ", 2)[1])
+                except (MemoryError, KeyboardInterrupt, SystemExit):
+                    raise
+                except Exception:
+                    # poison doc: roll back its partial rows, count, move on
+                    del urls[n0:], pnos[n0:], texts[n0:], x0s[n0:], tops[n0:]
+                    if acc is not None:
+                        acc.add(1)
             yield pd.DataFrame(
                 {"url": urls, "page_no": pnos, "text": texts, "x0": x0s, "top": tops}
             )

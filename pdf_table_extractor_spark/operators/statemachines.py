@@ -18,6 +18,8 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql.functions import pandas_udf
 
+from pdf_table_extractor_spark.operators.quarantine import guard_doc
+
 SANTANDER_SCHEMA = (
     "array<struct<data:string,lancamento:string,valor:double,documento:string>>"
 )
@@ -285,11 +287,13 @@ def _stone_doc(html: bytes) -> list[list[str]]:
 
 @functools.cache
 def _bradesco_udf():
+    doc = guard_doc(_bradesco_doc)  # poison doc → None records, not task death
+
     @pandas_udf(BRADESCO_SCHEMA)
     def _udf(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for col in texts:
             yield pd.Series(
-                [None if t is None else _bradesco_doc(t) for t in col], dtype=object
+                [None if t is None else doc(t) for t in col], dtype=object
             )
 
     return _udf
@@ -301,11 +305,13 @@ def bradesco_records(col: Column | str) -> Column:
 
 @functools.cache
 def _stone_udf():
+    doc = guard_doc(_stone_doc)
+
     @pandas_udf(STONE_SCHEMA)
     def _udf(htmls: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for col in htmls:
             yield pd.Series(
-                [None if h is None else _stone_doc(h) for h in col], dtype=object
+                [None if h is None else doc(h) for h in col], dtype=object
             )
 
     return _udf
@@ -317,11 +323,13 @@ def stone_rows(col: Column | str) -> Column:
 
 @functools.cache
 def _santander_udf():
+    doc = guard_doc(_santander_doc)
+
     @pandas_udf(SANTANDER_SCHEMA)
     def _udf(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for col in texts:
             yield pd.Series(
-                [None if t is None else _santander_doc(t) for t in col], dtype=object
+                [None if t is None else doc(t) for t in col], dtype=object
             )
 
     return _udf

@@ -20,6 +20,7 @@ from pyspark.sql import Column
 from pyspark.sql.functions import lit, pandas_udf
 
 from pdf_table_extractor_spark.markup import parse as parse_markup
+from pdf_table_extractor_spark.operators.quarantine import guard_doc, parse_failures
 
 STREAM_SCHEMA = "array<struct<page_no:int,row_no:int,cells:array<string>>>"
 
@@ -77,11 +78,13 @@ def _stream_udf(config_json: str):
     for k in config:
         config[k] = {"area": tuple(config[k]["area"]), "columns": config[k]["columns"]}
 
+    doc = guard_doc(stream_rows_doc)
+
     @pandas_udf(STREAM_SCHEMA)
     def _udf(htmls: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for col in htmls:
             yield pd.Series(
-                [None if h is None else stream_rows_doc(h, config) for h in col],
+                [None if h is None else doc(h, config) for h in col],
                 dtype=object,
             )
 
@@ -163,56 +166,23 @@ def table_spans(pages, stream_config: dict | None = None):
 
     from pdf_table_extractor_spark.markup import parse as parse_markup
 
+    acc = parse_failures()  # captured driver-side into the closure
+
     def gen(batches):
         for b in batches:
             rows: list[tuple] = []
             for url, raw in zip(b["url"], b["html"]):
                 if raw is None:
                     continue
-                words, rulings = parse_markup(bytes(raw))
-                # lattice spans from ruling groups
-                groups: dict[tuple, list[float]] = {}
-                horiz: dict[int, list] = {}
-                for r in rulings:
-                    if r.x0 == r.x1:
-                        groups.setdefault((r.page_no, r.top, r.bottom), []).append(r.x0)
-                    elif r.top == r.bottom:
-                        horiz.setdefault(r.page_no, []).append(r.top)
-                for (page, top, bottom), xs in sorted(groups.items()):
-                    xs = sorted(set(xs))
-                    ys = sorted(
-                        {y for y in horiz.get(page, []) if top <= y <= bottom}
-                    )
-                    if len(xs) < 2 or len(ys) < 2:
-                        continue
-                    rows.append(
-                        (url, page, "lattice", xs[0], ys[0], xs[-1], ys[-1],
-                         len(ys) - 1, len(xs) - 1)
-                    )
-                # stream spans from configured areas
-                if stream_config is not None and words:
-                    for page in sorted({w.page_no for w in words}):
-                        cfg = (
-                            stream_config["page_1"]
-                            if page == 1
-                            else stream_config["page_2_end"]
-                        )
-                        ax0, atop, ax1, abot = cfg["area"]
-                        pw = [
-                            w for w in words
-                            if w.page_no == page
-                            and ax0 <= (w.x0 + w.x1) / 2 <= ax1
-                            and atop <= (w.top + w.bottom) / 2 <= abot
-                        ]
-                        if not pw:
-                            continue
-                        n_y = len({round(w.top, 0) for w in pw})
-                        rows.append(
-                            (url, page, "stream",
-                             min(w.x0 for w in pw), min(w.top for w in pw),
-                             max(w.x1 for w in pw), max(w.bottom for w in pw),
-                             n_y, len(cfg["columns"]) + 1)
-                        )
+                n0 = len(rows)
+                try:
+                    _span_doc(url, bytes(raw), stream_config, rows)
+                except (MemoryError, KeyboardInterrupt, SystemExit):
+                    raise
+                except Exception:
+                    del rows[n0:]
+                    if acc is not None:
+                        acc.add(1)
             yield pd.DataFrame(
                 rows,
                 columns=["url", "page_no", "mode", "x0", "top", "x1",
@@ -220,6 +190,54 @@ def table_spans(pages, stream_config: dict | None = None):
             )
 
     return pages.select("url", "html").mapInPandas(gen, schema=TABLE_SPANS_SCHEMA)
+
+
+def _span_doc(url, raw: bytes, stream_config, rows: list) -> None:
+    """Append one document's lattice/stream span tuples to ``rows``."""
+    words, rulings = parse_markup(raw)
+    # lattice spans from ruling groups
+    groups: dict[tuple, list[float]] = {}
+    horiz: dict[int, list] = {}
+    for r in rulings:
+        if r.x0 == r.x1:
+            groups.setdefault((r.page_no, r.top, r.bottom), []).append(r.x0)
+        elif r.top == r.bottom:
+            horiz.setdefault(r.page_no, []).append(r.top)
+    for (page, top, bottom), xs in sorted(groups.items()):
+        xs = sorted(set(xs))
+        ys = sorted(
+            {y for y in horiz.get(page, []) if top <= y <= bottom}
+        )
+        if len(xs) < 2 or len(ys) < 2:
+            continue
+        rows.append(
+            (url, page, "lattice", xs[0], ys[0], xs[-1], ys[-1],
+             len(ys) - 1, len(xs) - 1)
+        )
+    # stream spans from configured areas
+    if stream_config is not None and words:
+        for page in sorted({w.page_no for w in words}):
+            cfg = (
+                stream_config["page_1"]
+                if page == 1
+                else stream_config["page_2_end"]
+            )
+            ax0, atop, ax1, abot = cfg["area"]
+            pw = [
+                w for w in words
+                if w.page_no == page
+                and ax0 <= (w.x0 + w.x1) / 2 <= ax1
+                and atop <= (w.top + w.bottom) / 2 <= abot
+            ]
+            if not pw:
+                continue
+            n_y = len({round(w.top, 0) for w in pw})
+            rows.append(
+                (url, page, "stream",
+                 min(w.x0 for w in pw), min(w.top for w in pw),
+                 max(w.x1 for w in pw), max(w.bottom for w in pw),
+                 n_y, len(cfg["columns"]) + 1)
+            )
 
 
 # ---------------------------------------------------------------------------

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 class LocalCatalog:
     def __init__(self, root: str):
         self.root = root
-        for d in ("data", "spans", "lineage", "_manifests"):
+        for d in ("data", "spans", "quarantine", "lineage", "_manifests"):
             os.makedirs(os.path.join(root, d), exist_ok=True)
 
     # -- commit state -------------------------------------------------------
@@ -50,7 +50,20 @@ class LocalCatalog:
     def spans_path(self, bucket: int) -> str:
         return os.path.join(self.root, "spans", f"bucket={bucket}")
 
+    def quarantine_path(self, bucket: int) -> str:
+        return os.path.join(self.root, "quarantine", f"bucket={bucket}")
+
     # -- write path ---------------------------------------------------------
+
+    def _stage_rename(self, df: DataFrame, dirname: str, bucket: int, attempt: int) -> None:
+        final = os.path.join(self.root, dirname, f"bucket={bucket}")
+        tmp = os.path.join(self.root, dirname, f"_tmp-{bucket}-{attempt}")
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.replace(tmp, final)
 
     def commit_bucket(
         self,
@@ -59,27 +72,17 @@ class LocalCatalog:
         lineage: dict,
         attempt: int = 1,
         spans_df: DataFrame | None = None,
+        quarantine_df: DataFrame | None = None,
     ) -> None:
-        """Stage parquet (+ optional span rows) → fsync lineage → atomic
-        manifest rename. Spans are staged BEFORE the manifest, so they are
-        exactly as atomic as the data: no manifest → both retried."""
-        final = self.bucket_path(bucket)
-        tmp = os.path.join(self.root, "data", f"_tmp-{bucket}-{attempt}")
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
-        df.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(final):
-            shutil.rmtree(final)
-        os.replace(tmp, final)
+        """Stage parquet (+ optional span / quarantine rows) → fsync
+        lineage → atomic manifest rename. Side tables are staged BEFORE
+        the manifest, so they are exactly as atomic as the data: no
+        manifest → all retried."""
+        self._stage_rename(df, "data", bucket, attempt)
         if spans_df is not None:
-            sfinal = self.spans_path(bucket)
-            stmp = os.path.join(self.root, "spans", f"_tmp-{bucket}-{attempt}")
-            if os.path.exists(stmp):
-                shutil.rmtree(stmp)
-            spans_df.write.mode("overwrite").parquet(stmp)
-            if os.path.exists(sfinal):
-                shutil.rmtree(sfinal)
-            os.replace(stmp, sfinal)
+            self._stage_rename(spans_df, "spans", bucket, attempt)
+        if quarantine_df is not None:
+            self._stage_rename(quarantine_df, "quarantine", bucket, attempt)
         lineage = dict(lineage, bucket=bucket, attempt=attempt, committed_at=time.time())
         lpath = os.path.join(self.root, "lineage", f"bucket={bucket}.json")
         with open(lpath, "w") as f:
@@ -103,6 +106,16 @@ class LocalCatalog:
             self.spans_path(b)
             for b in self.committed_buckets()
             if os.path.exists(self.spans_path(b))
+        ]
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
+    def read_quarantine(self, spark: SparkSession) -> DataFrame | None:
+        paths = [
+            self.quarantine_path(b)
+            for b in self.committed_buckets()
+            if os.path.exists(self.quarantine_path(b))
         ]
         if not paths:
             return None
@@ -162,6 +175,7 @@ class IcebergCatalog:
 
     def __init__(self, spark: SparkSession, table: str, lineage_table: str,
                  catalog_name: str = "ice", spans_table: str | None = None,
+                 quarantine_table: str | None = None,
                  overwrite_bucket: bool = False):
         if not iceberg_available(spark, catalog_name):
             raise NotImplementedError(
@@ -173,6 +187,7 @@ class IcebergCatalog:
         self.table = table
         self.lineage_table = lineage_table
         self.spans_table = spans_table
+        self.quarantine_table = quarantine_table
         self.overwrite_bucket = overwrite_bucket
 
     def committed_buckets(self) -> list[int]:
@@ -195,17 +210,27 @@ class IcebergCatalog:
         lineage: dict,
         attempt: int = 1,
         spans_df: DataFrame | None = None,
+        quarantine_df: DataFrame | None = None,
     ) -> None:
         from pyspark.sql import functions as F
 
         if spans_df is not None and self.spans_table is None:
             raise ValueError("spans_df given but no spans_table configured")
-        # data (and spans) land first, each a single atomic snapshot
+        if quarantine_df is not None and self.quarantine_table is None:
+            raise ValueError(
+                "quarantine_df given but no quarantine_table configured"
+            )
+        # data (and side tables) land first, each a single atomic snapshot
         # commit; the lineage append is the commit point.
         self._write(df.withColumn("bucket", F.lit(bucket)), self.table)
         if spans_df is not None:
             self._write(
                 spans_df.withColumn("bucket", F.lit(bucket)), self.spans_table
+            )
+        if quarantine_df is not None:
+            self._write(
+                quarantine_df.withColumn("bucket", F.lit(bucket)),
+                self.quarantine_table,
             )
         lineage = dict(lineage, bucket=bucket, attempt=attempt)
         self.spark.createDataFrame([lineage]).writeTo(self.lineage_table).append()
@@ -217,6 +242,11 @@ class IcebergCatalog:
         if self.spans_table is None:
             return None
         return spark.read.table(self.spans_table)
+
+    def read_quarantine(self, spark: SparkSession):
+        if self.quarantine_table is None:
+            return None
+        return spark.read.table(self.quarantine_table)
 
     def committed_urls(self, spark: SparkSession):
         return self.read_data(spark).select("url")
