@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pdf_table_extractor_spark.operators.quarantine import validate_pages
 from pdf_table_extractor_spark.plans.extract import extract
 from pdf_table_extractor_spark.synth import PAGES_SCHEMA
 
@@ -43,12 +44,23 @@ def start_extract_stream(
     Spark's streaming checkpoint (source offsets + batch WAL) provides
     exactly-once file-level progress; extraction output is idempotent per
     url so replays after a crash rewrite identical rows.
+
+    Structurally-bad rows take the same quarantine split as the batch job
+    (operators/quarantine.py) — a continuously arriving crawl is exactly
+    where a poison file must not wedge the stream: without the split one
+    malformed page fails its micro-batch, the restart replays the SAME
+    committed offsets, and the stream loops on it forever. Quarantined
+    rows append to ``<out_dir>_quarantine`` with their reason tokens.
     """
     stream = pages_stream(spark, pages_dir)
 
     def run_batch(batch_df: DataFrame, batch_id: int) -> None:
-        out = extract(batch_df, num_partitions=num_partitions)
+        ok, quarantined = validate_pages(batch_df)
+        out = extract(ok, num_partitions=num_partitions)
         out.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out_dir)
+        quarantined.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            out_dir.rstrip("/") + "_quarantine"
+        )
 
     return (
         stream.writeStream.foreachBatch(run_batch)

@@ -36,6 +36,34 @@ def test_stream_extracts_all_docs(spark, tmp_path):
     assert spark.read.parquet(out_dir).count() == N_DOCS
 
 
+def test_stream_quarantines_poison_rows(spark, tmp_path):
+    """A structurally-bad page in a micro-batch must not wedge the
+    stream (restart would replay the same offsets forever): it is split
+    to the quarantine sink and the batch's good docs extract normally."""
+    import datetime as dt
+
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    synth.synth_spark(spark, 12, parallelism=2).write.parquet(pages_dir)
+    ts = dt.datetime(2026, 1, 2)
+    spark.createDataFrame(
+        [(None, ts, b"x", "t", "pt"),
+         ("https://hq.example/noise/7", ts, None, None, "pt")],
+        synth.PAGES_SCHEMA,
+    ).write.mode("append").parquet(pages_dir)
+
+    q = start_extract_stream(spark, pages_dir, out_dir, ckpt, num_partitions=4)
+    q.awaitTermination(300)
+
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 12
+    assert out.filter(out.url.isNull()).count() == 0
+    quar = spark.read.parquet(out_dir + "_quarantine")
+    got = {r["url"]: r["reason"] for r in quar.collect()}
+    assert got == {None: "null_url", "https://hq.example/noise/7": "no_payload"}
+
+
 def test_windowed_counts_batch_parity(spark, tmp_path):
     pages = synth.synth_spark(spark, 30, parallelism=4)
     rows = windowed_page_counts(pages).collect()
