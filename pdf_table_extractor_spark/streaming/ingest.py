@@ -39,35 +39,47 @@ def start_extract_stream(
     checkpoint_dir: str,
     num_partitions: int | None = None,
 ):
-    """pages files → extract() per micro-batch → parquet appends.
+    """pages files → extract() per micro-batch → parquet batch partitions.
 
     Spark's streaming checkpoint (source offsets + batch WAL) provides
-    exactly-once file-level progress; extraction output is idempotent per
-    url so replays after a crash rewrite identical rows.
+    exactly-once file-level progress. foreachBatch itself is only
+    at-least-once — a crash between the sink write and the checkpoint
+    commit REPLAYS the batch — so the sink must be idempotent ON
+    batch_id: each batch overwrites its own ``batch_id=<n>/`` partition
+    directory (a replay rewrites the same partition; a plain append would
+    duplicate every row of the replayed batch). Readers get ``batch_id``
+    back for free via partition discovery on ``out_dir``.
 
     Structurally-bad rows take the same quarantine split as the batch job
     (operators/quarantine.py) — a continuously arriving crawl is exactly
     where a poison file must not wedge the stream: without the split one
     malformed page fails its micro-batch, the restart replays the SAME
     committed offsets, and the stream loops on it forever. Quarantined
-    rows append to ``<out_dir>_quarantine`` with their reason tokens.
+    rows land in ``<out_dir>_quarantine`` under the same batch-partition
+    scheme.
     """
     stream = pages_stream(spark, pages_dir)
-
-    def run_batch(batch_df: DataFrame, batch_id: int) -> None:
-        ok, quarantined = validate_pages(batch_df)
-        out = extract(ok, num_partitions=num_partitions)
-        out.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out_dir)
-        quarantined.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            out_dir.rstrip("/") + "_quarantine"
-        )
-
     return (
-        stream.writeStream.foreachBatch(run_batch)
+        stream.writeStream.foreachBatch(make_run_batch(out_dir, num_partitions))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
+
+
+def make_run_batch(out_dir: str, num_partitions: int | None = None):
+    """The foreachBatch body, exposed for direct replay testing: calling
+    it twice with the same batch_id must leave the sink unchanged."""
+
+    def run_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ok, quarantined = validate_pages(batch_df)
+        out = extract(ok, num_partitions=num_partitions)
+        out.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+        quarantined.write.mode("overwrite").parquet(
+            out_dir.rstrip("/") + f"_quarantine/batch_id={batch_id}"
+        )
+
+    return run_batch
 
 
 def windowed_page_counts(pages: DataFrame, window: str = "1 hour", late: str = "2 hours") -> DataFrame:

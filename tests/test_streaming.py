@@ -64,6 +64,23 @@ def test_stream_quarantines_poison_rows(spark, tmp_path):
     assert got == {None: "null_url", "https://hq.example/noise/7": "no_payload"}
 
 
+def test_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash between sink write and
+    checkpoint commit replays the batch with the SAME batch_id. The
+    per-batch partition overwrite makes the replay a no-op (a plain
+    append would duplicate every row of the batch)."""
+    from pdf_table_extractor_spark.streaming.ingest import make_run_batch
+
+    out_dir = str(tmp_path / "out")
+    pages = synth.synth_spark(spark, 10, parallelism=2)
+    run_batch = make_run_batch(out_dir, num_partitions=4)
+    run_batch(pages, 7)
+    first = sorted(r.url for r in spark.read.parquet(out_dir).collect())
+    run_batch(pages, 7)  # replay after a simulated pre-commit crash
+    again = sorted(r.url for r in spark.read.parquet(out_dir).collect())
+    assert len(first) == 10 and again == first
+
+
 def test_windowed_counts_batch_parity(spark, tmp_path):
     pages = synth.synth_spark(spark, 30, parallelism=4)
     rows = windowed_page_counts(pages).collect()
