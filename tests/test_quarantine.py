@@ -44,6 +44,38 @@ def test_validate_pages_split_reasons(spark):
     }
 
 
+GARBAGE = [
+    "", " ", "\n\n\n", "R$ , , C D", "01/02/2026" * 5, "-.,;%$#@!",
+    "SALDO 999.999.999.999.999.999.999,99 D", "\x00\x01\x02",
+    "Data Lancamento Valor\n32/13/9999 x 1.2.3,4,5 Z",
+    "päge ünicode ÿ ￿", "9" * 5000,
+]
+
+
+def test_garbage_text_all_profiles_completes(spark):
+    """Adversarial TEXT (not just html) through every profile branch:
+    the JVM-side expression trees must be poison-proof too — guard_doc
+    can't see an ANSI cast throwing inside Catalyst, so the branches'
+    try_cast / try_to_date / try_element_at discipline is the only
+    containment there. One output row per input, job completes."""
+    from pdf_table_extractor_spark.plans.extract import PROFILES, extract
+
+    rows = []
+    i = 0
+    for prof in [*PROFILES, "unknownprofile"]:
+        for g in GARBAGE:
+            rows.append(
+                (f"https://fz.example/{prof}/{i:06d}", TS,
+                 b"P 1\nW 1 2 3 4 x\n", g, "pt"))
+            rows.append(
+                (f"https://fz.example/{prof}/{i + 1:06d}", TS,
+                 g.encode("utf-8", "ignore"), g, "pt"))
+            i += 2
+    df = spark.createDataFrame(rows, synth.PAGES_SCHEMA)
+    out = extract(df, num_partitions=8)
+    assert out.count() == len(rows)  # nothing dropped, nothing thrown
+
+
 @pytest.fixture()
 def poisoned_pages_path(spark, tmp_path):
     good = synth.synth_spark(spark, 30, parallelism=4)
