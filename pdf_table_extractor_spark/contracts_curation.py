@@ -929,6 +929,52 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "split")
 
 
+_LSAFE_U = (
+    "(('0x' || substr(md5('lsafe' || CAST(CAST(COALESCE(lab.label, d.doc_id)"
+    " AS BIGINT) AS VARCHAR)), 1, 8))::UBIGINT / 4294967296.0)"
+)
+
+
+@contract(
+    "q_split_leakage_safe",
+    f"""
+    WITH RECURSIVE pairs AS ({MINHASH_PAIRS_SQL}),
+    edges AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION
+      SELECT b AS src, a AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT DISTINCT src AS id, src AS r FROM edges
+      UNION
+      SELECT e.src AS id, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+    ),
+    lab AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id)
+    SELECT d.doc_id,
+      CAST(COALESCE(lab.label, d.doc_id) AS BIGINT) AS cluster_rep,
+      CASE WHEN {_LSAFE_U} < 0.9 THEN 'train' ELSE 'eval' END AS split
+    FROM documents d LEFT JOIN lab ON lab.id = d.doc_id
+    """,
+)
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/eval split (sampling.leakage_safe_split): the
+    variate is drawn on the MinHash-candidate connected-component
+    representative, so near-duplicate documents can never straddle
+    train and eval. The oracle replays the recursive closure + the same
+    dyadic variate on COALESCE(label, doc_id); singletons reduce to
+    plain hash_split."""
+    # child session: pair-graph-sized shuffle width (see q_dedup_cc)
+    s2 = spark.newSession()
+    if int(s2.conf.get("spark.sql.shuffle.partitions")) > 16:
+        s2.conf.set("spark.sql.shuffle.partitions", "16")
+    docs = load(s2, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs, n_hashes=4)
+    prs = dedup.lsh_candidates(sig, n_hashes=4, band_size=1)
+    return sampling.leakage_safe_split(
+        docs, prs, {"train": 0.9, "eval": 0.1}, salt="lsafe"
+    ).select("doc_id", "cluster_rep", "split")
+
+
 @contract(
     "q_stratified_sample",
     f"""

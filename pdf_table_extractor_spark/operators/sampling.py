@@ -53,8 +53,13 @@ def hash_split(
     config, not data, so boundaries are driver-side literals; the
     assignment itself is a narrow projection (no shuffle). Deterministic:
     a doc keeps its split under any re-run or repartition."""
+    return df.withColumn("split", _split_expr(uniform_hash(F.col(key_col), salt), weights))
+
+
+def _split_expr(u: Column, weights: dict[str, float]) -> Column:
+    """Cumulative-boundary CASE over a uniform variate: the shared split
+    assignment of `hash_split` and `leakage_safe_split`."""
     total = float(sum(weights.values()))
-    u = uniform_hash(F.col(key_col), salt)
     expr = None
     acc = 0.0
     names = list(weights)
@@ -62,8 +67,57 @@ def hash_split(
         acc += weights[name] / total
         cond = u < F.lit(acc)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
-    expr = F.lit(names[0]) if expr is None else expr.otherwise(F.lit(names[-1]))
-    return df.withColumn("split", expr)
+    return F.lit(names[0]) if expr is None else expr.otherwise(F.lit(names[-1]))
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    weights: dict[str, float],
+    *,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+    salt: str = "",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Train/eval assignment that near-duplicates can never straddle.
+
+    `hash_split` keyed on the raw doc id leaks eval data: a near-dup
+    pair (the same page crawled twice, a boilerplate-shifted copy)
+    lands in train AND eval with probability 2p(1-p) — the classic
+    contamination path benchmark decontamination misses because neither
+    copy matches the benchmark, they match each other. Here the variate
+    is drawn on the near-dup CLUSTER representative — the connected-
+    component min-id over the candidate pair graph (`dedup.cc_labels`)
+    — so every member of a cluster draws the SAME variate and the whole
+    cluster moves to one split. Docs in no candidate pair are their own
+    singleton cluster (representative = own id), where this degenerates
+    to `hash_split` exactly.
+
+    Output: docs columns + `cluster_rep` (long) + `split`.
+
+    Scale: the candidate graph only holds LSH-collided docs — orders of
+    magnitude smaller than the corpus — so `cc_labels`' iterative joins
+    run at pair-table width (size the session's shuffle partitions to
+    the pair table, per its docstring). The only corpus-wide step is
+    one equi-join of docs against the label table, broadcast-able when
+    the dup set is small (AQE picks that up from the label-table size);
+    the split assignment itself is the same narrow projection as
+    `hash_split`.
+    """
+    from pdf_table_extractor_spark.operators.dedup import cc_labels
+
+    labels = cc_labels(pairs, max_iter=max_iter, a_col=a_col, b_col=b_col).select(
+        F.col("id").alias("__lid"), F.col("label").alias("__cc_label")
+    )
+    joined = docs.join(labels, docs[id_col] == labels["__lid"], "left").drop("__lid")
+    rep = F.coalesce(F.col("__cc_label"), F.col(id_col)).cast("long")
+    return (
+        joined.withColumn("cluster_rep", rep)
+        .withColumn("split", _split_expr(uniform_hash(F.col("cluster_rep"), salt), weights))
+        .drop("__cc_label")
+    )
 
 
 def stratified_sample(

@@ -296,3 +296,51 @@ def test_pack_sequences_is_partitioning_invariant(spark):
     ).collect()
     key = lambda r: (r["doc_id"], r["seg_no"])
     assert sorted(a, key=key) == sorted(b, key=key) and len(a) == len(b) > 0
+
+
+def test_leakage_safe_split_never_straddles_clusters(spark):
+    # docs 1..10; near-dup clusters {1,2,3} (chain) and {7,8}; rest singleton
+    docs = spark.range(1, 11).withColumnRenamed("id", "doc_id")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "a long, b long"
+    )
+    out = sampling.leakage_safe_split(
+        docs, pairs, {"train": 0.5, "eval": 0.5}, salt="t"
+    ).collect()
+    split = {r["doc_id"]: r["split"] for r in out}
+    rep = {r["doc_id"]: r["cluster_rep"] for r in out}
+    # cluster members share representative AND split
+    assert rep[1] == rep[2] == rep[3] == 1
+    assert split[1] == split[2] == split[3]
+    assert rep[7] == rep[8] == 7
+    assert split[7] == split[8]
+    # singletons degenerate to hash_split on their own id
+    for d in (4, 5, 6, 9, 10):
+        assert rep[d] == d
+        expected = "train" if _expected_u(str(d), "t") < 0.5 else "eval"
+        assert split[d] == expected
+    # cluster split is drawn on the representative's variate
+    assert split[1] == ("train" if _expected_u("1", "t") < 0.5 else "eval")
+    assert split[7] == ("train" if _expected_u("7", "t") < 0.5 else "eval")
+
+
+def test_leakage_safe_split_no_pair_straddles_at_sf(spark, sf_dir="/root/testdata/sf0.001"):
+    from pdf_table_extractor_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sig = dedup.minhash_signatures(docs, n_hashes=4)
+    prs = dedup.lsh_candidates(sig, n_hashes=4, band_size=1)
+    out = sampling.leakage_safe_split(
+        docs, prs, {"train": 0.9, "eval": 0.1}, salt="lsafe"
+    ).select("doc_id", "split")
+    straddle = (
+        prs.join(out.withColumnRenamed("doc_id", "a"), "a")
+        .withColumnRenamed("split", "split_a")
+        .join(
+            out.withColumnRenamed("doc_id", "b").withColumnRenamed("split", "split_b"),
+            "b",
+        )
+        .where(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
+    assert straddle == 0
