@@ -132,12 +132,47 @@ def main() -> None:
 
     q_times["extract_pipeline"] = round(extract_sec, 3)
 
+    # Scaling-evidence summaries: SCALARS ONLY (efficiencies + medians).
+    # Round 3's driver capture kept only the LAST 4k of stdout and the
+    # embedded full evidence dicts pushed the per-query times off the
+    # front of the line — so the blobs are now ~150 bytes each, the
+    # queries dict is the LAST key of the object (the kept tail always
+    # retains it), and a hard size guard drops scaling detail before it
+    # ever drops a query time. Full evidence (levels, reps, hardware
+    # controls) stays in BENCH/*.json.
+    def scaling_summary(fname: str) -> dict | None:
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH", fname
+        )
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            evidence = json.load(f)
+        keep = {
+            k: v
+            for k, v in evidence.items()
+            if isinstance(v, (int, float))
+            and ("efficiency" in k or "median" in k or k.startswith("n_docs"))
+        }
+        keep["file"] = fname
+        return keep
+
+    scaling_keys = {
+        "scaling": "scaling_result.json",
+        "scaling_1_to_4": "scaling_1_4.json",
+        "scaling_1_to_4_r3": "scaling_r3_14.json",
+        # pinned (SPARK_GRAFT_TASKSET=1) = the cgroup-bounded executor
+        # analogue; unpinned rerun alongside (BENCH/BASELINE.md §3)
+        "scaling_1_to_4_r3_pinned": "scaling_r3d_14.json",
+        "scaling_1_to_4_r3_unpinned_rerun": "scaling_r3c_14.json",
+        "scaling_1_to_4_r4": "scaling_r4_14.json",
+    }
+
     sf = sf_dir.rstrip("/").split("sf")[-1]
     payload = {
         "metric": "total_wall_sec",
         "value": round(total, 3),
         "unit": "sec",
-        "queries": q_times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "extract_docs": n_docs,
         "extract_docs_out": n_out,
@@ -145,35 +180,17 @@ def main() -> None:
         "extract_reps_sec": extract_reps,
         "cpus": cpus,
     }
-    # surface the dedicated scaling-evidence run (tools/bench_scaling.py
-    # writes BENCH/scaling_result.json; scaling_2_8.json is the round-1
-    # fallback name)
-    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
-    for key, names in (
-        ("scaling", ("scaling_result.json", "scaling_2_8.json")),
-        ("scaling_1_to_4", ("scaling_1_4.json",)),
-        # round-3 re-measurement of the same campaign, with the per-session
-        # hardware controls that attribute its delta (BENCH/BASELINE.md)
-        ("scaling_1_to_4_r3", ("scaling_r3_14.json",)),
-        # round-3 continuation: PINNED-tree campaign (SPARK_GRAFT_TASKSET=1,
-        # the cgroup-bounded executor analogue) with bracketing host probes;
-        # the unpinned r3c rerun sits alongside. BENCH/BASELINE.md explains
-        # why the pinned protocol is the faithful one and why this host's
-        # shared bus caps it (probe-correlated at Pearson 0.73).
-        ("scaling_1_to_4_r3_pinned", ("scaling_r3d_14.json",)),
-        ("scaling_1_to_4_r3_unpinned_rerun", ("scaling_r3c_14.json",)),
-    ):
-        for fname in names:
-            scaling_path = os.path.join(bench_dir, fname)
-            if os.path.exists(scaling_path):
-                with open(scaling_path) as f:
-                    evidence = json.load(f)
-                # medians + controls only; raw reps stay in BENCH/
-                evidence.pop("reps", None)
-                evidence.pop("protocol", None)
-                payload[key] = evidence
-                break
-    print(json.dumps(payload))
+    for key, fname in scaling_keys.items():
+        summary = scaling_summary(fname)
+        if summary is not None:
+            payload[key] = summary
+    payload["queries"] = q_times  # LAST: survives a kept-tail truncation
+    line = json.dumps(payload)
+    if len(line) > 3800:  # driver keeps ~4k; never let scaling crowd queries
+        for key in scaling_keys:
+            payload.pop(key, None)
+        line = json.dumps(payload)
+    print(line)
 
 
 if __name__ == "__main__":

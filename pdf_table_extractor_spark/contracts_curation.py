@@ -930,8 +930,8 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LSAFE_U = (
-    "(('0x' || substr(md5('lsafe' || CAST(CAST(COALESCE(lab.label, d.doc_id)"
-    " AS BIGINT) AS VARCHAR)), 1, 8))::UBIGINT / 4294967296.0)"
+    "(('0x' || substr(md5('lsafe' || CAST(COALESCE(lab.label, d.doc_id)"
+    " AS VARCHAR)), 1, 8))::UBIGINT / 4294967296.0)"
 )
 
 
@@ -951,7 +951,7 @@ _LSAFE_U = (
     ),
     lab AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id)
     SELECT d.doc_id,
-      CAST(COALESCE(lab.label, d.doc_id) AS BIGINT) AS cluster_rep,
+      COALESCE(lab.label, d.doc_id) AS cluster_rep,
       CASE WHEN {_LSAFE_U} < 0.9 THEN 'train' ELSE 'eval' END AS split
     FROM documents d LEFT JOIN lab ON lab.id = d.doc_id
     """,
@@ -1071,9 +1071,11 @@ def q_assign_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style head/middle/tail perplexity bucketing under the
-    corpus's own unigram LM (textquality.unigram_nll + ppl_buckets)."""
+    corpus's own unigram LM (textquality.unigram_nll + ppl_buckets).
+    The contract opts into exact=True (the SQL ntile oracle); the
+    operator's DEFAULT is the windowless approx-threshold path."""
     scored = textquality.unigram_nll(load(spark, sf_dir, "documents"))
-    return textquality.ppl_buckets(scored).select(
+    return textquality.ppl_buckets(scored, exact=True).select(
         "doc_id", "n_toks", "nll", "bucket"
     )
 

@@ -569,20 +569,36 @@ def cc_labels(
     max_iter: int = 25,
     a_col: str = "a",
     b_col: str = "b",
+    probe_every: int = 2,
+    rows_per_partition: int = 500_000,
 ) -> DataFrame:
     """(id, label): exact connected-component label (the component's min
     doc id) for every node that appears in a candidate pair.
 
     Propagate-then-jump converges in O(log d) rounds (d = component
-    diameter); the loop exits at the first round with zero label
+    diameter); the loop exits at the first probe round with zero label
     changes, so max_iter=25 covers diameters beyond any real corpus.
 
-    Shuffle-width note: the candidate graph is orders of magnitude
-    smaller than the corpus, so run this under a session (or
-    newSession) whose spark.sql.shuffle.partitions is sized to the PAIR
-    table, not the corpus — every iterative stage at corpus width is
-    pure task-scheduling overhead (22s → ~3s at sf0.01 against a
-    200-partition session)."""
+    Self-sizing: the candidate graph is orders of magnitude smaller
+    than the corpus, so running the iterative stages at the session's
+    corpus-width ``spark.sql.shuffle.partitions`` is pure
+    task-scheduling overhead (22s → ~3s at sf0.01 against a
+    200-partition session). The edge table is checkpointed first (at
+    corpus width — deriving it from corpus-scale pairs is corpus
+    work), counted (cheap: reads checkpoint blocks), and the loop runs
+    with the session's shuffle width temporarily set to
+    ``ceil(n_edges / rows_per_partition)`` capped at the caller's
+    width, restored on exit. At 10^12 edges the cap leaves corpus
+    width in place; at contract scale every round collapses to a
+    handful of tasks without the caller resizing anything. (The
+    set/restore is safe because cc_labels drives its own actions and
+    this engine never plans concurrent queries on one session.)
+
+    Fixpoint probing: each probe is a join + ``limit(1).count()``
+    action; propagation is monotone, so rounds past the fixpoint are
+    no-ops — probing every ``probe_every`` rounds trades a cheap extra
+    no-op round for half the probe actions while still returning the
+    EXACT component min."""
     a, b = F.col(a_col), F.col(b_col)
     edges = (
         pairs.select(a.alias("src"), b.alias("dst"))
@@ -590,45 +606,55 @@ def cc_labels(
         .distinct()
         .localCheckpoint()
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-        .localCheckpoint()
-    )
-    for _ in range(max_iter):
-        nbr = (
-            edges.join(labels, edges["dst"] == labels["id"])
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        hop = labels.join(nbr, labels["id"] == nbr["src"], "left").select(
-            F.col("id"),
-            F.least(
-                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-            ).alias("label"),
-        )
-        # pointer jump: labels are themselves node ids (min over reached
-        # ids, seeded with own id), so label(label) always resolves.
-        ptr = hop.select(F.col("id").alias("pid"), F.col("label").alias("plabel"))
-        new = (
-            hop.join(ptr, hop["label"] == ptr["pid"], "left")
-            .select(
-                F.col("id"),
-                F.coalesce(F.col("plabel"), F.col("label")).alias("label"),
-            )
+    spark = pairs.sparkSession
+    sp_key = "spark.sql.shuffle.partitions"
+    old_sp = spark.conf.get(sp_key)
+    n_part = max(1, min(int(old_sp), -(-edges.count() // rows_per_partition)))
+    spark.conf.set(sp_key, str(n_part))
+    try:
+        labels = (
+            edges.select(F.col("src").alias("id"))
+            .distinct()
+            .withColumn("label", F.col("id"))
             .localCheckpoint()
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new
-        if changed == 0:
-            break
+        for it in range(max_iter):
+            nbr = (
+                edges.join(labels, edges["dst"] == labels["id"])
+                .groupBy("src")
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            hop = labels.join(nbr, labels["id"] == nbr["src"], "left").select(
+                F.col("id"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            # pointer jump: labels are themselves node ids (min over reached
+            # ids, seeded with own id), so label(label) always resolves.
+            ptr = hop.select(F.col("id").alias("pid"), F.col("label").alias("plabel"))
+            new = (
+                hop.join(ptr, hop["label"] == ptr["pid"], "left")
+                .select(
+                    F.col("id"),
+                    F.coalesce(F.col("plabel"), F.col("label")).alias("label"),
+                )
+                .localCheckpoint()
+            )
+            if (it + 1) % probe_every == 0 or it == max_iter - 1:
+                changed = (
+                    new.alias("n")
+                    .join(labels.alias("o"), "id")
+                    .where(F.col("n.label") != F.col("o.label"))
+                    .limit(1)
+                    .count()
+                )
+                if changed == 0:
+                    labels = new
+                    break
+            labels = new
+    finally:
+        spark.conf.set(sp_key, old_sp)
     return labels
 
 

@@ -95,7 +95,9 @@ def leakage_safe_split(
     singleton cluster (representative = own id), where this degenerates
     to `hash_split` exactly.
 
-    Output: docs columns + `cluster_rep` (long) + `split`.
+    Output: docs columns + `cluster_rep` (same type as `id_col` — works
+    for integer AND string/UUID ids; the variate hash stringifies the
+    key itself) + `split`.
 
     Scale: the candidate graph only holds LSH-collided docs — orders of
     magnitude smaller than the corpus — so `cc_labels`' iterative joins
@@ -112,7 +114,7 @@ def leakage_safe_split(
         F.col("id").alias("__lid"), F.col("label").alias("__cc_label")
     )
     joined = docs.join(labels, docs[id_col] == labels["__lid"], "left").drop("__lid")
-    rep = F.coalesce(F.col("__cc_label"), F.col(id_col)).cast("long")
+    rep = F.coalesce(F.col("__cc_label"), F.col(id_col))
     return (
         joined.withColumn("cluster_rep", rep)
         .withColumn("split", _split_expr(uniform_hash(F.col("cluster_rep"), salt), weights))

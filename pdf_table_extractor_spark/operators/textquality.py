@@ -378,15 +378,18 @@ def ppl_buckets(
     n_buckets: int = 3,
     score_col: str = "nll",
     id_col: str = "doc_id",
-    exact: bool = True,
+    exact: bool = False,
 ) -> DataFrame:
     """Add a ``bucket`` column (1 = head/lowest nll ... n = tail).
 
-    ``exact=True`` (contract scale): exact n-tile over (score, id) —
+    ``exact=True`` (contract scale — opt-in, never the default: a user
+    calling this naively at corpus scale must not land on a
+    single-partition stage): exact n-tile over (score, id) —
     deterministic under ties, but a global-ordered single-partition
     window over DOC-level rows.
 
-    ``exact=False`` (the 10^12-doc path): threshold assignment —
+    ``exact=False`` (the DEFAULT, the 10^12-doc path): threshold
+    assignment —
     ``approx_percentile`` computes the n-1 score boundaries as one
     distributed aggregate, the 1-row boundary array is broadcast, and
     each doc is assigned by comparison. No global sort, no window, no

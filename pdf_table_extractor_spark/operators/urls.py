@@ -86,17 +86,19 @@ def domain_cap(
     max_docs: int,
     url_col: str = "url",
     order_col: str = "doc_id",
-    prefilter: bool = False,
+    prefilter: bool = True,
     n_salts: int = 32,
 ):
     """Keep at most ``max_docs`` documents per registrable domain (a
     standard crawl-balance step: no single domain may dominate the
     training mix), deterministically — lowest ``order_col`` wins.
 
-    ``prefilter=False`` (contract scale): one window keyed on domain.
+    ``prefilter=False`` (opt-out, tiny inputs only): one window keyed
+    on domain — a mega-domain lands on ONE task with its full row
+    count, which is exactly the skew this operator exists to survive,
+    so it is not the default.
 
-    ``prefilter=True`` (the mega-domain path — the exact thing this
-    operator exists for): two-phase. Phase 1 is a map-side-combined
+    ``prefilter=True`` (the DEFAULT — the mega-domain path): two-phase. Phase 1 is a map-side-combined
     count per domain; the over-cap domain set (tiny — only domains with
     > max_docs docs) is broadcast. Under-cap rows pass through with NO
     shuffle (broadcast anti-join). Over-cap rows take a salted two-level

@@ -125,7 +125,9 @@ def test_unigram_nll_and_buckets(spark):
     assert out[2]["nll"] == round(nll_ab, 4) == out[3]["nll"]
     b = {
         r["doc_id"]: r["bucket"]
-        for r in textquality.ppl_buckets(textquality.unigram_nll(docs)).collect()
+        for r in textquality.ppl_buckets(
+            textquality.unigram_nll(docs), exact=True
+        ).collect()
     }
     assert b == {1: 1, 2: 2, 3: 3}  # ties broken by doc_id
 

@@ -33,7 +33,8 @@ def test_ppl_buckets_approx_matches_exact_and_has_no_window(spark):
         F.col("id").alias("doc_id"), (F.col("id") * 10.0).alias("nll")
     )
     exact = {
-        r.doc_id: r.bucket for r in textquality.ppl_buckets(scored, n_buckets=3).collect()
+        r.doc_id: r.bucket
+        for r in textquality.ppl_buckets(scored, n_buckets=3, exact=True).collect()
     }
     approx_df = textquality.ppl_buckets(scored, n_buckets=3, exact=False)
     approx = {r.doc_id: r.bucket for r in approx_df.collect()}
@@ -99,7 +100,7 @@ def test_domain_cap_prefilter_exact_on_mega_domain(spark):
     rows = [(i, f"https://mega.com/p{i}") for i in range(2000)]
     rows += [(10_000 + i, f"https://small{i % 50}.org/x") for i in range(100)]
     docs = spark.createDataFrame(rows, "doc_id long, url string")
-    base = _rows(urls.domain_cap(docs, max_docs=3))
+    base = _rows(urls.domain_cap(docs, max_docs=3, prefilter=False))
     two_phase = urls.domain_cap(docs, max_docs=3, prefilter=True, n_salts=8)
     assert _rows(two_phase) == base
     plan = _plan(two_phase)
