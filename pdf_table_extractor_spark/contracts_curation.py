@@ -2701,6 +2701,54 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @contract(
+    "q_shards_bpe",
+    _bpe_sql(
+        _BPE_K,
+        f"""
+    , vocab AS MATERIALIZED (
+      SELECT w, len(string_split(sym, ' ')) AS n_sub FROM w{_BPE_K}
+    ),
+    sub AS (
+      SELECT t.doc_id, SUM(v.n_sub) AS n
+      FROM (SELECT doc_id, unnest(string_split({SQ}, ' ')) AS w
+            FROM documents) t
+      JOIN vocab v ON t.w = v.w
+      WHERE t.w <> ''
+      GROUP BY t.doc_id
+    ),
+    cnts AS (
+      SELECT d.doc_id, CAST(COALESCE(s.n, 0) AS BIGINT) AS n
+      FROM documents d LEFT JOIN sub s USING (doc_id)
+    ),
+    c AS (
+      SELECT doc_id, n,
+             SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      FROM cnts
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_bpe_tokens,
+           CAST(cum - n AS BIGINT) AS token_offset,
+           CAST((cum - n) // 512 AS BIGINT) AS shard
+    FROM c
+    """,
+    ),
+)
+def q_shards_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-token-denominated sharding (plans.curation.shard_by_bpe_tokens):
+    the full composition — train the merges in-corpus, encode per-doc
+    subword counts through one broadcast vocabulary join (docs whose
+    tokenization is empty kept at 0), then assign_shards' two-level
+    prefix sum with budgets stated in TOKENIZER tokens, not whitespace
+    words. The oracle replays the whole trajectory: merge training,
+    vocabulary encode, left-join-back, global cumsum, offset // budget."""
+    from pdf_table_extractor_spark.plans import curation
+
+    docs = load(spark, sf_dir, "documents")
+    return curation.shard_by_bpe_tokens(
+        docs, tokens_per_shard=512, bpe_k=_BPE_K, group_size=64
+    ).select("doc_id", "n_bpe_tokens", "token_offset", "shard")
+
+
+@contract(
     "q_jsonl_roundtrip",
     """
     SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from pdf_table_extractor_spark.operators import dedup, textquality
+from pdf_table_extractor_spark.operators import dedup, sampling, textquality, training
 
 
 def curate_docs(
@@ -92,4 +92,116 @@ def curate_docs(
         "passes_gopher",
         "n_pii",
         "keep",
+    )
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    merges: list[dict],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    count_col: str = "n_bpe_tokens",
+) -> DataFrame:
+    """docs + ``count_col``: per-document token count at trained-BPE
+    granularity — the tokenizer-true denomination for every downstream
+    token budget (sharding, packing, mixing). Whitespace word counts
+    over- or under-state a document's training cost by whatever the
+    tokenizer's fertility is; budgets denominated here match what the
+    training loader will actually consume.
+
+    ``training.bpe_encode_counts`` drops documents whose tokenization is
+    empty (its vocabulary join is inner); this wrapper left-joins the
+    counts back so EVERY input row survives with an explicit 0 — a
+    sharding prefix-sum must see all docs or downstream offsets shift.
+
+    Scale: the merge chain runs over the VOCABULARY once; the corpus
+    pays one tokenize + one broadcast join + one per-doc aggregate.
+    """
+    counts = training.bpe_encode_counts(
+        docs, merges, id_col=id_col, text_col=text_col
+    ).select(F.col(id_col), F.col("n_subwords"))
+    return (
+        docs.join(counts, id_col, "left")
+        .withColumn(count_col, F.coalesce("n_subwords", F.lit(0)).cast("long"))
+        .drop("n_subwords")
+    )
+
+
+def shard_by_bpe_tokens(
+    docs: DataFrame,
+    *,
+    tokens_per_shard: int,
+    merges: list[dict] | None = None,
+    bpe_k: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_size: int = 1 << 20,
+) -> DataFrame:
+    """Token-budgeted contiguous sharding denominated in trained-BPE
+    tokens (the default token source for a training-data export): train
+    the merges in-corpus when not supplied, count per-doc subwords via
+    one broadcast vocabulary join, then run ``sampling.assign_shards``'s
+    two-level prefix sum on those counts. Output: docs columns +
+    ``n_bpe_tokens`` + ``token_offset`` + ``shard``."""
+    if merges is None:
+        merges = training.bpe_merges(docs, bpe_k, text_col=text_col)
+    with_n = bpe_token_counts(docs, merges, id_col=id_col, text_col=text_col)
+    return sampling.assign_shards(
+        with_n,
+        tokens_per_shard=tokens_per_shard,
+        n_tokens=F.col("n_bpe_tokens"),
+        order_col=id_col,
+        group_size=group_size,
+    )
+
+
+def pack_by_bpe_tokens(
+    docs: DataFrame,
+    *,
+    seq_len: int,
+    merges: list[dict] | None = None,
+    bpe_k: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_size: int = 1 << 20,
+) -> DataFrame:
+    """``sampling.pack_sequences`` with segment lengths denominated in
+    trained-BPE tokens — the packing manifest counts what the training
+    loader will actually emit per document, not whitespace words."""
+    if merges is None:
+        merges = training.bpe_merges(docs, bpe_k, text_col=text_col)
+    with_n = bpe_token_counts(docs, merges, id_col=id_col, text_col=text_col)
+    return sampling.pack_sequences(
+        with_n,
+        seq_len=seq_len,
+        n_tokens=F.col("n_bpe_tokens"),
+        order_col=id_col,
+        group_size=group_size,
+    )
+
+
+def mix_plan_bpe(
+    docs: DataFrame,
+    *,
+    target_tokens: int,
+    weights: dict[str, float],
+    merges: list[dict] | None = None,
+    bpe_k: int = 6,
+    slice_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``sampling.mix_plan`` whose per-slice stats are summed trained-BPE
+    token counts: the mixture targets and repeat factors are stated in
+    the same unit the training run consumes. One corpus tokenize + one
+    broadcast vocab join + one per-slice aggregate (tiny stats table)."""
+    if merges is None:
+        merges = training.bpe_merges(docs, bpe_k, text_col=text_col)
+    with_n = bpe_token_counts(docs, merges, id_col=id_col, text_col=text_col)
+    stats = with_n.groupBy(F.col(slice_col).alias("slice")).agg(
+        F.sum("n_bpe_tokens").alias("n_tokens")
+    )
+    return sampling.mix_plan(
+        stats, target_tokens=target_tokens, weights=weights
     )

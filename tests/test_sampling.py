@@ -346,3 +346,55 @@ def test_leakage_safe_split_no_pair_straddles_at_sf(spark, sf_dir="/root/testdat
         .count()
     )
     assert straddle == 0
+
+
+def test_bpe_denominated_shard_pack_mix(spark):
+    """plans.curation wires bpe_encode_counts in as the token source:
+    zero-token docs keep a row (offset-neutral), offsets are cumulative
+    BPE counts, and pack/mix consume the same denomination."""
+    from pdf_table_extractor_spark.operators import training
+    from pdf_table_extractor_spark.plans import curation
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa", "src0"), (2, "", "src0"), (3, "aa cc", "src1")],
+        "doc_id long, text string, source string",
+    )
+    merges = training.bpe_merges(docs, 2)
+    counts = {
+        r["doc_id"]: r["n_subwords"]
+        for r in training.bpe_encode_counts(docs, merges).collect()
+    }
+    assert 2 not in counts  # encode drops empty docs (inner vocab join)
+
+    sharded = {
+        r["doc_id"]: r
+        for r in curation.shard_by_bpe_tokens(
+            docs, tokens_per_shard=4, merges=merges, group_size=2
+        ).collect()
+    }
+    assert set(sharded) == {1, 2, 3}  # ...but the plan keeps every row
+    assert sharded[2]["n_bpe_tokens"] == 0
+    assert sharded[1]["n_bpe_tokens"] == counts[1]
+    assert sharded[1]["token_offset"] == 0
+    assert sharded[2]["token_offset"] == counts[1]  # zero doc is neutral
+    assert sharded[3]["token_offset"] == counts[1]
+    assert sharded[3]["shard"] == counts[1] // 4
+
+    segs = curation.pack_by_bpe_tokens(
+        docs, seq_len=3, merges=merges, group_size=2
+    ).collect()
+    per_doc = {}
+    for s in segs:
+        per_doc[s["doc_id"]] = per_doc.get(s["doc_id"], 0) + s["seg_len"]
+    assert per_doc == {d: n for d, n in counts.items() if n > 0}
+
+    mix = {
+        r["slice"]: r["n_tokens"]
+        for r in curation.mix_plan_bpe(
+            docs,
+            target_tokens=100,
+            weights={"src0": 0.5, "src1": 0.5},
+            merges=merges,
+        ).collect()
+    }
+    assert mix == {"src0": counts[1], "src1": counts[3]}
