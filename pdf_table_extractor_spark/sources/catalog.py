@@ -136,6 +136,91 @@ class LocalCatalog:
         return rows
 
 
+# Canonical lineage row (job.run_job's counter dict). V2 `append()`
+# resolves by name and rejects missing columns, so commit_bucket writes
+# lineage against THIS schema — absent counters (n_spans when no spans_df)
+# land as NULL instead of producing a narrower, unappendable frame.
+LINEAGE_SCHEMA = (
+    "bucket int, attempt int, n_pages bigint, n_ok bigint, "
+    "n_empty bigint, n_quarantined bigint, n_parse_failed bigint, "
+    "n_spans bigint, n_rows_total bigint, bytes_out bigint, wall_ms bigint"
+)
+_LINEAGE_COLS = [c.split(" ")[0] for c in LINEAGE_SCHEMA.split(", ")]
+
+
+class TableDDL:
+    """One table's pinned deployment DDL (round-3 verdict ask #6): the
+    column list is generated FROM the engine's own schema constants, so a
+    drift between what `commit_bucket` writes and what the deployment DDL
+    creates fails the dry-run test instead of the first production run.
+
+    ``sql()`` renders the production Iceberg statement (hidden/identity
+    partitioning + table properties); ``dry_sql()`` renders the same
+    columns for a jar-less V2 catalog (JDBC dry-run: no USING / PARTITIONED
+    BY / TBLPROPERTIES — those clauses are Iceberg-side metadata, the
+    column contract is what the writer can break)."""
+
+    def __init__(self, name: str, columns: str, partitioned_by: str | None,
+                 properties: dict[str, str]):
+        self.name = name
+        self.columns = columns  # "col type, ..." — engine schema constants
+        self.partitioned_by = partitioned_by
+        self.properties = properties
+
+    def sql(self, catalog: str = "ice") -> str:
+        parts = [f"CREATE TABLE IF NOT EXISTS {catalog}.{self.name} "
+                 f"({self.columns}) USING iceberg"]
+        if self.partitioned_by:
+            parts.append(f"PARTITIONED BY ({self.partitioned_by})")
+        if self.properties:
+            props = ", ".join(
+                f"'{k}'='{v}'" for k, v in sorted(self.properties.items())
+            )
+            parts.append(f"TBLPROPERTIES ({props})")
+        return " ".join(parts)
+
+    def dry_sql(self, catalog: str) -> str:
+        return f"CREATE TABLE {catalog}.{self.name} ({self.columns})"
+
+
+def iceberg_ddl(n_url_buckets: int = 1024) -> dict[str, TableDDL]:
+    """Deployment DDL for the full catalog layout, generated from the
+    engine's schema constants (serialize.OUT_SCHEMA, tables.
+    TABLE_SPANS_SCHEMA, quarantine.validate_pages, job.run_job's lineage
+    dict) plus the Common-Crawl-style input table from the north rule.
+
+    Partitioning: every output table identity-partitions on the commit
+    ``bucket`` (overwritePartitions retry = replace one partition); the
+    input table hidden-partitions on ``bucket(url)`` so the job's
+    per-bucket reads prune at the manifest level. write.distribution-mode
+    'none' on outputs — rows arrive already grouped by the job's salt
+    repartition, a hash redistribution would re-shuffle every payload
+    byte."""
+    from pdf_table_extractor_spark.operators.serialize import OUT_SCHEMA
+    from pdf_table_extractor_spark.operators.tables import TABLE_SPANS_SCHEMA
+
+    out_props = {"write.distribution-mode": "none", "format-version": "2"}
+    return {
+        "pages": TableDDL(
+            "pages",
+            "url string, warc_ts timestamp, html binary, text string, "
+            "lang string",
+            f"bucket({n_url_buckets}, url)",
+            {"format-version": "2"},
+        ),
+        "data": TableDDL("data", f"{OUT_SCHEMA}, bucket int", "bucket", out_props),
+        "spans": TableDDL(
+            "spans", f"{TABLE_SPANS_SCHEMA}, bucket int", "bucket", out_props
+        ),
+        "quarantine": TableDDL(
+            "quarantine",
+            "url string, warc_ts timestamp, reason string, bucket int",
+            "bucket", out_props,
+        ),
+        "lineage": TableDDL("lineage", LINEAGE_SCHEMA, None, out_props),
+    }
+
+
 def iceberg_available(spark: SparkSession, catalog_name: str = "ice") -> bool:
     """True when an Iceberg catalog is configured on this session (jars +
     spark.sql.catalog.<name> settings). The sandbox ships no Iceberg jars
@@ -190,10 +275,17 @@ class IcebergCatalog:
         self.quarantine_table = quarantine_table
         self.overwrite_bucket = overwrite_bucket
 
-    def committed_buckets(self) -> list[int]:
-        rows = self.spark.sql(
+    def _committed_buckets_df(self) -> DataFrame:
+        """The resume read as a DataFrame (collected by committed_buckets;
+        exposed so the dry-run test can pin its plan shape: a DISTINCT
+        aggregate over a single-column V2 scan of the lineage table — the
+        scan must prune to `bucket` only, never drag counter columns)."""
+        return self.spark.sql(
             f"SELECT DISTINCT bucket FROM {self.lineage_table}"
-        ).collect()
+        )
+
+    def committed_buckets(self) -> list[int]:
+        rows = self._committed_buckets_df().collect()
         return sorted(r.bucket for r in rows)
 
     def _write(self, df: DataFrame, table: str) -> None:
@@ -233,7 +325,13 @@ class IcebergCatalog:
                 self.quarantine_table,
             )
         lineage = dict(lineage, bucket=bucket, attempt=attempt)
-        self.spark.createDataFrame([lineage]).writeTo(self.lineage_table).append()
+        unknown = set(lineage) - set(_LINEAGE_COLS)
+        if unknown:
+            raise ValueError(f"lineage counters not in LINEAGE_SCHEMA: {unknown}")
+        row = tuple(lineage.get(c) for c in _LINEAGE_COLS)
+        self.spark.createDataFrame([row], LINEAGE_SCHEMA).writeTo(
+            self.lineage_table
+        ).append()
 
     def read_data(self, spark: SparkSession):
         return spark.read.table(self.table)

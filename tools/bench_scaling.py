@@ -30,6 +30,7 @@ import subprocess
 import sys
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
 
 RUN_SNIPPET = """
 import sys, time, json
@@ -75,11 +76,31 @@ def run_level(cores: int, corpus: str) -> dict:
     # so the pinned run is the faithful two-cluster-size analogue.
     if os.environ.get("SPARK_GRAFT_TASKSET") == "1":
         cmd = ["taskset", "-c", f"0-{cores - 1}" if cores > 1 else "0"] + cmd
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
-    for line in out.stdout.splitlines():
+    sampler = None
+    if os.environ.get("SPARK_GRAFT_SIDECAR") == "1":
+        # per-actual-core accounting (tools/sidecar_cpu.py): sample the
+        # whole process tree's CPU so the result records how many cores
+        # the leg REALLY consumed (unpinned legs over-consume; pinned legs
+        # document their confinement), independent of host contention.
+        from sidecar_cpu import TreeCpuSampler
+
+        proc = subprocess.Popen(
+            cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True
+        )
+        sampler = TreeCpuSampler(proc.pid).start()
+        stdout, stderr = proc.communicate(timeout=3600)
+        acct = sampler.stop()
+        out_stdout = stdout
+    else:
+        out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+        out_stdout, stderr, acct = out.stdout, out.stderr, None
+    for line in out_stdout.splitlines():
         if line.startswith("BENCH_JSON "):
-            return json.loads(line[len("BENCH_JSON "):])
-    raise RuntimeError(f"no result from local[{cores}]:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+            r = json.loads(line[len("BENCH_JSON "):])
+            if acct is not None:
+                r["sidecar"] = acct
+            return r
+    raise RuntimeError(f"no result from local[{cores}]:\n{out_stdout[-2000:]}\n{stderr[-2000:]}")
 
 
 def main() -> None:
@@ -100,11 +121,14 @@ def main() -> None:
         for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "2,8,32").split(",")
     )
     wall: dict[int, dict[int, float]] = {}
+    sidecars: dict[str, dict] = {}
     for cores in levels:
         wall[cores] = {}
         for n, corpus in ((n_small, small), (n_big, big)):
             r = run_level(cores, corpus)
             wall[cores][n] = r["sec"]
+            if "sidecar" in r:
+                sidecars[f"local{cores}_n{n}"] = r["sidecar"]
             print(f"local[{cores}] @ {n}: {r['sec']:.1f}s", flush=True)
 
     def marginal(c: int) -> float:
@@ -127,6 +151,21 @@ def main() -> None:
         result[f"marginal_scaling_efficiency_{lo}_to_{hi}"] = round(
             (marginal(lo) / marginal(hi)) / ratio, 3
         )
+    if sidecars:
+        result["sidecar_cpu"] = sidecars
+        # per-ACTUAL-core efficiency between adjacent levels at the big
+        # corpus: throughput ratio divided by the ratio of cores the trees
+        # really consumed — the contention-robust reading (a pinned leg's
+        # steady_state_cores ≈ its pin width; an unpinned leg's is higher).
+        for lo, hi in zip(levels, levels[1:]):
+            a = sidecars.get(f"local{lo}_n{n_big}", {})
+            b = sidecars.get(f"local{hi}_n{n_big}", {})
+            if "steady_state_cores" in a and "steady_state_cores" in b:
+                core_ratio = b["steady_state_cores"] / a["steady_state_cores"]
+                speedup = wall[lo][n_big] / wall[hi][n_big]
+                result[f"per_actual_core_efficiency_{lo}_to_{hi}"] = round(
+                    speedup / core_ratio, 3
+                )
     print(json.dumps(result))
     os.makedirs("/root/repo/BENCH", exist_ok=True)
     out_name = os.environ.get("SPARK_GRAFT_SCALING_OUT", "scaling_result.json")
