@@ -103,6 +103,26 @@ def main() -> None:
         out[f"marginal_scaling_efficiency_{lo}_to_{hi}"] = round(
             statistics.median(marg), 3
         )
+        # per-actual-core efficiency (round-4: sidecar /proc accounting per
+        # leg) — the contention-robust reading; present when the campaign
+        # ran with SPARK_GRAFT_SIDECAR=1.
+        pac = [
+            r[f"per_actual_core_efficiency_{lo}_to_{hi}"]
+            for r in reps
+            if f"per_actual_core_efficiency_{lo}_to_{hi}" in r
+        ]
+        if pac:
+            out[f"median_per_actual_core_efficiency_{lo}_to_{hi}"] = round(
+                statistics.median(pac), 3
+            )
+    cores = [
+        r["sidecar_cpu"][k]["steady_state_cores"]
+        for r in reps
+        for k in r.get("sidecar_cpu", {})
+        if str(r["n_docs"]) in k and "steady_state_cores" in r["sidecar_cpu"][k]
+    ]
+    if cores:
+        out["sidecar_steady_state_cores_big_runs"] = cores
     out["hardware_controls"] = (
         {"this_session": controls, "round2_session": ROUND2_SESSION_CONTROLS}
         if controls

@@ -9,14 +9,15 @@ set -u
 cd /root/repo
 mkdir -p BENCH/reps
 REPS="${1:-5}"
+PREFIX="${2:-r4}"
 for i in $(seq 1 "$REPS"); do
-  python tools/probe_host.py 4 > BENCH/reps/r4_probe_pre${i}.json 2>/dev/null
+  python tools/probe_host.py 4 > BENCH/reps/${PREFIX}_probe_pre${i}.json 2>/dev/null
   SPARK_GRAFT_TASKSET=1 SPARK_GRAFT_SIDECAR=1 \
-  SPARK_GRAFT_SCALING_LEVELS=1,4 SPARK_GRAFT_SCALING_OUT=tmp_r4.json \
+  SPARK_GRAFT_SCALING_LEVELS=1,4 SPARK_GRAFT_SCALING_OUT=tmp_${PREFIX}.json \
     python tools/bench_scaling.py 800000 100000 2>/dev/null | tail -5
-  cp BENCH/tmp_r4.json BENCH/reps/r4_14_rep${i}.json
+  cp BENCH/tmp_${PREFIX}.json BENCH/reps/${PREFIX}_14_rep${i}.json
   echo "=== rep ${i} done ==="
 done
-python tools/probe_host.py 4 > BENCH/reps/r4_probe_post.json 2>/dev/null
-rm -f BENCH/tmp_r4.json
+python tools/probe_host.py 4 > BENCH/reps/${PREFIX}_probe_post.json 2>/dev/null
+rm -f BENCH/tmp_${PREFIX}.json
 echo CAMPAIGN_DONE
