@@ -3285,18 +3285,20 @@ _HYPER_LEVEL = """
             ("1 hour", "'1 hour'"),
             ("6 hours", "'6 hours'"),
             ("1 day", "'1 day'"),
+            ("1 week", "'1 week'"),
         ]
     ),
 )
 def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-grain continuous aggregate (operators/hypertable.py): hour /
-    6-hour / day event rollups in ONE raw scan — each coarser grain
-    re-aggregates the finer aggregate, and exchange reuse makes the
+    6-hour / day / week event rollups in ONE raw scan — each coarser
+    grain re-aggregates the finer aggregate, and exchange reuse makes the
     union cost what the coarsest grain alone would (tests/test_plan.py
     asserts 1 scan + reused exchanges). The oracle computes every level
     independently from raw with DuckDB time_bucket — so it also proves
     the re-aggregation algebra (sum-of-counts, min-of-mins...) exact.
-    Grains chosen to be epoch-aligned in both engines (weeks are not)."""
+    The week level additionally proves the Monday phase shift (F.window
+    startTime = 946857600 % grain vs time_bucket's 2000-01-03 origin)."""
     from pdf_table_extractor_spark.operators import hypertable
 
     e = load(spark, sf_dir, "events").withColumn(
@@ -3305,7 +3307,7 @@ def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hypertable.hypertable_rollup(
         e,
         "ts",
-        ["1 hour", "6 hours", "1 day"],
+        ["1 hour", "6 hours", "1 day", "1 week"],
         ["event_type"],
         ["cents"],
     )

@@ -356,12 +356,16 @@ def weighted_topk_sample(
 
     Scale: a narrow priority projection + per-slice top-k window. With
     ``by=None`` the window is corpus-wide (one partition!), so a
-    priority prefilter runs first by default: an ``approx_percentile``
-    threshold targeting ~4k survivors (accuracy sized so its rank error
-    is <= k, guaranteeing the true top-k all survive) cuts the window's
-    input from n rows to O(k) — the exact top-k over survivors equals
-    the exact top-k over everything. Set ``prefilter=False`` to skip the
-    extra pass (and its one count+percentile action) on small inputs."""
+    priority prefilter runs first by default: ONE aggregate pass buckets
+    priorities by dyadic distance from 1 (bucket b = floor(-log2(1-pri)),
+    <= 65 model-sized rows back to the driver), and the tightest bucket
+    boundary whose cumulative-from-top count reaches ~4k becomes a
+    literal threshold filter. Because the boundary IS a priority value,
+    every survivor outranks every excluded row — the exact top-k over
+    survivors equals the exact top-k over everything, with no count()
+    scan and no percentile-accuracy/n coupling (the same pass works
+    unchanged at 10^12 rows). Set ``prefilter=False`` to skip the extra
+    pass on small inputs."""
     u = uniform_hash(F.col(key_col), salt)
     w = weight.cast("double")
     pri = F.pow(u, F.lit(1.0) / w)
@@ -369,20 +373,32 @@ def weighted_topk_sample(
     if prefilter is None:
         prefilter = by is None
     if prefilter:
-        n = cand.count()
         margin = 4 * k
-        if n > 2 * margin:
-            # rank error of percentile_approx is <= n/accuracy; size the
-            # accuracy so error <= k, then a threshold at rank ~4k from
-            # the top keeps every true top-k row (rank 3k..5k cut).
-            acc = max(10_000, -(-n // k))
-            p = 1.0 - margin / n
-            thr = cand.agg(
-                F.percentile_approx("__pri", F.lit(p), F.lit(acc)).alias("__thr")
-            )
-            cand = cand.crossJoin(F.broadcast(thr)).where(
-                F.col("__pri") >= F.col("__thr")
-            ).drop("__thr")
+        # pri in (0,1) always (u in (0,1), w > 0), so -log2(1-pri) > 0;
+        # the 2^-64 floor caps the bucket index for pri within 1e-19 of 1.
+        bucket = F.least(
+            F.lit(64),
+            F.floor(
+                -F.log2(F.greatest(F.lit(1.0) - F.col("__pri"), F.lit(2.0 ** -64)))
+            ),
+        ).cast("int")
+        hist = {
+            int(r["b"]): int(r["c"])
+            for r in cand.groupBy(bucket.alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        total = sum(hist.values())
+        if total > 2 * margin:
+            cum = 0
+            for b in sorted(hist, reverse=True):
+                cum += hist[b]
+                if cum >= margin:
+                    if cum < total:  # threshold actually cuts something
+                        cand = cand.where(
+                            F.col("__pri") >= F.lit(1.0 - 2.0 ** -b)
+                        )
+                    break
     sl = F.col(by) if by else F.lit("all")
     win = Window.partitionBy(sl).orderBy(F.desc("__pri"), F.col(key_col))
     return (

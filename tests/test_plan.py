@@ -540,6 +540,51 @@ def test_hypertable_rejects_nondivisible_grains(spark):
         hypertable.hypertable_rollup(df, "ts", ["1 hour", "90 minutes"], ["typ"], ["v"])
 
 
+def test_hypertable_week_grain_is_monday_aligned(spark):
+    """'1 week' buckets start Monday (time_bucket's 2000-01-03 origin),
+    not the Thursday phase an unshifted epoch tumble would give."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from pdf_table_extractor_spark.operators import hypertable
+
+    # 2024-01-03 is a Wednesday; its week bucket is Mon 2024-01-01.
+    # An unshifted 7-day epoch tumble would put it in a bucket starting
+    # Thu 2023-12-28.
+    df = spark.createDataFrame(
+        [(1, "t", dt.datetime(2024, 1, 3, 15, 30), 5),
+         (2, "t", dt.datetime(2024, 1, 7, 23, 59), 7),   # Sun, same week
+         (3, "t", dt.datetime(2024, 1, 8, 0, 0), 9)],    # Mon, next week
+        "id long, typ string, ts timestamp, v long",
+    )
+    roll = hypertable.hypertable_rollup(
+        df, "ts", ["1 day", "1 week"], ["typ"], ["v"]
+    )
+    weeks = {
+        r["bucket_start"]: r["sum_v"]
+        for r in roll.filter(F.col("grain") == "1 week").collect()
+    }
+    assert weeks == {"2024-01-01 00:00:00": 12, "2024-01-08 00:00:00": 9}
+
+
+def test_hypertable_rejects_phase_misaligned_grains(spark):
+    """7 hours divides a week's SECONDS but not its Monday phase shift
+    (4 days = 345600 s is not a multiple of 25200 s) — divisibility alone
+    would pass and finer buckets would straddle week boundaries."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from pdf_table_extractor_spark.operators import hypertable
+
+    df = spark.createDataFrame(
+        [(1, "t", dt.datetime(2024, 1, 1), 5)], "id long, typ string, ts timestamp, v long"
+    )
+    with _pytest.raises(ValueError, match="phase"):
+        hypertable.hypertable_rollup(df, "ts", ["7 hours", "1 week"], ["typ"], ["v"])
+
+
 def test_merge_upsert_on_bucketed_snapshot_shuffles_only_the_batch(spark, tmp_path):
     """The incremental-maintenance loop: snapshot bucketed on the key +
     batch_partitions = bucket count => the whole MERGE plan has exactly

@@ -54,8 +54,9 @@ def test_ppl_buckets_approx_bucket_range(spark):
 
 
 # ---------------------------------------------------------------------------
-# weighted_topk_sample prefilter: approx priority threshold cuts the
-# corpus-wide window's input; exact top-k is preserved.
+# weighted_topk_sample prefilter: a single-pass dyadic priority histogram
+# picks a literal threshold that cuts the corpus-wide window's input;
+# exact top-k is preserved (every survivor outranks every excluded row).
 # ---------------------------------------------------------------------------
 
 
@@ -74,9 +75,11 @@ def test_weighted_topk_prefilter_exact_and_plan(spark):
     )
     assert _rows(pre_df) == base
     plan = _plan(pre_df)
-    # the prefilter's threshold comparison sits below the window
-    assert "__thr" in plan or "__pri" in plan
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the prefilter's threshold is a LITERAL comparison below the window
+    # (one histogram aggregate sized it) — no count() scan and no
+    # broadcast/cross join left in the plan
+    assert "__pri" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_weighted_topk_prefilter_auto_on_corpus_wide(spark):
