@@ -4,12 +4,16 @@
 # The sandbox host's memory bus drifts between contended (copy probe
 # 1.4-1.9x at 4-active) and clean (1.00x) within a session — campaign A's
 # two clean-probe reps read 0.836/0.967 whole efficiency while its three
-# contended reps read 0.58-0.74 on identical code+corpus. Per the protocol
-# in CLAUDE.md / BENCH/BASELINE.md, a rep is only hardware-interpretable
-# when the bracketing probe is ~1.05 or below, so this loop probes every
-# cycle and fires a taskset-pinned sidecar-accounted rep ONLY on a clean
-# read, sleeping otherwise. Every probe (clean or not) is appended to the
-# log; fired reps get pre+post probe brackets like campaign A.
+# contended reps read 0.58-0.74 on identical code+corpus. This loop
+# probes every cycle and fires a taskset-pinned sidecar-accounted rep
+# ONLY when the instantaneous 4-active copy probe is at/below the gate,
+# sleeping otherwise. The probe is a ~15 s snapshot while a rep spans
+# ~11 min, so the gate screens out the WORST windows rather than
+# guaranteeing a clean rep (campaign A's two cleanest-outcome reps fired
+# at probes 1.25/1.28 and its post-probe read 1.00 — the bus drifts
+# minute-to-minute); pre+post brackets and the sidecar accounting make
+# each rep interpretable after the fact. Every probe (fired or not) is
+# appended to the gate log.
 #
 # Usage: tools/run_campaign_r4b.sh [max_reps] [gate] [prefix]
 set -u
@@ -23,6 +27,14 @@ n=0
 cycle=0
 while [ "$n" -lt "$MAX" ]; do
   cycle=$((cycle + 1))
+  # session coordination: the builder touches this file before running
+  # its own Spark jobs (tests/bench) so a rep never fires into
+  # self-inflicted contention
+  if [ -e /tmp/engine_busy ]; then
+    echo "cycle ${cycle}: engine_busy lock present, sleeping 60s"
+    sleep 60
+    continue
+  fi
   probe=$(python tools/probe_host.py 4 2>/dev/null)
   echo "{\"cycle\": ${cycle}, \"probe\": ${probe}}" >> "$LOG"
   copy=$(echo "$probe" | python -c "import json,sys; print(json.load(sys.stdin)['copy_slowdown_4_active_vs_1'])")
