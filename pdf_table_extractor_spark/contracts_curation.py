@@ -3741,3 +3741,74 @@ def q_validate_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "url", "reason")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (operators/graph.py triangle_count). The engine runs
+# the degree-ordered-orientation plan (wedges generated at the lowest-
+# degree corner, closed by one equi-join); the oracle counts the same
+# triangle set directly off the canonical undirected edge table — the
+# triangle SET is orientation-invariant, so the two agree exactly.
+# ---------------------------------------------------------------------------
+
+
+def _tri_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 29-host circulant-ish graph off doc_id: three edge
+    generators give a non-uniform triangle distribution (the *2 generator
+    folds differently across residues) plus self-loops and duplicate /
+    reversed edges for the operator to ignore."""
+    d = load(spark, sf_dir, "documents")
+    h = lambda e: F.concat(F.lit("h"), e.cast("string"))  # noqa: E731
+    i = F.col("doc_id")
+    return (
+        d.select(h(i % 29).alias("src_host"), h((i + 1) % 29).alias("dst_host"))
+        .union(d.select(h(i % 29).alias("s"), h((i + 2) % 29).alias("t")))
+        .union(d.select(h(i % 29).alias("s"), h((i * 2) % 29).alias("t")))
+    )
+
+
+@contract(
+    "q_triangle_count",
+    """
+    WITH e0 AS (
+      SELECT 'h' || CAST(doc_id % 29 AS VARCHAR) AS src,
+             'h' || CAST((doc_id + 1) % 29 AS VARCHAR) AS dst
+      FROM documents
+      UNION ALL
+      SELECT 'h' || CAST(doc_id % 29 AS VARCHAR),
+             'h' || CAST((doc_id + 2) % 29 AS VARCHAR)
+      FROM documents
+      UNION ALL
+      SELECT 'h' || CAST(doc_id % 29 AS VARCHAR),
+             'h' || CAST((doc_id * 2) % 29 AS VARCHAR)
+      FROM documents
+    ),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM e0 WHERE src <> dst
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    corners AS (
+      SELECT x AS host FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    ),
+    nodes AS (SELECT a AS host FROM und UNION SELECT b AS host FROM und)
+    SELECT n.host AS host, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_triangles
+    FROM nodes n
+    LEFT JOIN (SELECT host, COUNT(*) AS n FROM corners GROUP BY host) c
+      USING (host)
+    ORDER BY host
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host triangle counts over the deterministic 29-host graph
+    (graph.triangle_count): the webgraph link-farm density signal,
+    computed with the degree-ordered orientation so wedge fan-out stays
+    O(sqrt(m)) on power-law graphs."""
+    return _graph.triangle_count(_tri_edges(spark, sf_dir)).orderBy("host")

@@ -115,3 +115,72 @@ def pagerank(
     finally:
         spark.conf.set(sp_key, old_sp)
     return pr.select("host", F.round("pr", round_to).alias("pr"))
+
+
+def triangle_count(
+    edges: DataFrame,
+    *,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """(host, n_triangles): per-node triangle counts over the UNDIRECTED
+    simple graph induced by the edge list (direction, weights, self-loops
+    and duplicate edges ignored). The classic webgraph density signal:
+    link farms and spam clusters are triangle-dense, organic link
+    neighborhoods are sparse.
+
+    Scale shape (Suri & Vassilvitskii's degree-ordered orientation): each
+    undirected edge is oriented from its lower-(degree, id) endpoint to
+    the higher one, so every wedge is generated at its LOWEST-degree
+    corner — the self-join fan-out per node is bounded by O(sqrt(m))
+    even on power-law webgraphs where a naive neighbor self-join on a
+    celebrity host explodes quadratically. Each triangle is then closed
+    exactly once by an equi-join of the wedge's far pair against the
+    canonical edge set — all joins are equi-joins (no cartesian), all
+    aggregates map-side combinable, nothing collected to the driver.
+
+    Nodes that touch an edge but close no triangle are kept with count 0
+    (left join back to the node set), so the output is a total function
+    over the graph's vertices."""
+    a, b = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.where(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .union(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    ranked = (
+        und.join(deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    )
+    # wedges at the low corner; far pair re-canonicalized for the closing
+    # equi-join (the closing edge's own orientation is irrelevant)
+    e1 = oriented.select(F.col("lo"), F.col("hi").alias("h1"))
+    e2 = oriented.select(F.col("lo"), F.col("hi").alias("h2"))
+    wedges = e1.join(e2, "lo").where(F.col("h1") < F.col("h2"))
+    tri = wedges.join(
+        und.select(F.col("a").alias("h1"), F.col("b").alias("h2")), ["h1", "h2"]
+    )
+    corners = (
+        tri.select(F.col("lo").alias("host"))
+        .union(tri.select(F.col("h1").alias("host")))
+        .union(tri.select(F.col("h2").alias("host")))
+        .groupBy("host")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    nodes = deg.select(F.col("v").alias("host"))
+    return nodes.join(corners, "host", "left").select(
+        "host", F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles")
+    )

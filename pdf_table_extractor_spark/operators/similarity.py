@@ -109,6 +109,75 @@ def bits_for(n_rows: int, target_bucket_rows: int = 10_000) -> int:
     return min(MAX_LSH_BITS, math.ceil(math.log2(n_rows / target_bucket_rows)))
 
 
+_PROBE_ROWS = 64  # bounded head sample for row-width measurement
+
+
+def _datum_bytes(v, dt) -> int:
+    """Approximate serialized byte width of one value under its Spark type.
+    Catalyst's own defaultSize cannot be used here: it charges an array as
+    ONE element (array<float> = 4 bytes), which under-weighs embedding rows
+    by ~dim× and would overshoot the derived LSH bits by ~log2(dim)."""
+    from pyspark.sql import types as T
+
+    if v is None:
+        return 1
+    if isinstance(dt, T.StructType):
+        return sum(_datum_bytes(v[f.name], f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return 4 + sum(_datum_bytes(x, dt.elementType) for x in v)
+    if isinstance(dt, T.MapType):
+        return 4 + sum(
+            _datum_bytes(k, dt.keyType) + _datum_bytes(x, dt.valueType)
+            for k, x in v.items()
+        )
+    if isinstance(dt, T.StringType):
+        return 4 + len(v.encode("utf-8", errors="replace"))
+    if isinstance(dt, T.BinaryType):
+        return 4 + len(v)
+    if isinstance(dt, (T.BooleanType, T.ByteType)):
+        return 1
+    if isinstance(dt, (T.ShortType,)):
+        return 2
+    if isinstance(dt, (T.IntegerType, T.FloatType, T.DateType)):
+        return 4
+    return 8  # long/double/timestamp/decimal-ish
+
+
+def estimate_rows(df: DataFrame) -> int:
+    """Row-count estimate WITHOUT a full scan, for log2-accuracy sizing
+    (LSH bucket bits, partition counts). Resolution order:
+
+    1. The optimizer's exact ``rowCount`` when the plan statistics carry
+       it (ANALYZEd tables) — zero actions.
+    2. A bounded ``limit(64)`` probe: if the table has fewer rows, that
+       IS the exact count; otherwise the probe's median measured row
+       width divides the plan's ``sizeInBytes``. The probe touches one
+       partition (CollectLimit stops early) — negligible vs a count()
+       full scan at 10^12 rows, and compression error is ≤ a bit or two
+       of log2, which the callers tolerate by design.
+    3. A ``count()`` action only when sizeInBytes is the unknown
+       sentinel (conf.defaultSizeInBytes = Long.MaxValue)."""
+    size = None
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            return max(1, int(str(rc.get())))
+        sz = int(str(stats.sizeInBytes()))
+        if 0 < sz < (1 << 62):
+            size = sz
+    except Exception:  # pragma: no cover - connect/Java API drift
+        pass
+    head = df.limit(_PROBE_ROWS).collect()
+    if len(head) < _PROBE_ROWS:
+        return max(1, len(head))
+    if size is None:
+        return df.count()
+    schema = df.schema
+    widths = sorted(max(1, _datum_bytes(r, schema)) for r in head)
+    return max(_PROBE_ROWS, size // widths[len(widths) // 2])
+
+
 def _flip_mask(dim_col: Column, bits: int) -> Column:
     """1 << d as a when-chain (shiftleft needs a literal shift amount)."""
     m = F.lit(0)
@@ -156,14 +225,15 @@ def lsh_nearest(
 
     ``bits=None`` derives the bucket count from the corpus size so bucket
     population stays bounded (`bits_for`): pass ``n_rows`` when the count
-    is already known upstream, else one count() pass sizes it (the same
-    scan-then-size pattern AQE uses). Recall lost to more buckets is bought
+    is already known upstream, else plan statistics size it without an
+    action (`estimate_rows` — a count() scan only as a last resort when
+    the plan carries no stats). Recall lost to more buckets is bought
     back with ``n_probe`` > 1: the probe side additionally searches the
     buckets reached by flipping its lowest-margin sign bits — candidates
     are a superset of the single-probe set, so recall is monotone in
     n_probe while cost stays ~n_probe × bucket size (never all-pairs)."""
     if bits is None:
-        n = n_rows if n_rows is not None else df.count()
+        n = n_rows if n_rows is not None else estimate_rows(df)
         bits = bits_for(n, target_bucket_rows)
     withb = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),

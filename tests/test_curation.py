@@ -87,6 +87,29 @@ def test_lsh_nearest_respects_buckets(vecs):
     assert out.get(0) == 30  # perturbed twin lands in the same sign bucket
 
 
+def test_estimate_rows_exact_below_probe(vecs):
+    # fewer rows than the probe bound → the limit() probe IS the count
+    assert similarity.estimate_rows(vecs) == 31
+
+
+def test_estimate_rows_parquet_within_log2(spark, tmp_path):
+    # parquet-backed: sizeInBytes / measured row width must land within
+    # the callers' log2 tolerance (bits_for moves ±1 per 2× error)
+    import math
+
+    n = 2000
+    df = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(16)), lambda d: F.rand(42) + d).alias(
+            "embedding"
+        ),
+    )
+    path = str(tmp_path / "est_rows")
+    df.write.parquet(path)
+    est = similarity.estimate_rows(spark.read.parquet(path))
+    assert abs(math.log2(est / n)) <= 2, est
+
+
 def test_bits_for_scales_with_corpus():
     # bucket population must stay bounded: bits grows log2 with rows
     assert similarity.bits_for(5_000, 10_000) == 1
