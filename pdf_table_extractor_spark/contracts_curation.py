@@ -3812,3 +3812,166 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed with the degree-ordered orientation so wedge fan-out stays
     O(sqrt(m)) on power-law graphs."""
     return _graph.triangle_count(_tri_edges(spark, sf_dir)).orderBy("host")
+
+
+# ---------------------------------------------------------------------------
+# Broadcast Bloom-filter prefilter (operators/bloom.py)
+# ---------------------------------------------------------------------------
+
+from pdf_table_extractor_spark.operators import bloom as _bloom  # noqa: E402
+
+_BLOOM_M = 2048  # deliberately tight at sf0.01 (~319 keys, k=2) so the
+_BLOOM_K = 2  # contract exercises REAL false positives, not a perfect set
+_BLOOM_CUT = 489000
+
+
+def _bloom_words_sql() -> str:
+    pos = ", ".join(_bloom.bloom_sql_positions("o_orderkey", _BLOOM_K, _BLOOM_M))
+    return f"""
+    WITH keys AS (
+      SELECT DISTINCT o_orderkey FROM orders WHERE o_totalprice > {_BLOOM_CUT}
+    ),
+    kpos AS (SELECT unnest([{pos}]) AS p FROM keys)
+    SELECT CAST(p // 32 AS INT) AS word_idx,
+           bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+    FROM kpos GROUP BY 1
+    """
+
+
+@contract("q_bloom_words", _bloom_words_sql())
+def q_bloom_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sparse Bloom words themselves: one hash aggregate over the key
+    set, at most m_bits/32 rows no matter how many keys — the model-sized
+    artifact the probe side broadcasts."""
+    keys = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > _BLOOM_CUT)
+    return _bloom.bloom_words(keys, key_col="o_orderkey", m_bits=_BLOOM_M, k=_BLOOM_K)
+
+
+def _bloom_prefilter_sql() -> str:
+    kpos = ", ".join(_bloom.bloom_sql_positions("o_orderkey", _BLOOM_K, _BLOOM_M))
+    cpos = ", ".join(_bloom.bloom_sql_positions("l_orderkey", _BLOOM_K, _BLOOM_M))
+    return f"""
+    WITH keys AS (
+      SELECT DISTINCT o_orderkey FROM orders WHERE o_totalprice > {_BLOOM_CUT}
+    ),
+    kpos AS (SELECT unnest([{kpos}]) AS p FROM keys),
+    words AS (
+      SELECT CAST(p // 32 AS INT) AS w,
+             bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+      FROM kpos GROUP BY 1
+    ),
+    cand AS (SELECT DISTINCT l_orderkey FROM lineitem),
+    cpos AS (SELECT l_orderkey, unnest([{cpos}]) AS p FROM cand),
+    hits AS (
+      SELECT c.l_orderkey
+      FROM cpos c
+      JOIN words w
+        ON CAST(c.p // 32 AS INT) = w.w
+       AND ((w.bits >> CAST(c.p % 32 AS INT)) & 1) = 1
+      GROUP BY c.l_orderkey
+      HAVING COUNT(*) = {_BLOOM_K}
+    )
+    SELECT h.l_orderkey,
+           (k.o_orderkey IS NOT NULL) AS is_true_member
+    FROM hits h LEFT JOIN keys k ON k.o_orderkey = h.l_orderkey
+    """
+
+
+@contract("q_bloom_prefilter", _bloom_prefilter_sql())
+def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefilter the lineitem keys against high-value orders: every
+    true member passes (no false negatives) plus the deterministic
+    false-positive set of the (m=2048, k=2) filter — the narrow
+    pre-shuffle guard a 10^12-row semi join would run first. The
+    is_true_member flag (broadcast join against the real key set) makes
+    the false positives visible to the oracle compare."""
+    keys = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > _BLOOM_CUT)
+        .select("o_orderkey")
+    )
+    cand = load(spark, sf_dir, "lineitem").select("l_orderkey").distinct()
+    passed = _bloom.bloom_prefilter(
+        cand, keys, key_col="l_orderkey", keys_col="o_orderkey",
+        m_bits=_BLOOM_M, k=_BLOOM_K,
+    )
+    return passed.join(
+        F.broadcast(keys.distinct()),
+        passed["l_orderkey"] == F.col("o_orderkey"),
+        "left",
+    ).select(
+        "l_orderkey", F.col("o_orderkey").isNotNull().alias("is_true_member")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (operators/dedup.cdc_chunks)
+# ---------------------------------------------------------------------------
+
+_CDC_SQL = f"""
+    WITH c AS (SELECT doc_id, {SQ} AS canon FROM documents),
+    e AS (
+      SELECT doc_id, canon, length(canon) AS n,
+             list_filter(
+               generate_series(8, length(canon)),
+               i -> ('0x' || substr(md5(substr(canon, i - 7, 8)), 1, 8))::UBIGINT
+                    % 32 = 0
+             ) AS ends0
+      FROM c
+    ),
+    e2 AS (
+      SELECT doc_id, canon,
+             CASE WHEN len(ends0) > 0 AND ends0[-1] = n
+                  THEN ends0 ELSE list_append(ends0, n) END AS ends
+      FROM e
+    ),
+    ch AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, len(ends)),
+               j -> {{'idx': j,
+                     'chunk': substr(canon,
+                       (CASE WHEN j = 1 THEN 0 ELSE ends[j - 1] END) + 1,
+                       ends[j] - (CASE WHEN j = 1 THEN 0 ELSE ends[j - 1] END))}}
+             )) AS u
+      FROM e2
+    )
+    SELECT doc_id,
+           CAST(u.idx - 1 AS INT) AS chunk_idx,
+           md5(u.chunk) AS chunk_md5,
+           CAST(length(u.chunk) AS BIGINT) AS chunk_len
+    FROM ch WHERE length(u.chunk) > 0
+"""
+
+
+@contract("q_cdc_chunks", _CDC_SQL)
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunks of every document (gear window 8, mean
+    chunk 32 chars): the storage-dedup key table — local edits reshape
+    only the chunks they touch."""
+    return dedup.cdc_chunks(load(spark, sf_dir, "documents"), window=8, mask_bits=5)
+
+
+@contract(
+    "q_cdc_dedup_ratio",
+    f"""
+    WITH ch AS ({_CDC_SQL})
+    SELECT COUNT(*) AS n_chunks,
+           COUNT(DISTINCT chunk_md5) AS n_unique,
+           ROUND(COUNT(DISTINCT chunk_md5) * 1.0 / COUNT(*), 6) AS unique_frac,
+           CAST(SUM(chunk_len) AS BIGINT) AS total_chars
+    FROM ch
+    """,
+)
+def q_cdc_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The storage-dedup payoff in one row: what fraction of chunk mass
+    is unique across the corpus (the archive-layer compression bound)."""
+    ch = dedup.cdc_chunks(load(spark, sf_dir, "documents"), window=8, mask_bits=5)
+    return ch.agg(
+        F.count("*").alias("n_chunks"),
+        F.countDistinct("chunk_md5").alias("n_unique"),
+        F.round(
+            F.countDistinct("chunk_md5") / F.count("*"), 6
+        ).alias("unique_frac"),
+        F.sum("chunk_len").alias("total_chars"),
+    )

@@ -791,3 +791,80 @@ def incremental_dedup(
         .otherwise(F.lit("kept"))
     )
     return out.select(F.col(id_col), status.alias("status"))
+
+
+def cdc_chunks(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    mask_bits: int = 5,
+) -> DataFrame:
+    """Content-defined chunking (FastCDC/rsync gear shape): split the
+    canonical text at positions where the hash of the trailing
+    ``window``-char gram has its low ``mask_bits`` bits zero — expected
+    chunk length 2^mask_bits chars. Emits (id, chunk_idx, chunk_md5,
+    chunk_len).
+
+    Because breakpoints depend only on LOCAL content, an insertion or
+    edit reshapes at most the chunks it touches, so chunk_md5 keys dedupe
+    storage across snapshots/near-copies where whole-doc hashing sees
+    100% churn. The chunk table is what a 100-TB archive layer joins on
+    (store each chunk once, docs become chunk-id lists).
+
+    Deployment note: production CDC adds min/max chunk bounds via a
+    stateful pass; this stateless gear is the cross-engine-replayable
+    core (the md5 cut rule is the sampling.uniform_hash dyadic trick).
+
+    Expression-only — no UDF, no shuffle (posexplode is narrow). Every
+    derived array is ``bind``-ed so nothing re-evaluates per element
+    (the HOF re-inlining gotcha).
+    """
+    mask = 1 << mask_bits
+
+    def chunks_of(c: Column) -> Column:
+        n = F.length(c)
+        cut = lambda i: (  # noqa: E731
+            F.conv(
+                F.substring(F.md5(F.substring(c, i - (window - 1), window)), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % mask
+            == 0
+        )
+        ends0 = F.when(
+            n >= window, F.filter(F.sequence(F.lit(window), n), cut)
+        ).otherwise(F.array().cast("array<int>"))
+
+        def with_ends0(e0: Column) -> Column:
+            ends = F.when(
+                F.coalesce(F.try_element_at(e0, F.lit(-1)), F.lit(-1)) == n, e0
+            ).otherwise(F.concat(e0, F.array(n)))
+
+            def emit(e: Column) -> Column:
+                def prev(j: Column) -> Column:
+                    return F.when(j == 1, F.lit(0)).otherwise(
+                        F.try_element_at(e, j - 1)
+                    )
+
+                return F.transform(
+                    F.sequence(F.lit(1), F.size(e)),
+                    lambda j: F.substring(
+                        c, prev(j) + 1, F.element_at(e, j) - prev(j)
+                    ),
+                )
+
+            return bind(ends, emit)
+
+        return bind(ends0, with_ends0)
+
+    ch = bind(squeeze_lower(F.col(text_col)), chunks_of)
+    ex = df.select(F.col(id_col), F.posexplode(ch).alias("chunk_idx", "__chunk"))
+    return ex.where(F.length("__chunk") > 0).select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        F.md5("__chunk").alias("chunk_md5"),
+        F.length("__chunk").cast("long").alias("chunk_len"),
+    )
