@@ -3908,8 +3908,9 @@ def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Content-defined chunking (operators/dedup.cdc_chunks)
 # ---------------------------------------------------------------------------
 
-_CDC_SQL = f"""
-    WITH c AS (SELECT doc_id, {SQ} AS canon FROM documents),
+def _cdc_sql(src: str = "documents") -> str:
+    return f"""
+    WITH c AS (SELECT doc_id, {SQ} AS canon FROM {src}),
     e AS (
       SELECT doc_id, canon, length(canon) AS n,
              list_filter(
@@ -3944,6 +3945,9 @@ _CDC_SQL = f"""
 """
 
 
+_CDC_SQL = _cdc_sql()
+
+
 @contract("q_cdc_chunks", _CDC_SQL)
 def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunks of every document (gear window 8, mean
@@ -3974,4 +3978,191 @@ def q_cdc_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("chunk_md5") / F.count("*"), 6
         ).alias("unique_frac"),
         F.sum("chunk_len").alias("total_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Margin-based bitext mining (operators/similarity.bitext_margin)
+# ---------------------------------------------------------------------------
+
+
+@contract(
+    "q_bitext_margin",
+    """
+    WITH s AS (SELECT vec_id AS sid, embedding AS sv FROM embeddings
+               WHERE vec_id % 2 = 0),
+    t AS (SELECT vec_id AS tid, embedding AS tv FROM embeddings
+          WHERE vec_id % 2 = 1),
+    p AS (SELECT sid, tid, list_cosine_similarity(sv, tv) AS cos FROM s, t),
+    ks AS (
+      SELECT sid, AVG(cos) AS knn_s
+      FROM (SELECT sid, cos,
+                   ROW_NUMBER() OVER (PARTITION BY sid ORDER BY cos DESC, tid) AS r
+            FROM p)
+      WHERE r <= 4 GROUP BY sid
+    ),
+    kt AS (
+      SELECT tid, AVG(cos) AS knn_t
+      FROM (SELECT tid, cos,
+                   ROW_NUMBER() OVER (PARTITION BY tid ORDER BY cos DESC, sid) AS r
+            FROM p)
+      WHERE r <= 4 GROUP BY tid
+    ),
+    m AS (
+      SELECT p.sid, p.tid, p.cos / ((ks.knn_s + kt.knn_t) / 2) AS margin
+      FROM p JOIN ks USING (sid) JOIN kt USING (tid)
+    ),
+    bs AS (
+      SELECT sid, tid FROM (
+        SELECT sid, tid,
+               ROW_NUMBER() OVER (PARTITION BY sid ORDER BY margin DESC, tid) AS r
+        FROM m) WHERE r = 1
+    ),
+    bt AS (
+      SELECT sid, tid FROM (
+        SELECT sid, tid,
+               ROW_NUMBER() OVER (PARTITION BY tid ORDER BY margin DESC, sid) AS r
+        FROM m) WHERE r = 1
+    )
+    SELECT bs.sid AS src_id, bs.tid AS tgt_id,
+           (bt.sid IS NOT NULL) AS mutual
+    FROM bs LEFT JOIN bt ON bt.sid = bs.sid AND bt.tid = bs.tid
+    """,
+)
+def q_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-scored best target per source over the parity-split
+    embedding corpus (Artetxe & Schwenk ratio margin, k=4), with the
+    mutual-best mining flag."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.bitext_margin(
+        emb.where(F.col("vec_id") % 2 == 0),
+        emb.where(F.col("vec_id") % 2 == 1),
+        k=4,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (operators/terms.cms_sketch / cms_heavy_hitters)
+# ---------------------------------------------------------------------------
+
+_CMS_D, _CMS_W, _CMS_MIN = 3, 64, 100
+
+
+def _cms_pos_sql(key_expr: str) -> str:
+    ps = ", ".join(
+        f"CAST({p} AS BIGINT)"
+        for p in _bloom.bloom_sql_positions(key_expr, _CMS_D, _CMS_W)
+    )
+    rs = ", ".join(str(i) for i in range(_CMS_D))
+    return f"unnest([{ps}]) AS p, unnest([{rs}]) AS r"
+
+
+@contract(
+    "q_cms_sketch",
+    f"""
+    WITH pos AS (SELECT {_cms_pos_sql('user_id')} FROM events)
+    SELECT CAST(r AS INT) AS sketch_row, p AS bucket,
+           COUNT(*) AS cell_count
+    FROM pos GROUP BY 1, 2
+    """,
+)
+def q_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable count-min artifact over event actors: ≤ depth·width
+    rows regardless of key cardinality — streaming/cross-shard frequency
+    state in kilobytes."""
+    return terms.cms_sketch(
+        load(spark, sf_dir, "events"), key_col="user_id", depth=_CMS_D, width=_CMS_W
+    )
+
+
+@contract(
+    "q_cms_heavy_hitters",
+    f"""
+    WITH pos AS (SELECT user_id, {_cms_pos_sql('user_id')} FROM events),
+    sketch AS (
+      SELECT r AS sketch_row, p AS bucket, COUNT(*) AS cell_count
+      FROM pos GROUP BY 1, 2
+    ),
+    truth AS (SELECT user_id, COUNT(*) AS true_count FROM events GROUP BY 1),
+    kpos AS (SELECT user_id, {_cms_pos_sql('user_id')} FROM truth),
+    est AS (
+      SELECT k.user_id, MIN(s.cell_count) AS est_count
+      FROM kpos k JOIN sketch s ON s.sketch_row = k.r AND s.bucket = k.p
+      GROUP BY k.user_id
+    )
+    SELECT t.user_id, e.est_count, t.true_count
+    FROM est e JOIN truth t USING (user_id)
+    WHERE e.est_count >= {_CMS_MIN}
+    """,
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy event actors by count-min estimate (depth 3 × width 64 —
+    deliberately tight so collision over-counts are REAL), with exact
+    counts alongside: CMS never under-counts, so this is a strict
+    superset of the true ≥100 set."""
+    return terms.cms_heavy_hitters(
+        load(spark, sf_dir, "events"),
+        key_col="user_id",
+        depth=_CMS_D,
+        width=_CMS_W,
+        min_count=_CMS_MIN,
+    )
+
+
+_CDC_V2_SRC = (
+    "(SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN 'rev2 ' || text ELSE text END"
+    " AS text FROM documents) v2src"
+)
+
+
+@contract(
+    "q_cdc_incremental",
+    f"""
+    WITH v1 AS ({_cdc_sql()}),
+    v2 AS ({_cdc_sql(_CDC_V2_SRC)}),
+    store AS (SELECT DISTINCT chunk_md5 FROM v1),
+    nw AS (
+      SELECT v2.chunk_md5, v2.chunk_len,
+             (store.chunk_md5 IS NULL) AS is_new
+      FROM v2 LEFT JOIN store USING (chunk_md5)
+    )
+    SELECT COUNT(*) AS n_chunks_v2,
+           COUNT(*) FILTER (is_new) AS n_new_chunks,
+           CAST(COALESCE(SUM(chunk_len) FILTER (is_new), 0) AS BIGINT)
+             AS new_chars,
+           ROUND(1.0 - COALESCE(SUM(chunk_len) FILTER (is_new), 0)
+                       * 1.0 / SUM(chunk_len), 6) AS reuse_frac
+    FROM nw
+    """,
+)
+def q_cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The archive-layer delta: chunk snapshot v2 (every 7th doc gets a
+    prefix edit) against v1's chunk store — only chunks the edits
+    actually touched are new bytes; reuse_frac is the storage saved vs
+    re-writing every edited document whole."""
+    docs = load(spark, sf_dir, "documents")
+    v2 = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.lit("rev2 "), F.col("text"))
+        ).otherwise(F.col("text")),
+    )
+    ch1 = dedup.cdc_chunks(docs, window=8, mask_bits=5)
+    ch2 = dedup.cdc_chunks(v2, window=8, mask_bits=5)
+    store = ch1.select("chunk_md5").distinct()
+    nw = ch2.join(
+        store.withColumn("__hit", F.lit(True)), "chunk_md5", "left"
+    ).withColumn("is_new", F.col("__hit").isNull())
+    return nw.agg(
+        F.count("*").alias("n_chunks_v2"),
+        F.count_if(F.col("is_new")).alias("n_new_chunks"),
+        F.coalesce(F.sum(F.when(F.col("is_new"), F.col("chunk_len"))), F.lit(0)).alias(
+            "new_chars"
+        ),
+        F.round(
+            1.0
+            - F.coalesce(F.sum(F.when(F.col("is_new"), F.col("chunk_len"))), F.lit(0))
+            / F.sum("chunk_len"),
+            6,
+        ).alias("reuse_frac"),
     )

@@ -39,9 +39,10 @@ from pyspark.sql import functions as F
 _WORD = 32  # bits per word; values stay < 2^32 so int64 never sign-wraps
 
 
-def _positions(key: Column, k: int, m_bits: int) -> list[Column]:
+def hash_positions(key: Column, k: int, m_bits: int) -> list[Column]:
     """k deterministic bit positions in [0, m_bits): the first 8 hex chars
-    of md5(i ':' key) as an integer, mod m_bits — the same dyadic-exact
+    of md5(i ':' key) as an integer, mod m_bits (shared with the CMS
+    sketch in terms.py) — the same dyadic-exact
     md5 trick as sampling.uniform_hash, replayable as
     ``('0x' || substr(md5(...), 1, 8))::UBIGINT % m`` in DuckDB."""
     return [
@@ -68,7 +69,7 @@ def bloom_words(
     if m_bits % _WORD:
         raise ValueError(f"m_bits must be a multiple of {_WORD}")
     pos = keys.select(
-        F.explode(F.array(*_positions(F.col(key_col), k, m_bits))).alias("__p")
+        F.explode(F.array(*hash_positions(F.col(key_col), k, m_bits))).alias("__p")
     )
     return (
         pos.groupBy((F.col("__p") / _WORD).cast("int").alias("word_idx"))
@@ -123,12 +124,12 @@ def bloom_prefilter(
             ok &= ((words[pv // _WORD] >> (pv % _WORD)) & 1).astype(bool)
         return pd.Series(ok)
 
-    pos = _positions(F.col(key_col), k, m_bits)
+    pos = hash_positions(F.col(key_col), k, m_bits)
     return df.where(might_contain(*pos))
 
 
 def bloom_sql_positions(key_expr: str, k: int, m_bits: int) -> list[str]:
-    """The DuckDB replay of _positions, for oracle construction."""
+    """The DuckDB replay of hash_positions, for oracle construction."""
     return [
         f"(('0x' || substr(md5('{i}:' || CAST({key_expr} AS VARCHAR)), 1, 8))"
         f"::UBIGINT % {m_bits})"

@@ -1062,3 +1062,102 @@ def pca_project(
         return F.array(*coords)
 
     return df.select(F.col(id_col), bind(centered, coords_of).alias(out_col))
+
+
+def bitext_margin(
+    src: DataFrame,
+    tgt: DataFrame,
+    *,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int | None = None,
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    CCMatrix/LASER method): for every source embedding, its best target
+    under the margin score cos(x,y) / ((knn_k(x) + knn_k(y)) / 2), where
+    knn_k(v) is the mean cosine of v's k nearest candidates on the other
+    side — normalizing by local density kills hub vectors that are
+    "close to everything". Returns (src_id, tgt_id, mutual); mutual=true
+    means the pair is ALSO the target's best source — the high-precision
+    mining criterion.
+
+    Candidates: ``bits=None`` broadcasts the target side (exact — for
+    bounded targets); ``bits=b`` equi-joins on the sign-LSH bucket
+    (similarity.sign_bucket) so a 10^12×10^12 mining run touches only
+    within-bucket pairs — size b with bits_for(), same as lsh_nearest.
+
+    Everything after candidates is id-keyed: two top-k windows over
+    per-id candidate lists (bucket-bounded, never global), two mean
+    aggregates, two equi join-backs, and per-id argmax windows. The
+    margin ranking breaks ties on neighbor id, like every ANN ranking
+    here.
+    """
+    s = src.select(
+        F.col(id_col).alias("src_id"),
+        F.col(vec_col).alias("__sv"),
+        norm(F.col(vec_col)).alias("__sn"),
+    )
+    t = tgt.select(
+        F.col(id_col).alias("tgt_id"),
+        F.col(vec_col).alias("__tv"),
+        norm(F.col(vec_col)).alias("__tn"),
+    )
+    if bits is None:
+        cand = s.crossJoin(F.broadcast(t))
+    else:
+        s = s.withColumn("__b", sign_bucket(F.col("__sv"), bits))
+        t = t.withColumn("__b", sign_bucket(F.col("__tv"), bits))
+        cand = s.join(t, "__b")
+    pairs = cand.select(
+        "src_id",
+        "tgt_id",
+        (dot(F.col("__sv"), F.col("__tv")) / (F.col("__sn") * F.col("__tn"))).alias(
+            "cos"
+        ),
+    )
+    ws = Window.partitionBy("src_id").orderBy(F.desc("cos"), F.asc("tgt_id"))
+    wt = Window.partitionBy("tgt_id").orderBy(F.desc("cos"), F.asc("src_id"))
+    ranked = pairs.withColumn("__rs", F.row_number().over(ws)).withColumn(
+        "__rt", F.row_number().over(wt)
+    )
+    knn_s = (
+        ranked.where(F.col("__rs") <= k)
+        .groupBy("src_id")
+        .agg(F.avg("cos").alias("__ks"))
+    )
+    knn_t = (
+        ranked.where(F.col("__rt") <= k)
+        .groupBy("tgt_id")
+        .agg(F.avg("cos").alias("__kt"))
+    )
+    margins = (
+        pairs.join(knn_s, "src_id")
+        .join(knn_t, "tgt_id")
+        .withColumn(
+            "__margin", F.col("cos") / ((F.col("__ks") + F.col("__kt")) / F.lit(2.0))
+        )
+    )
+    bs = Window.partitionBy("src_id").orderBy(F.desc("__margin"), F.asc("tgt_id"))
+    bt = Window.partitionBy("tgt_id").orderBy(F.desc("__margin"), F.asc("src_id"))
+    best_s = (
+        margins.withColumn("__r", F.row_number().over(bs))
+        .where(F.col("__r") == 1)
+        .select("src_id", "tgt_id")
+    )
+    best_t = (
+        margins.withColumn("__r", F.row_number().over(bt))
+        .where(F.col("__r") == 1)
+        .select(
+            F.col("src_id").alias("__bts"), F.col("tgt_id").alias("__btt"),
+            F.lit(True).alias("__m"),
+        )
+    )
+    return (
+        best_s.join(
+            best_t,
+            (best_s["src_id"] == F.col("__bts")) & (best_s["tgt_id"] == F.col("__btt")),
+            "left",
+        )
+        .select("src_id", "tgt_id", F.coalesce(F.col("__m"), F.lit(False)).alias("mutual"))
+    )

@@ -333,3 +333,71 @@ def kmv_distinct(
             6,
         ).alias("kmv_estimate"),
     )
+
+
+def cms_sketch(
+    df: DataFrame,
+    *,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-min sketch of a key column (Cormode & Muthukrishnan): depth
+    hash rows × width buckets, each cell the count of keys hashing there.
+    ONE map-side-combinable aggregate over the data; the output is at
+    most depth·width rows NO MATTER the key cardinality — the mergeable
+    artifact that makes frequency tracking work where exact groupBy-key
+    state can't: streaming accumulation (cells just add), cross-shard /
+    cross-day merges without re-scanning, and frequency probes of a
+    10^12-row stream in kilobytes of state. Estimates only ever
+    OVER-count (min over depth rows bounds the collision error by
+    e·N/width with prob 1-e^-depth).
+
+    Buckets come from bloom.hash_positions (dyadic md5), so any SQL
+    engine replays the sketch bit-for-bit."""
+    from pdf_table_extractor_spark.operators.bloom import hash_positions
+
+    pos = hash_positions(F.col(key_col), depth, width)
+    rows = df.select(
+        F.posexplode(F.array(*pos)).alias("sketch_row", "bucket")
+    )
+    return rows.groupBy("sketch_row", "bucket").agg(F.count("*").alias("cell_count"))
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    *,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    min_count: int = 100,
+) -> DataFrame:
+    """(key, est_count, true_count): every distinct key whose count-min
+    ESTIMATE reaches min_count — a superset of the true heavy hitters
+    (CMS never under-counts), with the exact count joined alongside so
+    over-estimates are visible.
+
+    Scale: the sketch is one aggregate + a ≤depth·width-row broadcast;
+    the candidate probe explodes depth bucket ids per DISTINCT key and
+    re-aggregates per key — candidate keys (hosts, langs, shard ids) are
+    orders of magnitude fewer than rows. The exact-count join here is
+    the demonstration harness; a production pass filters on est alone
+    and only exact-counts the surviving candidates."""
+    from pdf_table_extractor_spark.operators.bloom import hash_positions
+
+    sketch = cms_sketch(df, key_col=key_col, depth=depth, width=width)
+    truth = df.groupBy(key_col).agg(F.count("*").alias("true_count"))
+    pos = hash_positions(F.col(key_col), depth, width)
+    probe = truth.select(
+        F.col(key_col),
+        F.col("true_count"),
+        F.posexplode(F.array(*pos)).alias("sketch_row", "bucket"),
+    )
+    est = (
+        probe.join(F.broadcast(sketch), ["sketch_row", "bucket"])
+        .groupBy(key_col, "true_count")
+        .agg(F.min("cell_count").alias("est_count"))
+    )
+    return est.where(F.col("est_count") >= min_count).select(
+        key_col, "est_count", "true_count"
+    )

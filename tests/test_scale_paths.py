@@ -266,3 +266,55 @@ def test_dsir_ratio_table_broadcasts_no_sort(spark):
     # table — <= n_buckets rows by construction, never corpus-scale
     assert plan.count("Window") <= 1
     assert out.count() == 400
+
+
+# ---------------------------------------------------------------------------
+# bitext_margin: the bucketed candidate path must be an equi-join on the
+# sign bucket — never a cartesian/nested-loop — and must agree with the
+# brute path on unambiguous (same-bucket) pairs.
+# ---------------------------------------------------------------------------
+
+
+def _toy_embeddings(spark, n=40, dim=6):
+    import math
+
+    rows = []
+    for i in range(n):
+        # deterministic, well-separated directions; parity splits sides
+        vec = [math.sin(0.7 * i + d) + (1.5 if d == i % dim else 0.0) for d in range(dim)]
+        rows.append((i, [float(x) for x in vec]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_bitext_bucketed_is_equi_join_not_cartesian(spark):
+    from pdf_table_extractor_spark.operators import similarity
+
+    emb = _toy_embeddings(spark)
+    src = emb.where(F.col("vec_id") % 2 == 0)
+    tgt = emb.where(F.col("vec_id") % 2 == 1)
+    out = similarity.bitext_margin(src, tgt, k=3, bits=2)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert out.count() > 0
+
+
+def test_bitext_bucketed_equals_brute_under_single_bucket(spark):
+    from pdf_table_extractor_spark.operators import similarity
+
+    emb = _toy_embeddings(spark)
+    src = emb.where(F.col("vec_id") % 2 == 0)
+    tgt = emb.where(F.col("vec_id") % 2 == 1)
+    brute = {
+        (r["src_id"], r["tgt_id"], r["mutual"])
+        for r in similarity.bitext_margin(src, tgt, k=3).collect()
+    }
+    # bits=0 puts every vector in one bucket: the equi-join topology must
+    # reproduce the brute candidates (and therefore margins) EXACTLY —
+    # this pins the bucketed plumbing; bucket-splitting itself only
+    # restricts candidates (an approximation by design, not tested here)
+    single = {
+        (r["src_id"], r["tgt_id"], r["mutual"])
+        for r in similarity.bitext_margin(src, tgt, k=3, bits=0).collect()
+    }
+    assert single == brute

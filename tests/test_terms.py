@@ -182,3 +182,68 @@ def test_bm25_topk_scores_only_query_matched_docs(spark):
     got = {(r["query_id"], r["doc_id"]) for r in out}
     # query 1 matches docs 1 and 3 only; query 2 matches nothing
     assert got == {(1, 1), (1, 3)}
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def _py_cms_positions(v, depth, width):
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{i}:{v}".encode()).hexdigest()[:8], 16) % width
+        for i in range(depth)
+    ]
+
+
+def test_cms_never_undercounts_and_matches_replay(spark):
+    from collections import Counter
+
+    vals = [i % 7 for i in range(140)] + [0] * 60  # key 0 is heavy
+    truth = Counter(vals)
+    depth, width = 3, 8  # tiny width → guaranteed collisions
+    cells: dict = {}
+    for v in vals:
+        for r, p in enumerate(_py_cms_positions(v, depth, width)):
+            cells[(r, p)] = cells.get((r, p), 0) + 1
+    df = spark.createDataFrame([(v,) for v in vals], "k long")
+    sk = {
+        (r["sketch_row"], r["bucket"]): r["cell_count"]
+        for r in terms.cms_sketch(df, key_col="k", depth=depth, width=width).collect()
+    }
+    assert sk == cells, "sketch cells must replay bit-for-bit"
+    hh = terms.cms_heavy_hitters(
+        df, key_col="k", depth=depth, width=width, min_count=1
+    ).collect()
+    got = {r["k"]: (r["est_count"], r["true_count"]) for r in hh}
+    assert set(got) == set(truth), "min_count=1 must surface every key"
+    for k, (est, true) in got.items():
+        assert true == truth[k]
+        assert est >= true, "CMS may never under-count"
+        exp_est = min(cells[(r, p)] for r, p in enumerate(_py_cms_positions(k, depth, width)))
+        assert est == exp_est
+
+
+def test_cms_sketches_merge_by_cell_addition(spark):
+    a = spark.createDataFrame([(i % 5,) for i in range(50)], "k long")
+    b = spark.createDataFrame([(i % 3,) for i in range(30)], "k long")
+    both = a.union(b)
+    depth, width = 2, 16
+    merged = (
+        terms.cms_sketch(a, key_col="k", depth=depth, width=width)
+        .union(terms.cms_sketch(b, key_col="k", depth=depth, width=width))
+        .groupBy("sketch_row", "bucket")
+        .agg(F.sum("cell_count").alias("cell_count"))
+    )
+    direct = terms.cms_sketch(both, key_col="k", depth=depth, width=width)
+    m = {(r[0], r[1]): r[2] for r in merged.collect()}
+    d = {(r[0], r[1]): r[2] for r in direct.collect()}
+    assert m == d, "per-shard sketches must merge to the full-scan sketch"
+
+
+def test_cms_sketch_size_is_bounded_by_config(spark):
+    df = spark.range(0, 10000).select((F.col("id") % 997).alias("k"))
+    sk = terms.cms_sketch(df, key_col="k", depth=4, width=32)
+    assert sk.count() <= 4 * 32
