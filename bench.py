@@ -61,6 +61,10 @@ HEADLINE = [
     "q_hypertable_rollup",
     # CDC MERGE apply (reduce + full-outer join + resolution)
     "q_merge_upsert",
+    # round-4: content-defined chunking — the heaviest pure-HOF text plan
+    # (gear-hash filter + nested binds); regressions in HOF re-inlining
+    # or Janino fallback show up here first
+    "q_cdc_chunks",
 ]
 
 

@@ -4166,3 +4166,76 @@ def q_cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("reuse_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt evaluation (operators/urls.robots_allowed)
+# ---------------------------------------------------------------------------
+
+_ROBOTS_RULES = [
+    ("h1", "allow", "/p1"),
+    ("h1", "disallow", "/p1/2"),
+    ("h1", "disallow", "/p2"),
+    ("h2", "disallow", ""),
+    ("h2", "allow", "/p3"),
+    ("h3", "allow", "/p4"),
+    ("h3", "disallow", "/p4"),
+    ("h5", "disallow", "/p"),
+]
+
+
+@contract(
+    "q_robots_allowed",
+    """
+    WITH u AS (
+      SELECT DISTINCT 'h' || CAST(doc_id % 13 AS VARCHAR) AS host,
+             '/p' || CAST(doc_id % 5 AS VARCHAR) || '/'
+                  || CAST(doc_id % 3 AS VARCHAR) AS path
+      FROM documents
+    ),
+    r(host, directive, path_prefix) AS (VALUES
+      ('h1', 'allow', '/p1'), ('h1', 'disallow', '/p1/2'),
+      ('h1', 'disallow', '/p2'),
+      ('h2', 'disallow', ''), ('h2', 'allow', '/p3'),
+      ('h3', 'allow', '/p4'), ('h3', 'disallow', '/p4'),
+      ('h5', 'disallow', '/p')
+    ),
+    m AS (
+      SELECT u.host, u.path, r.directive, r.path_prefix
+      FROM u LEFT JOIN r
+        ON r.host = u.host AND starts_with(u.path, r.path_prefix)
+    ),
+    w AS (
+      SELECT host, path, directive, path_prefix,
+             ROW_NUMBER() OVER (
+               PARTITION BY host, path
+               ORDER BY length(path_prefix) DESC,
+                        (directive = 'allow') DESC,
+                        path_prefix DESC, directive DESC
+             ) AS rk
+      FROM m
+    )
+    SELECT host, path,
+           COALESCE(directive = 'allow', TRUE) AS allowed,
+           path_prefix AS winner_prefix,
+           directive AS winner_directive
+    FROM w WHERE rk = 1
+    """,
+)
+def q_robots_allowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 longest-prefix-wins robots gate over a deterministic
+    13-host frontier: catch-all disallow overridden by a longer allow,
+    equal-length tie resolved to allow, rule-less hosts default-allowed.
+    The rule table is config (one robots.txt per host) → broadcast."""
+    d = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    frontier = d.select(
+        F.concat(F.lit("h"), (i % 13).cast("string")).alias("host"),
+        F.concat(
+            F.lit("/p"), (i % 5).cast("string"), F.lit("/"), (i % 3).cast("string")
+        ).alias("path"),
+    )
+    rules = spark.createDataFrame(
+        _ROBOTS_RULES, "host string, directive string, path_prefix string"
+    )
+    return _urls.robots_allowed(frontier, rules)

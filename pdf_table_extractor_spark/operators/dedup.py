@@ -868,3 +868,34 @@ def cdc_chunks(
         F.md5("__chunk").alias("chunk_md5"),
         F.length("__chunk").cast("long").alias("chunk_len"),
     )
+
+
+def lsh_candidate_prob(s: float, bands: int, rows: int) -> float:
+    """P(candidate pair) for a pair with true Jaccard similarity ``s``
+    under (bands × rows) MinHash banding: 1 - (1 - s^rows)^bands — the
+    MMDS S-curve (Leskovec/Rajaraman/Ullman ch. 3)."""
+    return 1.0 - (1.0 - s**rows) ** bands
+
+
+def lsh_plan(n_hashes: int, threshold: float) -> tuple[int, int]:
+    """Choose (bands, rows) with bands·rows = n_hashes whose S-curve
+    inflection (1/bands)^(1/rows) sits closest to the target Jaccard
+    ``threshold`` — the driver-side config step before
+    minhash_signatures/lsh_candidates, so callers stop hand-picking
+    band shapes that silently flood (too many bands) or starve (too few)
+    the candidate join at 10^12 docs. Pure arithmetic over the divisors
+    of n_hashes — no data access."""
+    if n_hashes < 1:
+        raise ValueError("n_hashes must be >= 1")
+    if not (0.0 < threshold < 1.0):
+        raise ValueError("threshold must be in (0, 1)")
+    best = None
+    for rows in range(1, n_hashes + 1):
+        if n_hashes % rows:
+            continue
+        bands = n_hashes // rows
+        inflection = (1.0 / bands) ** (1.0 / rows)
+        score = abs(inflection - threshold)
+        if best is None or score < best[0]:
+            best = (score, bands, rows)
+    return best[1], best[2]

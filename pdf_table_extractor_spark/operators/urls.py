@@ -417,3 +417,73 @@ def merge_upsert(
             for c in payload
         ],
     )
+
+
+def robots_allowed(
+    urls: DataFrame,
+    rules: DataFrame,
+    *,
+    host_col: str = "host",
+    path_col: str = "path",
+    rule_host_col: str = "host",
+    directive_col: str = "directive",
+    prefix_col: str = "path_prefix",
+    broadcast_rules: bool = True,
+) -> DataFrame:
+    """RFC 9309 robots.txt evaluation: for every (host, path) fetch
+    candidate, the most-specific (longest path-prefix) matching rule
+    decides; an allow beats a disallow of equal length; no matching rule
+    means allowed. `rules` rows are (host, directive 'allow'|'disallow',
+    path_prefix) for the crawler's user-agent group (agent resolution —
+    and ``*``/``$`` wildcard expansion, which is a regex translation of
+    the same longest-match contest — happen upstream when parsing the
+    robots.txt bodies).
+
+    The crawl-frontier politeness gate: at 10^12 candidate URLs the rule
+    table is host-bounded (one robots.txt per host, dozens of rules), so
+    the match is a BROADCAST equi-join on host + a prefix filter, and
+    the winner is ONE max_by-shaped hash aggregate over matched pairs —
+    no window over the frontier, no shuffle of it beyond the winner
+    aggregate keyed by (host, path). Set ``broadcast_rules=False`` when
+    the rule table itself is huge (every host on the web): the same plan
+    becomes a plain equi-join that AQE can skew-split on hot hosts.
+
+    Output: one row per DISTINCT (host, path) — (host, path, allowed,
+    winner_prefix nullable, winner_directive nullable). A left join with
+    the prefix test IN the join condition keeps no-match candidates
+    alive through the single winner aggregate, so the frontier is
+    scanned once and shuffled once.
+    """
+    r = rules.select(
+        F.col(rule_host_col).alias("__rh"),
+        F.col(directive_col).alias("__dir"),
+        F.col(prefix_col).alias("__pfx"),
+    )
+    if broadcast_rules:
+        r = F.broadcast(r)
+    u = urls.select(F.col(host_col).alias("host"), F.col(path_col).alias("path"))
+    cand = u.join(
+        r,
+        (F.col("host") == F.col("__rh")) & F.col("path").startswith(F.col("__pfx")),
+        "left",
+    )
+    winner = F.when(
+        F.col("__pfx").isNotNull(),
+        F.struct(
+            F.length("__pfx").alias("l"),
+            (F.col("__dir") == "allow").alias("a"),
+            F.col("__pfx").alias("p"),
+            F.col("__dir").alias("d"),
+        ),
+    )
+    return (
+        cand.groupBy("host", "path")
+        .agg(F.max(winner).alias("__w"))
+        .select(
+            "host",
+            "path",
+            F.coalesce(F.col("__w.a"), F.lit(True)).alias("allowed"),
+            F.col("__w.p").alias("winner_prefix"),
+            F.col("__w.d").alias("winner_directive"),
+        )
+    )

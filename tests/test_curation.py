@@ -686,3 +686,23 @@ def test_merge_upsert_covers_every_resolution_path(spark):
 
     with pytest.raises(ValueError):
         urls.merge_upsert(target, changes.drop("v"), key_cols=["k"], version_col="ver")
+
+
+def test_lsh_plan_picks_inflection_near_threshold():
+    from pdf_table_extractor_spark.operators.dedup import lsh_candidate_prob, lsh_plan
+
+    for n, t in [(16, 0.5), (64, 0.8), (128, 0.7), (12, 0.3)]:
+        b, r = lsh_plan(n, t)
+        assert b * r == n
+        # the chosen plan's S-curve must cross ~0.5 candidate probability
+        # in the neighbourhood of the threshold: clearly separating
+        # pairs well below from pairs well above
+        assert lsh_candidate_prob(min(t + 0.2, 0.99), b, r) > 0.5
+        assert lsh_candidate_prob(max(t - 0.25, 0.01), b, r) < 0.6
+    # degenerate configs rejected
+    import pytest
+
+    with pytest.raises(ValueError):
+        lsh_plan(0, 0.5)
+    with pytest.raises(ValueError):
+        lsh_plan(16, 1.0)

@@ -180,3 +180,63 @@ def test_drop_duplicated_spans_keep_first(spark):
     assert out[1]["clean_text"] == f"alpha {shared}" and out[1]["n_dropped"] == 0
     assert out[2]["clean_text"] == "beta" and out[2]["n_dropped"] == 5
     assert out[3]["clean_text"] == "gamma"
+
+
+# ---------------------------------------------------------------------------
+# robots.txt evaluation
+# ---------------------------------------------------------------------------
+
+
+def test_robots_longest_match_semantics(spark):
+    from pdf_table_extractor_spark.operators import urls as U
+
+    rules = spark.createDataFrame(
+        [
+            ("a.com", "disallow", "/"),
+            ("a.com", "allow", "/public"),
+            ("a.com", "disallow", "/public/private"),
+            ("b.com", "allow", "/x"),
+            ("b.com", "disallow", "/x"),  # equal length: allow must win
+        ],
+        "host string, directive string, path_prefix string",
+    )
+    frontier = spark.createDataFrame(
+        [
+            ("a.com", "/index.html"),        # caught by '/'
+            ("a.com", "/public/doc"),        # allow /public beats /
+            ("a.com", "/public/private/x"),  # longest disallow wins
+            ("b.com", "/x/1"),               # tie -> allow
+            ("c.com", "/anything"),          # no rules -> allowed
+        ],
+        "host string, path string",
+    )
+    got = {
+        (r["host"], r["path"]): (r["allowed"], r["winner_prefix"])
+        for r in U.robots_allowed(frontier, rules).collect()
+    }
+    assert got == {
+        ("a.com", "/index.html"): (False, "/"),
+        ("a.com", "/public/doc"): (True, "/public"),
+        ("a.com", "/public/private/x"): (False, "/public/private"),
+        ("b.com", "/x/1"): (True, "/x"),
+        ("c.com", "/anything"): (True, None),
+    }
+
+
+def test_robots_plan_broadcasts_rules_single_shuffle(spark):
+    from pdf_table_extractor_spark.operators import urls as U
+    from pyspark.sql import functions as F
+
+    frontier = spark.range(500).select(
+        F.concat(F.lit("h"), (F.col("id") % 7).cast("string")).alias("host"),
+        F.concat(F.lit("/p"), (F.col("id") % 11).cast("string")).alias("path"),
+    )
+    rules = spark.createDataFrame(
+        [("h1", "disallow", "/p"), ("h2", "allow", "/p3")],
+        "host string, directive string, path_prefix string",
+    )
+    out = U.robots_allowed(frontier, rules)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the frontier shuffles exactly once (the winner aggregate)
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 1
