@@ -82,3 +82,20 @@ def test_chunks_reassemble_exactly(spark):
     )
     assert sum(r["chunk_len"] for r in rows) == len(canon)
     assert [r["chunk_idx"] for r in rows] == list(range(len(rows)))
+
+
+def test_xxhash64_gear_same_invariants(spark):
+    text = "fast gear path keeps every chunking invariant intact " * 30
+    canon = " ".join(text.lower().split())
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    rows = sorted(
+        dedup.cdc_chunks(df, window=W, mask_bits=MB, hash_fn="xxhash64").collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    assert rows, "must produce chunks"
+    assert sum(r["chunk_len"] for r in rows) == len(canon)
+    assert [r["chunk_idx"] for r in rows] == list(range(len(rows)))
+    import pytest
+
+    with pytest.raises(ValueError):
+        dedup.cdc_chunks(df, hash_fn="sha1")
