@@ -1,0 +1,104 @@
+"""Continuously-maintained count-min frequency state from a stream.
+
+The batch operator is ``operators/terms.cms_sketch``; this module runs it
+per micro-batch via ``foreachBatch`` and folds each batch's sketch into a
+VERSIONED parquet snapshot with the same commit discipline as
+``streaming/merge.py`` (batch ``n`` always merges into ``v_<n>`` — never
+``_LATEST`` — so a checkpoint replay re-reads the same base and rewrites
+the byte-identical ``v_<n+1>``; the pointer flips last).
+
+The merge algebra here is CELL ADDITION, which is NOT idempotent — a
+double-apply would double-count — so the deterministic pinned base isn't
+a belt here, it is the whole crash-safety argument: correctness rests on
+"same base version + same batch ⇒ same output", exactly the property the
+version-by-batch-id naming provides. (Contrast merge_upsert, whose
+algebra is also idempotent on top.)
+
+Why this exists at 100 TB: the sketch is the ONLY frequency state whose
+size is config-bounded (depth·width cells) rather than key-bounded — a
+streaming groupBy-key of hosts/tokens grows with the key universe, while
+this folds an unbounded stream into kilobytes, stays exact under shard
+merges (cells add), and any version is a time-travel frequency snapshot.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_table_extractor_spark.operators.terms import cms_sketch
+from pdf_table_extractor_spark.streaming.merge import (
+    _flip_pointer,
+    read_version,
+)
+
+
+def init_sketch(spark: SparkSession, snapshot_root: str, *, depth: int, width: int) -> str:
+    """Seed ``v_0`` with the empty sketch (schema-fixing, like
+    merge.init_snapshot)."""
+    empty = spark.createDataFrame(
+        [], "sketch_row int, bucket long, cell_count long"
+    )
+    os.makedirs(snapshot_root, exist_ok=True)
+    empty.write.mode("overwrite").parquet(os.path.join(snapshot_root, "v_0"))
+    _flip_pointer(snapshot_root, "v_0")
+    return "v_0"
+
+
+def apply_sketch_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    snapshot_root: str,
+    *,
+    key_col: str,
+    depth: int,
+    width: int,
+) -> str:
+    """One sketch commit: ``v_<batch_id>`` + this batch's sketch →
+    ``v_<batch_id+1>`` by cell addition. Exposed separately so tests can
+    drive the replay path directly."""
+    base = read_version(spark, snapshot_root, f"v_{batch_id}")
+    delta = cms_sketch(batch_df, key_col=key_col, depth=depth, width=width)
+    merged = (
+        base.unionByName(delta)
+        .groupBy("sketch_row", "bucket")
+        .agg(F.sum("cell_count").alias("cell_count"))
+    )
+    new_version = f"v_{batch_id + 1}"
+    merged.write.mode("overwrite").parquet(os.path.join(snapshot_root, new_version))
+    _flip_pointer(snapshot_root, new_version)
+    return new_version
+
+
+def start_sketch_maintenance(
+    stream: DataFrame,
+    snapshot_root: str,
+    checkpoint_dir: str,
+    *,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+):
+    """Wire a stream into the per-batch sketch-fold loop. ``init_sketch``
+    must have seeded ``snapshot_root`` first."""
+
+    def run_batch(batch_df: DataFrame, batch_id: int) -> None:
+        apply_sketch_batch(
+            batch_df.sparkSession,
+            batch_df,
+            batch_id,
+            snapshot_root,
+            key_col=key_col,
+            depth=depth,
+            width=width,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(run_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

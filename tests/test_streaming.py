@@ -400,3 +400,69 @@ def test_snapshot_vacuum_keeps_current_and_replay_base(spark, tmp_path):
     assert sm.read_snapshot(spark, root).collect()[0]["v"] == "a2"
     # replay base v_2 survives for the checkpoint's last-batch replay
     assert sm.read_version(spark, root, "v_2").count() == 1
+
+
+def test_streaming_cms_folds_to_direct_sketch_and_replays_exactly(spark, tmp_path):
+    """Host-frequency stream → per-batch count-min fold → versioned
+    sketch commits: the final sketch equals one direct sketch over all
+    rows (cells add), and replaying a committed batch against its
+    pinned base is byte-identical — the whole crash-safety argument for
+    a NON-idempotent merge algebra."""
+    import pandas as pd
+
+    from pdf_table_extractor_spark.operators import terms
+    from pdf_table_extractor_spark.streaming import merge as sm
+    from pdf_table_extractor_spark.streaming import sketch as sk
+
+    root = str(tmp_path / "cms")
+    ck = str(tmp_path / "ck")
+    ev_dir = tmp_path / "ev"
+    ev_dir.mkdir()
+    depth, width = 3, 16
+
+    sk.init_sketch(spark, root, depth=depth, width=width)
+
+    b1 = pd.DataFrame({"host": [f"h{i % 5}" for i in range(40)]})
+    b2 = pd.DataFrame({"host": [f"h{i % 3}" for i in range(30)]})
+    b1.to_parquet(ev_dir / "b1.parquet", index=False)
+    b2.to_parquet(ev_dir / "b2.parquet", index=False)
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    _os.utime(ev_dir / "b1.parquet", (now - 10, now - 10))
+    _os.utime(ev_dir / "b2.parquet", (now, now))
+
+    stream = (
+        spark.readStream.schema("host string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(ev_dir))
+    )
+    q = sk.start_sketch_maintenance(
+        stream, root, ck, key_col="host", depth=depth, width=width
+    )
+    q.awaitTermination(120)
+
+    assert sm.current_version(root) == "v_2"
+    final = {
+        (r["sketch_row"], r["bucket"]): r["cell_count"]
+        for r in sm.read_snapshot(spark, root).collect()
+    }
+    both = spark.createDataFrame(pd.concat([b1, b2]))
+    direct = {
+        (r["sketch_row"], r["bucket"]): r["cell_count"]
+        for r in terms.cms_sketch(both, key_col="host", depth=depth, width=width).collect()
+    }
+    assert final == direct
+
+    # crash-after-pointer-flip: replaying batch 1 re-reads v_1, NOT the
+    # already-folded v_2 — addition would double-count otherwise
+    sk.apply_sketch_batch(
+        spark, spark.createDataFrame(b2), 1, root,
+        key_col="host", depth=depth, width=width,
+    )
+    again = {
+        (r["sketch_row"], r["bucket"]): r["cell_count"]
+        for r in sm.read_snapshot(spark, root).collect()
+    }
+    assert again == final
