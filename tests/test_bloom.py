@@ -81,3 +81,17 @@ def test_rejects_unaligned_m_bits(spark):
     except ValueError:
         return
     raise AssertionError("m_bits not a multiple of 32 must be rejected")
+
+
+def test_bloom_then_exact_join_equals_plain_semi_join(spark):
+    """The production composition: bloom prefilter in front of the exact
+    semi join must change NOTHING about the result (false positives are
+    removed by the exact join; false negatives don't exist)."""
+    keys = spark.range(0, 300, 3).select(F.col("id").alias("k"))  # every 3rd
+    big = spark.range(0, 3000).select(F.col("id").alias("k"))
+    direct = {r["k"] for r in big.join(keys, "k", "left_semi").collect()}
+    pre = bloom.bloom_prefilter(
+        big, keys, key_col="k", keys_col="k", m_bits=1024, k=2
+    )
+    composed = {r["k"] for r in pre.join(keys, "k", "left_semi").collect()}
+    assert composed == direct

@@ -471,3 +471,56 @@ def test_interval_join_matches_bruteforce(spark, raw_pt, raw_iv, how):
         in_any = {i for i, _ in matches}
         want = in_any if how == "left_semi" else {p[0] for p in pts} - in_any
         assert sorted(r["pid"] for r in out) == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking ≡ pure-python gear replay (random texts,
+# whole batch in ONE Spark job)
+# ---------------------------------------------------------------------------
+
+
+def _py_cdc(text: str, window: int = 8, mask_bits: int = 5) -> list[tuple[str, int]]:
+    import hashlib
+
+    canon = " ".join(text.lower().split())
+    n = len(canon)
+    ends = [
+        i
+        for i in range(window, n + 1)
+        if int(
+            hashlib.md5(canon[i - window : i].encode()).hexdigest()[:8], 16
+        ) % (1 << mask_bits) == 0
+    ]
+    if not ends or ends[-1] != n:
+        ends.append(n)
+    bounds = [0] + ends
+    return [
+        (hashlib.md5(canon[a:b].encode()).hexdigest(), b - a)
+        for a, b in zip(bounds, bounds[1:])
+        if b > a
+    ]
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab cé.!\n\t", min_size=0, max_size=400),
+        min_size=1,
+        max_size=12,
+    )
+)
+@SET
+def test_cdc_chunks_match_python_gear_on_random_texts(spark, texts):
+    from pdf_table_extractor_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got: dict[int, list[tuple[int, str, int]]] = {}
+    for r in dedup.cdc_chunks(df).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_md5"], r["chunk_len"])
+        )
+    for i, t in enumerate(texts):
+        exp = _py_cdc(t)
+        have = [(m, ln) for _, m, ln in sorted(got.get(i, []))]
+        assert have == exp, f"doc {i!r} {t!r}"
