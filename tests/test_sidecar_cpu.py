@@ -66,3 +66,34 @@ def test_sleep_process_reads_near_zero_cores():
     assert acct["tree_cpu_sec"] < 1.0
     if "steady_state_cores" in acct:
         assert acct["steady_state_cores"] < 0.5
+
+
+# ---------------------------------------------------------------------------
+# in-flight bus probe (tools/bus_probe.py)
+# ---------------------------------------------------------------------------
+
+
+def test_bus_probe_samples_and_summarizes():
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from bus_probe import BusProbe
+
+    p = BusProbe(period=0.2, burst_mb=1, burst_reps=2).start()
+    import time
+
+    time.sleep(1.0)
+    s = p.stop()
+    assert s["n_samples"] >= 2
+    assert s["burst_min_s"] > 0
+    assert s["burst_min_s"] <= s["burst_median_s"] <= s["burst_max_s"]
+    assert s["median_over_min"] >= 1.0
+    assert len(s["samples_s"]) == s["n_samples"]
+
+
+def test_bus_probe_empty_stop_is_safe():
+    from bus_probe import BusProbe
+
+    p = BusProbe(period=10.0)
+    # never started: stop() must not hang or divide by zero
+    assert p.stop() == {"n_samples": 0}

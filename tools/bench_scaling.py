@@ -76,6 +76,15 @@ def run_level(cores: int, corpus: str) -> dict:
     # so the pinned run is the faithful two-cluster-size analogue.
     if os.environ.get("SPARK_GRAFT_TASKSET") == "1":
         cmd = ["taskset", "-c", f"0-{cores - 1}" if cores > 1 else "0"] + cmd
+    bus = None
+    if os.environ.get("SPARK_GRAFT_BUSPROBE") == "1":
+        # ambient bus pressure DURING the leg (tools/bus_probe.py): the
+        # bracketing snapshot probes proved weak — the bus drifts inside
+        # an 11-minute rep — so record a low-duty-cycle copy-burst time
+        # series over the actual measurement window instead.
+        from bus_probe import BusProbe
+
+        bus = BusProbe().start()
     sampler = None
     if os.environ.get("SPARK_GRAFT_SIDECAR") == "1":
         # per-actual-core accounting (tools/sidecar_cpu.py): sample the
@@ -94,11 +103,14 @@ def run_level(cores: int, corpus: str) -> dict:
     else:
         out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
         out_stdout, stderr, acct = out.stdout, out.stderr, None
+    bus_acct = bus.stop() if bus is not None else None
     for line in out_stdout.splitlines():
         if line.startswith("BENCH_JSON "):
             r = json.loads(line[len("BENCH_JSON "):])
             if acct is not None:
                 r["sidecar"] = acct
+            if bus_acct is not None:
+                r["bus_probe"] = bus_acct
             return r
     raise RuntimeError(f"no result from local[{cores}]:\n{out_stdout[-2000:]}\n{stderr[-2000:]}")
 
@@ -122,6 +134,7 @@ def main() -> None:
     )
     wall: dict[int, dict[int, float]] = {}
     sidecars: dict[str, dict] = {}
+    bus_probes: dict[str, dict] = {}
     for cores in levels:
         wall[cores] = {}
         for n, corpus in ((n_small, small), (n_big, big)):
@@ -129,6 +142,8 @@ def main() -> None:
             wall[cores][n] = r["sec"]
             if "sidecar" in r:
                 sidecars[f"local{cores}_n{n}"] = r["sidecar"]
+            if "bus_probe" in r:
+                bus_probes[f"local{cores}_n{n}"] = r["bus_probe"]
             print(f"local[{cores}] @ {n}: {r['sec']:.1f}s", flush=True)
 
     def marginal(c: int) -> float:
@@ -165,6 +180,20 @@ def main() -> None:
                 speedup = wall[lo][n_big] / wall[hi][n_big]
                 result[f"per_actual_core_efficiency_{lo}_to_{hi}"] = round(
                     speedup / core_ratio, 3
+                )
+    if bus_probes:
+        result["bus_probe"] = bus_probes
+        # in-flight ambient slowdown per BIG leg: that leg's burst median
+        # over the cleanest burst seen anywhere in this run — the number
+        # to condition reps on (≈1.0 both legs = a genuinely clean rep)
+        floor = min(
+            p["burst_min_s"] for p in bus_probes.values() if p.get("n_samples")
+        )
+        for c in levels:
+            p = bus_probes.get(f"local{c}_n{n_big}")
+            if p and p.get("n_samples"):
+                result[f"bus_ambient_local{c}_big"] = round(
+                    p["burst_median_s"] / floor, 3
                 )
     print(json.dumps(result))
     os.makedirs("/root/repo/BENCH", exist_ok=True)

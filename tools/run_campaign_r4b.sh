@@ -46,7 +46,7 @@ while [ "$n" -lt "$MAX" ]; do
     # reverse lock: the builder checks this before starting its own Spark
     # work so a mid-flight rep is never polluted from the other side
     touch /tmp/rep_running
-    SPARK_GRAFT_TASKSET=1 SPARK_GRAFT_SIDECAR=1 \
+    SPARK_GRAFT_TASKSET=1 SPARK_GRAFT_SIDECAR=1 SPARK_GRAFT_BUSPROBE=1 \
     SPARK_GRAFT_SCALING_LEVELS=1,4 SPARK_GRAFT_SCALING_OUT=tmp_${PREFIX}.json \
       python tools/bench_scaling.py 800000 100000 2>/dev/null | tail -3
     cp BENCH/tmp_${PREFIX}.json BENCH/reps/${PREFIX}_14_rep${n}.json
