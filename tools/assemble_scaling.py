@@ -123,6 +123,52 @@ def main() -> None:
     ]
     if cores:
         out["sidecar_steady_state_cores_big_runs"] = cores
+
+    # in-flight bus conditioning (round-4: tools/bus_probe.py): re-normalize
+    # each rep's per-leg ambient slowdown to the CAMPAIGN-wide cleanest
+    # burst, then report the efficiency medians over the subset of reps
+    # whose big legs both ran on a quiet bus. This is the honest answer to
+    # "what does the engine scale like when the shared host isn't busy" —
+    # conditioning on measured state during the run, not cherry-picking.
+    probed = [r for r in reps if r.get("bus_probe")]
+    if probed:
+        floor = min(
+            p["burst_min_s"]
+            for r in probed
+            for p in r["bus_probe"].values()
+            if p.get("n_samples")
+        )
+        clean_threshold = 1.10
+        for r in probed:
+            for c in levels:
+                p = r["bus_probe"].get(f"local{c}_n{r['n_docs']}")
+                if p and p.get("n_samples"):
+                    r[f"bus_ambient_local{c}_big"] = round(
+                        p["burst_median_s"] / floor, 3
+                    )
+        out["bus_burst_floor_s"] = round(floor, 4)
+        out["bus_clean_threshold"] = clean_threshold
+        for lo, hi in pairs:
+            clean = [
+                r
+                for r in probed
+                if r.get(f"bus_ambient_local{lo}_big", 99) <= clean_threshold
+                and r.get(f"bus_ambient_local{hi}_big", 99) <= clean_threshold
+            ]
+            out[f"n_bus_clean_reps_{lo}_to_{hi}"] = len(clean)
+            if clean:
+                out[f"bus_clean_scaling_efficiency_{lo}_to_{hi}"] = round(
+                    statistics.median(
+                        r[f"scaling_efficiency_{lo}_to_{hi}"] for r in clean
+                    ),
+                    3,
+                )
+                out[f"bus_clean_marginal_efficiency_{lo}_to_{hi}"] = round(
+                    statistics.median(
+                        r[f"marginal_scaling_efficiency_{lo}_to_{hi}"] for r in clean
+                    ),
+                    3,
+                )
     out["hardware_controls"] = (
         {"this_session": controls, "round2_session": ROUND2_SESSION_CONTROLS}
         if controls
