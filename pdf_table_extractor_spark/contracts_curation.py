@@ -4239,3 +4239,78 @@ def q_robots_allowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ROBOTS_RULES, "host string, directive string, path_prefix string"
     )
     return _urls.robots_allowed(frontier, rules)
+
+
+def _cms_w_sql() -> str:
+    """Windowed-CMS cell table over events at day grain (shared CTE)."""
+    return f"""
+      SELECT date_trunc('day', ts) AS bucket_start, r AS sketch_row,
+             p AS bucket, COUNT(*) AS cell_count
+      FROM (SELECT ts, {_cms_pos_sql('user_id')} FROM events)
+      GROUP BY 1, 2, 3
+    """
+
+
+@contract(
+    "q_cms_interval",
+    f"""
+    WITH sw AS ({_cms_w_sql()}),
+    cells AS (
+      SELECT sketch_row, bucket, SUM(cell_count) AS cell_count
+      FROM sw
+      WHERE bucket_start >= TIMESTAMP '2024-01-10 00:00:00'
+        AND bucket_start <  TIMESTAMP '2024-01-20 00:00:00'
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT user_id, COUNT(*) AS true_count
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+      GROUP BY 1
+    ),
+    cand AS (SELECT DISTINCT user_id FROM events),
+    kpos AS (SELECT user_id, {_cms_pos_sql('user_id')} FROM cand),
+    est AS (
+      SELECT k.user_id, MIN(c.cell_count) AS est_count
+      FROM kpos k JOIN cells c ON c.sketch_row = k.r AND c.bucket = k.p
+      GROUP BY k.user_id
+    )
+    SELECT e.user_id, e.est_count,
+           CAST(COALESCE(t.true_count, 0) AS BIGINT) AS true_count
+    FROM est e LEFT JOIN truth t USING (user_id)
+    WHERE e.est_count >= 25
+    """,
+)
+def q_cms_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-over-interval from bounded state (ECM-sketch shape,
+    VLDB'18): sum the Jan-10..Jan-20 daily sketches cell-wise, min over
+    rows — heavy actors of the window found without re-reading events,
+    exact counts joined alongside to expose the over-estimates."""
+    ev = load(spark, sf_dir, "events")
+    sw = terms.cms_sketch_windowed(
+        ev, key_col="user_id", ts_col="ts", grain="day", depth=_CMS_D, width=_CMS_W
+    )
+    cand = ev.select("user_id").distinct()
+    est = terms.cms_interval_estimate(
+        sw, cand, key_col="user_id",
+        t0="2024-01-10 00:00:00", t1="2024-01-20 00:00:00",
+        depth=_CMS_D, width=_CMS_W,
+    )
+    truth = (
+        ev.where(
+            (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp_ntz"))
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").alias("true_count"))
+    )
+    return (
+        est.where(F.col("est_count") >= 25)
+        .join(truth, "user_id", "left")
+        .select(
+            "user_id",
+            "est_count",
+            F.coalesce(F.col("true_count"), F.lit(0)).alias("true_count"),
+        )
+    )

@@ -401,3 +401,89 @@ def cms_heavy_hitters(
     return est.where(F.col("est_count") >= min_count).select(
         key_col, "est_count", "true_count"
     )
+
+
+def _cms_min_estimate(
+    candidates: DataFrame,
+    sketch: DataFrame,
+    *,
+    key_col: str,
+    depth: int,
+    width: int,
+    count_col: str = "cell_count",
+) -> DataFrame:
+    """min-over-rows CMS probe of a candidate key set against a (sketch_row,
+    bucket, count) cell table (broadcast — it is ≤ depth·width rows)."""
+    from pdf_table_extractor_spark.operators.bloom import hash_positions
+
+    pos = hash_positions(F.col(key_col), depth, width)
+    probe = candidates.select(
+        F.col(key_col),
+        F.posexplode(F.array(*pos)).alias("sketch_row", "bucket"),
+    )
+    return (
+        probe.join(F.broadcast(sketch), ["sketch_row", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min(count_col).alias("est_count"))
+    )
+
+
+def cms_sketch_windowed(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str = "ts",
+    grain: str = "day",
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Per-time-bucket count-min sketches: (bucket_start, sketch_row,
+    bucket, cell_count) — ≤ depth·width cells per grain bucket, one
+    map-side-combinable aggregate over the stream regardless of key
+    cardinality.
+
+    Because CMS cells are linear, the sketch of ANY time interval is the
+    cell-wise SUM of its buckets' sketches — frequency-over-interval
+    queries against bounded state (the ECM-sketch idea of Rivetti et
+    al., "Stream Frequency Over Interval Queries", VLDB 2018, with exact
+    per-grain cells instead of exponential-histogram decay). A crawl
+    monitor answers "how hot was this host over any window" from
+    kilobytes per day."""
+    b = F.date_trunc(grain, F.col(ts_col))
+    from pdf_table_extractor_spark.operators.bloom import hash_positions
+
+    pos = hash_positions(F.col(key_col), depth, width)
+    rows = df.select(
+        b.alias("bucket_start"),
+        F.posexplode(F.array(*pos)).alias("sketch_row", "bucket"),
+    )
+    return rows.groupBy("bucket_start", "sketch_row", "bucket").agg(
+        F.count("*").alias("cell_count")
+    )
+
+
+def cms_interval_estimate(
+    windowed_sketch: DataFrame,
+    candidates: DataFrame,
+    *,
+    key_col: str,
+    t0: str,
+    t1: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """(key, est_count) over the half-open time interval [t0, t1): sums
+    the interval's per-bucket sketch cells (cell-wise union), then takes
+    the min over depth rows — still a strict over-estimate, computed
+    without touching a single raw event row."""
+    cells = (
+        windowed_sketch.where(
+            (F.col("bucket_start") >= F.lit(t0).cast("timestamp_ntz"))
+            & (F.col("bucket_start") < F.lit(t1).cast("timestamp_ntz"))
+        )
+        .groupBy("sketch_row", "bucket")
+        .agg(F.sum("cell_count").alias("cell_count"))
+    )
+    return _cms_min_estimate(
+        candidates, cells, key_col=key_col, depth=depth, width=width
+    )

@@ -247,3 +247,48 @@ def test_cms_sketch_size_is_bounded_by_config(spark):
     df = spark.range(0, 10000).select((F.col("id") % 997).alias("k"))
     sk = terms.cms_sketch(df, key_col="k", depth=4, width=32)
     assert sk.count() <= 4 * 32
+
+
+def test_cms_windowed_linearity_and_interval_bound(spark):
+    import datetime as dt
+
+    rows = []
+    for day in (1, 2, 3):
+        for i in range(20 * day):  # key i%4, heavier later days
+            rows.append((i % 4, dt.datetime(2024, 1, day, 12, 0, 0)))
+    df = spark.createDataFrame(rows, "k long, ts timestamp_ntz")
+    depth, width = 2, 8
+    sw = terms.cms_sketch_windowed(
+        df, key_col="k", ts_col="ts", grain="day", depth=depth, width=width
+    )
+    # linearity: summing the per-day cells over ALL days == one direct
+    # sketch of the whole table
+    summed = {
+        (r["sketch_row"], r["bucket"]): r["cell_count"]
+        for r in sw.groupBy("sketch_row", "bucket")
+        .agg(F.sum("cell_count").alias("cell_count"))
+        .collect()
+    }
+    direct = {
+        (r["sketch_row"], r["bucket"]): r["cell_count"]
+        for r in terms.cms_sketch(df, key_col="k", depth=depth, width=width).collect()
+    }
+    assert summed == direct
+    # interval estimate over days 2-3 never under-counts the true count
+    cand = df.select("k").distinct()
+    est = {
+        r["k"]: r["est_count"]
+        for r in terms.cms_interval_estimate(
+            sw, cand, key_col="k",
+            t0="2024-01-02 00:00:00", t1="2024-01-04 00:00:00",
+            depth=depth, width=width,
+        ).collect()
+    }
+    true = {
+        r["k"]: r["n"]
+        for r in df.where(F.col("ts") >= F.lit("2024-01-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("k").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(est) == set(true)
+    for k, t in true.items():
+        assert est[k] >= t
