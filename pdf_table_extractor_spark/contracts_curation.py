@@ -4314,3 +4314,96 @@ def q_cms_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("true_count"), F.lit(0)).alias("true_count"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus drift (terms.corpus_divergence) + Zipf health fit (terms.zipf_fit)
+# ---------------------------------------------------------------------------
+
+_DRIFT_JS = (
+    "(CASE WHEN pa > 0 THEN pa * log2(pa / ((pa + pb) / 2.0)) ELSE 0.0 END"
+    " + CASE WHEN pb > 0 THEN pb * log2(pb / ((pa + pb) / 2.0)) ELSE 0.0 END)"
+    " / 2.0"
+)
+
+_DRIFT_CTES = f"""
+  ta AS (SELECT unnest(string_split({SQ}, ' ')) AS token
+         FROM documents WHERE doc_id % 2 = 0),
+  tb AS (SELECT unnest(string_split({SQ}, ' ')) AS token
+         FROM documents WHERE doc_id % 2 = 1),
+  ha AS (SELECT token, COUNT(*) AS n_a FROM ta GROUP BY 1),
+  hb AS (SELECT token, COUNT(*) AS n_b FROM tb GROUP BY 1),
+  j AS (SELECT token, COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+        FROM ha FULL OUTER JOIN hb USING (token)),
+  tot AS (SELECT CAST(SUM(n_a) AS DOUBLE) AS na,
+                 CAST(SUM(n_b) AS DOUBLE) AS nb FROM j),
+  pt AS (SELECT token, n_a, n_b, n_a / na AS pa, n_b / nb AS pb
+         FROM j, tot)
+"""
+
+
+def _drift_sides(spark: SparkSession, sf_dir: str):
+    docs = load(spark, sf_dir, "documents")
+    return docs.where(F.col("doc_id") % 2 == 0), docs.where(F.col("doc_id") % 2 == 1)
+
+
+@contract(
+    "q_token_drift",
+    f"""
+    WITH {_DRIFT_CTES}
+    SELECT token, n_a, n_b, ROUND(pa, 9) AS p_a, ROUND(pb, 9) AS p_b,
+           ROUND({_DRIFT_JS}, 9) AS js_term
+    FROM pt WHERE n_a + n_b >= 5
+    """,
+)
+def q_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which tokens moved between the even- and odd-doc snapshot halves:
+    per-token Jensen–Shannon contributions in bits, supported tokens
+    only — the drift diagnosis table a crawl-QA dashboard sorts by."""
+    a, b = _drift_sides(spark, sf_dir)
+    return terms.corpus_divergence(a, b, min_count=5)
+
+
+@contract(
+    "q_corpus_divergence",
+    f"""
+    WITH {_DRIFT_CTES},
+    per AS (SELECT n_a, n_b, ROUND({_DRIFT_JS}, 9) AS js_term FROM pt)
+    SELECT ROUND(SUM(js_term), 6) AS js_bits,
+           CAST(SUM(CASE WHEN n_a > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_a,
+           CAST(SUM(CASE WHEN n_b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_b,
+           CAST(COUNT(*) AS BIGINT) AS vocab_union,
+           CAST(SUM(n_a) AS BIGINT) AS tokens_a,
+           CAST(SUM(n_b) AS BIGINT) AS tokens_b
+    FROM per
+    """,
+)
+def q_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row snapshot-drift monitor: total JS divergence in bits
+    between the two corpus halves plus vocabulary/token-mass tallies —
+    run per crawl before admitting it to the training mix."""
+    a, b = _drift_sides(spark, sf_dir)
+    return terms.corpus_divergence_summary(a, b)
+
+
+@contract(
+    "q_zipf_fit",
+    f"""
+    WITH toks AS (SELECT unnest(string_split({SQ}, ' ')) AS token FROM documents),
+    h AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY 1),
+    top AS (SELECT token, n FROM h ORDER BY n DESC, token LIMIT 512),
+    xy AS (SELECT ln(ROW_NUMBER() OVER (ORDER BY n DESC, token)) AS x,
+                  ln(n) AS y
+           FROM top)
+    SELECT ROUND(regr_slope(y, x), 5) AS slope,
+           ROUND(regr_intercept(y, x), 5) AS intercept,
+           ROUND(regr_r2(y, x), 5) AS r2,
+           CAST(COUNT(*) AS BIGINT) AS n_ranks
+    FROM xy
+    """,
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank–frequency OLS over the head vocabulary: natural text
+    sits near slope −1; machine-generated or boilerplate-flooded
+    corpora collapse the slope/r² — a one-row corpus-health gate."""
+    return terms.zipf_fit(load(spark, sf_dir, "documents"), top_n=512)

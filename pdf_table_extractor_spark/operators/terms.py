@@ -487,3 +487,120 @@ def cms_interval_estimate(
     return _cms_min_estimate(
         candidates, cells, key_col=key_col, depth=depth, width=width
     )
+
+
+def token_histogram(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """(token, n): the corpus unigram table — ONE map-side-combinable
+    hash aggregate regardless of corpus size; the output is
+    vocabulary-scale, not corpus-scale."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def corpus_divergence(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Per-token Jensen–Shannon drift table between two corpus
+    snapshots: (token, n_a, n_b, p_a, p_b, js_term), where js_term is
+    the token's contribution (in bits) to JS(p_a ‖ p_b) — ranking by it
+    names exactly which tokens moved between snapshots (new spam
+    vocabulary, a source shifting language, a scraper bug dropping
+    markup). JS rather than KL because it is finite when a token exists
+    on only one side (that token contributes p/2 bits).
+
+    Scale: one unigram aggregate per side (vocabulary-sized outputs), a
+    vocabulary-scale full-outer equi-join, and a 1-row broadcast of the
+    two token totals — the corpora are each read once and never joined
+    row-to-row. ``min_count`` bounds the emitted table to tokens with
+    support (the long tail's js_terms are individually negligible but
+    keep the FULL tail when summing — see corpus_divergence_summary).
+
+    Cross-engine: probabilities are exact integer divisions in double,
+    js_term is rounded to 9 decimals; both replay in ANSI SQL as
+    ``p * log2(p / ((p_a+p_b)/2))`` guarded by CASE WHEN p > 0."""
+    ha = token_histogram(a, text_col=text_col).withColumnRenamed("n", "n_a")
+    hb = token_histogram(b, text_col=text_col).withColumnRenamed("n", "n_b")
+    j = ha.join(hb, "token", "full_outer").select(
+        "token",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    )
+    tot = j.agg(
+        F.sum("n_a").cast("double").alias("__na"),
+        F.sum("n_b").cast("double").alias("__nb"),
+    )
+    p_a = F.col("n_a") / F.col("__na")
+    p_b = F.col("n_b") / F.col("__nb")
+    m = (p_a + p_b) / F.lit(2.0)
+
+    def side(p):
+        return F.when(p > 0, p * F.log2(p / m)).otherwise(F.lit(0.0))
+
+    js = (side(p_a) + side(p_b)) / F.lit(2.0)
+    out = j.crossJoin(F.broadcast(tot)).select(
+        "token",
+        "n_a",
+        "n_b",
+        F.round(p_a, 9).alias("p_a"),
+        F.round(p_b, 9).alias("p_b"),
+        F.round(js, 9).alias("js_term"),
+    )
+    if min_count > 1:
+        out = out.where(F.col("n_a") + F.col("n_b") >= min_count)
+    return out
+
+
+def corpus_divergence_summary(
+    a: DataFrame, b: DataFrame, *, text_col: str = "text"
+) -> DataFrame:
+    """One-row corpus drift monitor: total JS divergence in bits
+    (0 = identical token distributions, 1 = disjoint) plus vocabulary
+    and token-mass tallies per side — the cheap per-snapshot health
+    check a pipeline runs before committing a new crawl into the
+    training mix. Sums the FULL vocabulary's rounded js_terms (the
+    per-token table's min_count filter would bias the total)."""
+    d = corpus_divergence(a, b, text_col=text_col, min_count=1)
+    return d.agg(
+        F.round(F.sum("js_term"), 6).alias("js_bits"),
+        F.sum((F.col("n_a") > 0).cast("long")).alias("vocab_a"),
+        F.sum((F.col("n_b") > 0).cast("long")).alias("vocab_b"),
+        F.count("*").alias("vocab_union"),
+        F.sum("n_a").alias("tokens_a"),
+        F.sum("n_b").alias("tokens_b"),
+    )
+
+
+def zipf_fit(df: DataFrame, *, text_col: str = "text", top_n: int = 512) -> DataFrame:
+    """One-row Zipf rank–frequency fit over the head vocabulary: OLS of
+    ln(count) on ln(rank) for the ``top_n`` most frequent tokens →
+    (slope, intercept, r2, n_ranks). Natural text sits near slope −1
+    with r² ≈ 0.98+; a slope collapsing toward 0 or an r² falling off a
+    cliff is the classic symptom of machine-generated/boilerplate-
+    flooded corpora — a one-row QA gate per source or snapshot.
+
+    Scale: the unigram aggregate is the only corpus-wide pass; the
+    top-n extraction is a distributed TakeOrdered, and the rank window
+    runs on ≤ top_n rows (model-sized by construction, so the global
+    window is NOT the usual anti-pattern). Ties are broken by token
+    string so ranks replay exactly in any engine."""
+    h = token_histogram(df, text_col=text_col)
+    top = h.orderBy(F.desc("n"), F.asc("token")).limit(top_n)
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    xy = top.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    slope = F.covar_pop("x", "y") / F.var_pop("x")
+    return xy.agg(
+        F.round(slope, 5).alias("slope"),
+        F.round(F.avg("y") - slope * F.avg("x"), 5).alias("intercept"),
+        F.round(F.pow(F.corr("x", "y"), F.lit(2.0)), 5).alias("r2"),
+        F.count("*").alias("n_ranks"),
+    )

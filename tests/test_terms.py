@@ -292,3 +292,67 @@ def test_cms_windowed_linearity_and_interval_bound(spark):
     assert set(est) == set(true)
     for k, t in true.items():
         assert est[k] >= t
+
+
+def test_corpus_divergence_identical_zero_disjoint_one(spark):
+    a = spark.createDataFrame(
+        [(1, "x y z x"), (2, "x q y")], "doc_id long, text string"
+    )
+    same = terms.corpus_divergence_summary(a, a).collect()[0]
+    assert same["js_bits"] == 0.0
+    assert same["vocab_a"] == same["vocab_b"] == same["vocab_union"]
+    b = spark.createDataFrame([(3, "m n"), (4, "o p m")], "doc_id long, text string")
+    dis = terms.corpus_divergence_summary(a, b).collect()[0]
+    assert abs(dis["js_bits"] - 1.0) < 1e-6
+    assert dis["vocab_union"] == dis["vocab_a"] + dis["vocab_b"]
+    assert dis["tokens_a"] == 7 and dis["tokens_b"] == 5
+
+
+def test_corpus_divergence_matches_pure_python(spark):
+    import collections
+    import math
+
+    docs_a = ["the cat sat", "the dog ran the mile", "cat cat dog"]
+    docs_b = ["the cat slept", "a dog barked loudly", "the the the end"]
+    a = spark.createDataFrame(list(enumerate(docs_a)), "doc_id long, text string")
+    b = spark.createDataFrame(list(enumerate(docs_b)), "doc_id long, text string")
+
+    ca = collections.Counter(t for d in docs_a for t in d.split())
+    cb = collections.Counter(t for d in docs_b for t in d.split())
+    na, nb = sum(ca.values()), sum(cb.values())
+    expected = 0.0
+    for tok in set(ca) | set(cb):
+        pa, pb = ca[tok] / na, cb[tok] / nb
+        m = (pa + pb) / 2
+        term = 0.0
+        if pa > 0:
+            term += pa * math.log2(pa / m)
+        if pb > 0:
+            term += pb * math.log2(pb / m)
+        expected += round(term / 2, 9)
+
+    got = terms.corpus_divergence_summary(a, b).collect()[0]
+    assert abs(got["js_bits"] - round(expected, 6)) < 2e-6
+    # per-token table agrees on a specific mover
+    per = {
+        r["token"]: r
+        for r in terms.corpus_divergence(a, b, min_count=1).collect()
+    }
+    assert per["the"]["n_a"] == 3 and per["the"]["n_b"] == 4
+    assert per["sat"]["n_b"] == 0 and per["sat"]["p_b"] == 0.0
+
+
+def test_zipf_fit_recovers_exponent(spark):
+    # token_i repeated round(2000 / i) times -> exact Zipf, slope -1
+    words = []
+    for i in range(1, 51):
+        words.extend([f"tok{i:03d}"] * round(2000 / i))
+    # spread across docs so the aggregate actually reduces
+    docs = [
+        (d, " ".join(words[d::10])) for d in range(10)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    row = terms.zipf_fit(df, top_n=50).collect()[0]
+    assert row["n_ranks"] == 50
+    assert -1.02 < row["slope"] < -0.98
+    assert row["r2"] > 0.999
