@@ -124,30 +124,41 @@ def main() -> None:
     if cores:
         out["sidecar_steady_state_cores_big_runs"] = cores
 
-    # in-flight bus conditioning (round-4: tools/bus_probe.py): re-normalize
-    # each rep's per-leg ambient slowdown to the CAMPAIGN-wide cleanest
-    # burst, then report the efficiency medians over the subset of reps
-    # whose big legs both ran on a quiet bus. This is the honest answer to
-    # "what does the engine scale like when the shared host isn't busy" —
-    # conditioning on measured state during the run, not cherry-picking.
+    # in-flight bus conditioning (round-4: tools/bus_probe.py): the probe
+    # measures copy-burst time DURING each leg, but the engine's own
+    # bandwidth use is part of that signal — an absolute threshold can
+    # never be met mid-leg. Self-load is differenced out by construction
+    # instead: every rep runs IDENTICAL code+corpus per leg type, so the
+    # campaign-wide minimum burst-median for a given leg type is the
+    # quietest EXTERNAL window observed under that exact self-load, and a
+    # rep's ambient ratio over that per-leg floor isolates external
+    # interference. Reps whose big legs all sit within the threshold of
+    # their leg floors are 'bus-clean relative' — the honest answer to
+    # "what does the engine scale like when the shared host isn't busy",
+    # conditioned on state measured during the run, not cherry-picked.
     probed = [r for r in reps if r.get("bus_probe")]
     if probed:
-        floor = min(
-            p["burst_min_s"]
-            for r in probed
-            for p in r["bus_probe"].values()
-            if p.get("n_samples")
-        )
-        clean_threshold = 1.10
+        leg_floor: dict[str, float] = {}
+        for r in probed:
+            for c in levels:
+                key = f"local{c}_big"
+                p = r["bus_probe"].get(f"local{c}_n{r['n_docs']}")
+                if p and p.get("n_samples"):
+                    m = p["burst_median_s"]
+                    leg_floor[key] = min(leg_floor.get(key, m), m)
+        clean_threshold = 1.15
         for r in probed:
             for c in levels:
                 p = r["bus_probe"].get(f"local{c}_n{r['n_docs']}")
                 if p and p.get("n_samples"):
                     r[f"bus_ambient_local{c}_big"] = round(
-                        p["burst_median_s"] / floor, 3
+                        p["burst_median_s"] / leg_floor[f"local{c}_big"], 3
                     )
-        out["bus_burst_floor_s"] = round(floor, 4)
+        out["bus_leg_floor_s"] = {k: round(v, 4) for k, v in leg_floor.items()}
         out["bus_clean_threshold"] = clean_threshold
+        # the floor rep is clean by definition — with few probed reps the
+        # conditioning is weak; n_bus_probed_reps makes that visible
+        out["n_bus_probed_reps"] = len(probed)
         for lo, hi in pairs:
             clean = [
                 r
