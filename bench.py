@@ -65,6 +65,10 @@ HEADLINE = [
     # (gear-hash filter + nested binds); regressions in HOF re-inlining
     # or Janino fallback show up here first
     "q_cdc_chunks",
+    # round-4 late: corpus drift — dual unigram aggregates + a
+    # vocabulary-scale full-outer join + 1-row totals broadcast (a join
+    # topology no other headliner exercises)
+    "q_corpus_divergence",
 ]
 
 

@@ -4407,3 +4407,52 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sits near slope −1; machine-generated or boilerplate-flooded
     corpora collapse the slope/r² — a one-row corpus-health gate."""
     return terms.zipf_fit(load(spark, sf_dir, "documents"), top_n=512)
+
+
+@contract(
+    "q_ngram_diversity",
+    f"""
+    WITH toks AS (SELECT source, string_split({SQ}, ' ') AS t FROM documents),
+    g1 AS (SELECT source, unnest(t) AS g FROM toks),
+    g2 AS (SELECT source, unnest(list_transform(
+             generate_series(1, greatest(len(t) - 1, 0)),
+             i -> t[i] || ' ' || t[i+1])) AS g FROM toks),
+    g3 AS (SELECT source, unnest(list_transform(
+             generate_series(1, greatest(len(t) - 2, 0)),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g FROM toks),
+    d AS (SELECT source, 1 AS n, g FROM g1
+          UNION ALL SELECT source, 2 AS n, g FROM g2
+          UNION ALL SELECT source, 3 AS n, g FROM g3)
+    SELECT source, n, CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+           CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_ngrams,
+           ROUND(COUNT(DISTINCT g) / COUNT(*), 6) AS distinct_ratio
+    FROM d GROUP BY 1, 2
+    """,
+)
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-1/2/3 diversity per source: the template/synthetic-flood
+    detector — machine-repeated slices collapse the higher-order
+    distinct ratios long before a human notices."""
+    return terms.ngram_diversity(load(spark, sf_dir, "documents"), by="source")
+
+
+@contract(
+    "q_token_entropy",
+    f"""
+    WITH toks AS (SELECT source, unnest(string_split({SQ}, ' ')) AS token
+                  FROM documents),
+    per AS (SELECT source, token, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    tot AS (SELECT source, CAST(SUM(c) AS DOUBLE) AS N FROM per GROUP BY 1)
+    SELECT source,
+           ROUND(-SUM(ROUND(c / N * log2(c / N), 9)), 6) AS entropy_bits,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(c) AS BIGINT) AS n_tokens
+    FROM per JOIN tot USING (source)
+    GROUP BY 1
+    """,
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram Shannon entropy: low entropy at high token
+    volume marks spam-flooded/boilerplate-dominated sources — with
+    q_zipf_fit and q_corpus_divergence, the corpus-health panel."""
+    return terms.token_entropy(load(spark, sf_dir, "documents"), by="source")

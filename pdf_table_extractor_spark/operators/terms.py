@@ -604,3 +604,81 @@ def zipf_fit(df: DataFrame, *, text_col: str = "text", top_n: int = 512) -> Data
         F.round(F.pow(F.corr("x", "y"), F.lit(2.0)), 5).alias("r2"),
         F.count("*").alias("n_ranks"),
     )
+
+
+def ngram_diversity(
+    df: DataFrame,
+    *,
+    by: str = "source",
+    text_col: str = "text",
+    n_max: int = 3,
+) -> DataFrame:
+    """Distinct-n diversity per slice: (by, n, total_ngrams,
+    distinct_ngrams, distinct_ratio) for n = 1..n_max — the
+    distinct-n / Self-BLEU-adjacent QA metric that flags template-
+    generated or synthetic-flooded slices (their higher-order ratios
+    collapse long before eyeballs notice).
+
+    Scale: per n, one (slice, gram) hash aggregate then one slice
+    aggregate — exact distinct counting WITHOUT countDistinct's
+    per-group set state, partial-combinable all the way; the corpus is
+    scanned once per n (unionable upstream if the scan dominates)."""
+    from pdf_table_extractor_spark.operators.dedup import shingles
+
+    outs = []
+    for n in range(1, n_max + 1):
+        grams = df.select(
+            F.col(by), F.explode(shingles(F.col(text_col), n)).alias("g")
+        )
+        per = grams.groupBy(by, "g").agg(F.count("*").alias("c"))
+        outs.append(
+            per.groupBy(by)
+            .agg(
+                F.count("*").alias("distinct_ngrams"),
+                F.sum("c").alias("total_ngrams"),
+            )
+            .withColumn("n", F.lit(n))
+        )
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionByName(o)
+    return u.select(
+        by,
+        "n",
+        "total_ngrams",
+        "distinct_ngrams",
+        F.round(
+            F.col("distinct_ngrams") / F.col("total_ngrams"), 6
+        ).alias("distinct_ratio"),
+    )
+
+
+def token_entropy(
+    df: DataFrame, *, by: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-slice unigram Shannon entropy in bits: (by, entropy_bits,
+    vocab, n_tokens). Low entropy at high volume = a slice dominated by
+    a few tokens (spam floods, boilerplate); pairs with zipf_fit as the
+    per-source corpus-health panel.
+
+    Scale: one (slice, token) aggregate, one slice-total aggregate, an
+    equi-join on the slice key, one closing aggregate — all hash
+    aggregates, vocabulary-scale after the first. Per-token entropy
+    terms are rounded to 9 decimals before summing so the total replays
+    exactly in external SQL regardless of addition order."""
+    per = (
+        df.select(F.col(by), F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy(by, "token")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = per.groupBy(by).agg(F.sum("c").cast("double").alias("__N"))
+    p = F.col("c") / F.col("__N")
+    return (
+        per.join(tot, by)
+        .groupBy(by)
+        .agg(
+            F.round(-F.sum(F.round(p * F.log2(p), 9)), 6).alias("entropy_bits"),
+            F.count("*").alias("vocab"),
+            F.sum("c").alias("n_tokens"),
+        )
+    )

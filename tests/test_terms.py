@@ -356,3 +356,50 @@ def test_zipf_fit_recovers_exponent(spark):
     assert row["n_ranks"] == 50
     assert -1.02 < row["slope"] < -0.98
     assert row["r2"] > 0.999
+
+
+def test_token_entropy_uniform_and_skewed(spark):
+    # uniform over 4 tokens -> exactly 2 bits; 1 token -> 0 bits
+    df = spark.createDataFrame(
+        [(1, "a b c d a b c d", "u"), (2, "x x x x", "k")],
+        "doc_id long, text string, source string",
+    )
+    rows = {r["source"]: r for r in terms.token_entropy(df, by="source").collect()}
+    assert rows["u"]["entropy_bits"] == 2.0 and rows["u"]["vocab"] == 4
+    assert rows["k"]["entropy_bits"] == -0.0 or rows["k"]["entropy_bits"] == 0.0
+    assert rows["k"]["n_tokens"] == 4 and rows["k"]["vocab"] == 1
+
+
+def test_token_entropy_matches_pure_python(spark):
+    import collections
+    import math
+
+    docs = ["the cat sat on the mat", "the dog the cat", "mat mat dog run"]
+    df = spark.createDataFrame(
+        [(i, t, "s") for i, t in enumerate(docs)],
+        "doc_id long, text string, source string",
+    )
+    c = collections.Counter(t for d in docs for t in d.split())
+    n = sum(c.values())
+    expected = -sum(round(v / n * math.log2(v / n), 9) for v in c.values())
+    got = terms.token_entropy(df, by="source").collect()[0]
+    assert abs(got["entropy_bits"] - round(expected, 6)) < 1e-9
+
+
+def test_ngram_diversity_flags_repetition(spark):
+    unique = " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, unique, "fresh"), (2, "spam ham " * 30, "loop")],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        (r["source"], r["n"]): r
+        for r in terms.ngram_diversity(df, by="source").collect()
+    }
+    assert rows[("fresh", 1)]["distinct_ratio"] == 1.0
+    assert rows[("fresh", 2)]["distinct_ratio"] == 1.0
+    # the loop slice collapses: 60 unigrams but only 2 distinct
+    assert rows[("loop", 1)]["distinct_ngrams"] == 2
+    assert rows[("loop", 1)]["total_ngrams"] == 60
+    assert rows[("loop", 2)]["distinct_ngrams"] == 2  # 'spam ham', 'ham spam'
+    assert rows[("loop", 3)]["distinct_ratio"] < 0.05
