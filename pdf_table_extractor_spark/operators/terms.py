@@ -525,8 +525,22 @@ def corpus_divergence(
     Cross-engine: probabilities are exact integer divisions in double,
     js_term is rounded to 9 decimals; both replay in ANSI SQL as
     ``p * log2(p / ((p_a+p_b)/2))`` guarded by CASE WHEN p > 0."""
-    ha = token_histogram(a, text_col=text_col).withColumnRenamed("n", "n_a")
-    hb = token_histogram(b, text_col=text_col).withColumnRenamed("n", "n_b")
+    return divergence_from_histograms(
+        token_histogram(a, text_col=text_col),
+        token_histogram(b, text_col=text_col),
+        min_count=min_count,
+    )
+
+
+def divergence_from_histograms(
+    hist_a: DataFrame, hist_b: DataFrame, *, min_count: int = 1
+) -> DataFrame:
+    """corpus_divergence's math over PRE-AGGREGATED (token, n) unigram
+    tables — the shared core that lets a streaming-maintained histogram
+    snapshot (streaming/drift.py) be drift-checked with byte-identical
+    semantics to the batch operator."""
+    ha = hist_a.withColumnRenamed("n", "n_a")
+    hb = hist_b.withColumnRenamed("n", "n_b")
     j = ha.join(hb, "token", "full_outer").select(
         "token",
         F.coalesce("n_a", F.lit(0)).alias("n_a"),
@@ -566,7 +580,12 @@ def corpus_divergence_summary(
     check a pipeline runs before committing a new crawl into the
     training mix. Sums the FULL vocabulary's rounded js_terms (the
     per-token table's min_count filter would bias the total)."""
-    d = corpus_divergence(a, b, text_col=text_col, min_count=1)
+    return summarize_divergence(corpus_divergence(a, b, text_col=text_col, min_count=1))
+
+
+def summarize_divergence(d: DataFrame) -> DataFrame:
+    """Fold a per-token divergence table (corpus_divergence /
+    divergence_from_histograms output) into the 1-row monitor."""
     return d.agg(
         F.round(F.sum("js_term"), 6).alias("js_bits"),
         F.sum((F.col("n_a") > 0).cast("long")).alias("vocab_a"),

@@ -466,3 +466,78 @@ def test_streaming_cms_folds_to_direct_sketch_and_replays_exactly(spark, tmp_pat
         for r in sm.read_snapshot(spark, root).collect()
     }
     assert again == final
+
+
+def test_streaming_drift_monitor_folds_and_probes(spark, tmp_path):
+    """Document stream → per-batch unigram fold → versioned histogram
+    commits: the final histogram equals one direct token_histogram over
+    all docs; replaying a committed batch is byte-identical (count
+    addition is non-idempotent — the pinned base IS the safety); and
+    the drift probe over the maintained state equals the batch
+    corpus_divergence_summary over the equivalent raw corpora."""
+    import pandas as pd
+
+    from pdf_table_extractor_spark.operators import terms
+    from pdf_table_extractor_spark.streaming import drift as dr
+    from pdf_table_extractor_spark.streaming import merge as sm
+
+    root = str(tmp_path / "hist")
+    ck = str(tmp_path / "ck")
+    ev_dir = tmp_path / "docs"
+    ev_dir.mkdir()
+
+    dr.init_histogram(spark, root)
+
+    b1 = pd.DataFrame({"text": ["the cat sat", "the dog ran"] * 3})
+    b2 = pd.DataFrame({"text": ["a cat slept", "the end"] * 2})
+    b1.to_parquet(ev_dir / "b1.parquet", index=False)
+    b2.to_parquet(ev_dir / "b2.parquet", index=False)
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    _os.utime(ev_dir / "b1.parquet", (now - 10, now - 10))
+    _os.utime(ev_dir / "b2.parquet", (now, now))
+
+    stream = (
+        spark.readStream.schema("text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(ev_dir))
+    )
+    q = dr.start_histogram_maintenance(stream, root, ck)
+    q.awaitTermination(120)
+
+    assert sm.current_version(root) == "v_2"
+    final = {
+        r["token"]: r["n"] for r in sm.read_snapshot(spark, root).collect()
+    }
+    both = spark.createDataFrame(pd.concat([b1, b2]))
+    direct = {
+        r["token"]: r["n"]
+        for r in terms.token_histogram(both).collect()
+    }
+    assert final == direct
+
+    # replay: batch 1 against its pinned base v_1 -> byte-identical v_2
+    dr.apply_histogram_batch(spark, spark.createDataFrame(b2), 1, root)
+    again = {
+        r["token"]: r["n"] for r in sm.read_snapshot(spark, root).collect()
+    }
+    assert again == final
+
+    # drift probe over maintained state == batch summary over raw docs
+    ref_docs = spark.createDataFrame(
+        pd.DataFrame({"text": ["the cat sat on a mat", "dogs bark"]})
+    )
+    per, summary = dr.drift_vs_reference(
+        spark, root, terms.token_histogram(ref_docs)
+    )
+    got = summary.collect()[0]
+    want = terms.corpus_divergence_summary(both, ref_docs).collect()[0]
+    assert got.asDict() == want.asDict()
+    # time-travel drift: v_1 reflects only batch 1's vocabulary
+    per1, _ = dr.drift_vs_reference(
+        spark, root, terms.token_histogram(ref_docs), version="v_1"
+    )
+    v1_tokens = {r["token"] for r in per1.where("n_a > 0").collect()}
+    assert "slept" not in v1_tokens and "cat" in v1_tokens
