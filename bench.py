@@ -174,6 +174,10 @@ def main() -> None:
         "scaling_1_to_4_r3_pinned": "scaling_r3d_14.json",
         "scaling_1_to_4_r3_unpinned_rerun": "scaling_r3c_14.json",
         "scaling_1_to_4_r4": "scaling_r4_14.json",
+        # round-4 in-flight-probed campaigns (Q/R): every rep carries the
+        # bus state measured DURING its legs; assembly conditions on
+        # per-leg-type floors (BENCH/BASELINE.md round-4 section)
+        "scaling_1_to_4_r4_probed": "scaling_r4q_14.json",
     }
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -194,9 +198,19 @@ def main() -> None:
             payload[key] = summary
     payload["queries"] = q_times  # LAST: survives a kept-tail truncation
     line = json.dumps(payload)
-    if len(line) > 3800:  # driver keeps ~4k; never let scaling crowd queries
-        for key in scaling_keys:
-            payload.pop(key, None)
+    # driver keeps ~4k; never let scaling crowd queries. Drop the OLDEST
+    # evidence first so the newest campaign summary survives longest.
+    drop_order = [
+        "scaling_1_to_4",
+        "scaling_1_to_4_r3",
+        "scaling_1_to_4_r3_unpinned_rerun",
+        "scaling_1_to_4_r3_pinned",
+        "scaling",
+        "scaling_1_to_4_r4",
+        "scaling_1_to_4_r4_probed",
+    ]
+    while len(line) > 3800 and drop_order:
+        payload.pop(drop_order.pop(0), None)
         line = json.dumps(payload)
     print(line)
 

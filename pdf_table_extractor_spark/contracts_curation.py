@@ -4456,3 +4456,80 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume marks spam-flooded/boilerplate-dominated sources — with
     q_zipf_fit and q_corpus_divergence, the corpus-health panel."""
     return terms.token_entropy(load(spark, sf_dir, "documents"), by="source")
+
+
+@contract(
+    "q_hll_distinct",
+    f"""
+    WITH toks AS ({TOKS}),
+    sh AS (SELECT source AS slice, unnest(list_transform(
+             generate_series(1, greatest(len(t) - 2, 0)),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM toks),
+    v AS (SELECT slice, ('0x' || substr(md5(s), 1, 8))::UBIGINT AS v FROM sh),
+    b AS (SELECT slice, CAST(v >> 24 AS INT) AS register,
+                 CAST(25 - length(regexp_replace(
+                     bin(CAST(v % 16777216 AS BIGINT)), '^0+', '')) AS INT) AS rho
+          FROM v),
+    regs AS (SELECT slice, register, MAX(rho) AS max_rho FROM b GROUP BY 1, 2)
+    SELECT slice, COUNT(*) AS n_registers_set,
+           ROUND(47072.71267120224 /
+                 ((256.0 - COUNT(*)) + SUM(pow(2.0, -max_rho))), 4) AS hll_estimate
+    FROM regs GROUP BY slice
+    """,
+)
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-shingle estimate per source (terms.hll_distinct,
+    p=8 → 256 registers): the MERGEABLE counterpart of q_kmv_distinct —
+    register tables fold across shards/days by per-register max
+    (terms.hll_merge, exactness tested in test_sketches) and the raw
+    harmonic estimator avoids ln() so even the approximation is
+    engine-exact. The oracle replays hash → register/rank → estimate."""
+    d = load(spark, sf_dir, "documents")
+    sh = d.select(
+        F.col("source"), F.explode(dedup.shingles(F.col("text"), 3)).alias("s")
+    )
+    return terms.hll_distinct(sh, key_expr=F.col("s"), by="source", p=8)
+
+
+@contract(
+    "q_paragraph_dedup",
+    rf"""
+    WITH sp AS (
+      SELECT doc_id, regexp_split_to_array(text,
+        '\s*\b(?:the|a)\b\s*') AS arr
+      FROM documents
+    ),
+    p AS (SELECT doc_id, CAST(generate_subscripts(arr, 1) - 1 AS INT) AS para_idx,
+                 unnest(arr) AS para
+          FROM sp),
+    np AS (SELECT doc_id, para_idx, para,
+                  md5(trim(regexp_replace(lower(para), '\s+', ' ', 'g'))) AS para_key
+           FROM p
+           WHERE length(trim(regexp_replace(lower(para), '\s+', ' ', 'g'))) > 0),
+    rk AS (SELECT *, row_number() OVER (PARTITION BY para_key
+                                        ORDER BY doc_id, para_idx) AS r
+           FROM np),
+    kept AS (SELECT doc_id, para_idx, para FROM rk WHERE r = 1),
+    stats AS (SELECT doc_id, COUNT(*) AS n_paras FROM np GROUP BY 1),
+    reb AS (SELECT doc_id, string_agg(para, chr(10) ORDER BY para_idx) AS clean_text,
+                   COUNT(*) AS n_kept
+            FROM kept GROUP BY 1)
+    SELECT s.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+           s.n_paras, s.n_paras - COALESCE(r.n_kept, 0) AS n_dropped
+    FROM stats s LEFT JOIN reb r USING (doc_id)
+    """,
+)
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide keep-first paragraph dedup + document reconstruction
+    (dedup.paragraph_dedup — CCNet §3.1 semantics). documents.parquet is
+    newline-free token soup, so the contract splits on the frequent
+    marker tokens 'the'/'a' — a deterministic stand-in boundary that
+    cuts the synth's PLANTED duplicate spans identically wherever they
+    recur (196 duplicate paragraphs at sf0.01); production corpora use
+    the default '\\n+'. The oracle replays the first-occurrence election
+    with a row_number window."""
+    return dedup.paragraph_dedup(
+        load(spark, sf_dir, "documents"),
+        split_pattern=r"\s*\b(?:the|a)\b\s*",
+        joiner="\n",
+    )

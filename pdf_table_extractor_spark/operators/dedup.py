@@ -356,6 +356,74 @@ def reassemble_lines(
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    split_pattern: str = r"\n+",
+    joiner: str = "\n",
+) -> DataFrame:
+    """Corpus-wide keep-first paragraph dedup with document
+    reconstruction (CCNet's per-paragraph hash dedup, Wenzek et al.
+    2019 §3.1): split every document into paragraphs, hash the
+    normalized paragraph, keep only its FIRST occurrence corpus-wide
+    (global (doc, position) order), and rebuild each document from its
+    surviving paragraphs. Complements ``drop_common_lines`` (which
+    removes EVERY instance of a template line): here one copy of each
+    repeated paragraph survives, so content is never lost, only
+    repetition.
+
+    Returns (id_col, clean_text, n_paras, n_dropped); documents whose
+    normalized text has no non-empty paragraph are absent from the
+    output (nothing to deduplicate).
+
+    Scale (100 TB): first-occurrence election is ONE hash aggregate on
+    the paragraph hash (min over a packed (doc, pos) struct — map-side
+    combinable), the keep/drop decision an equi-join back on the hash,
+    and reconstruction a per-document sorted-array aggregate — no
+    corpus-wide window, no driver state. Boilerplate paragraphs (the
+    operator's whole point) concentrate on single hash keys, but the
+    rows carried per key are skinny (hash, doc, pos) and the aggregate /
+    join are AQE-skew-splittable."""
+    paras = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), split_pattern)).alias(
+                "para_idx", "para"
+            ),
+        )
+        # normalize per paragraph for the HASH only (CCNet dedups on the
+        # normalized form but emits the raw paragraph); splitting must see
+        # the RAW text — squeeze_lower would erase the '\n' boundaries.
+        .withColumn("__norm", squeeze_lower(F.col("para")))
+        .where(F.length("__norm") > 0)
+        .withColumn("para_key", F.md5(F.col("__norm")))
+        .drop("__norm")
+    )
+    first = paras.groupBy("para_key").agg(
+        F.min(F.struct(F.col(id_col), F.col("para_idx"))).alias("__first")
+    )
+    kept = paras.join(first, "para_key").where(
+        (F.col(f"__first.{id_col}") == F.col(id_col))
+        & (F.col("__first.para_idx") == F.col("para_idx"))
+    )
+    packed = F.array_sort(F.collect_list(F.struct("para_idx", "para")))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(F.transform(packed, lambda s: s["para"]), joiner).alias(
+            "clean_text"
+        ),
+        F.count("*").alias("__n_kept"),
+    )
+    stats = paras.groupBy(id_col).agg(F.count("*").alias("n_paras"))
+    return stats.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        "n_paras",
+        (F.col("n_paras") - F.coalesce("__n_kept", F.lit(0))).alias("n_dropped"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact substring dedup (Lee et al. 2022, "Deduplicating Training Data
 # Makes Language Models Better"): remove the PASSAGES that repeat across

@@ -335,6 +335,110 @@ def kmv_distinct(
     )
 
 
+def hll_registers(
+    df: DataFrame,
+    *,
+    key_expr: Column,
+    by: str | None = None,
+    p: int = 8,
+) -> DataFrame:
+    """(slice, register, max_rho): HyperLogLog register table (Flajolet,
+    Fusy, Gandouet & Meunier 2007) over md5-hashed keys — per slice, the
+    maximum leading-zero rank observed in each of m = 2^p registers.
+
+    The register table IS the sketch: at most m rows per slice NO MATTER
+    the key cardinality, and mergeable by max-per-register union across
+    shards / days / stream micro-batches (see ``hll_merge``) — the
+    property KMV lacks (its k-minima need a re-sort to merge) and the
+    reason HLL is the standard distinct sketch at warehouse scale.
+
+    Cross-engine determinism: the 32-bit value is the first 8 hex chars
+    of md5 (shared with kmv/bloom/CMS); register = top p bits (integer
+    shift), rank rho = leading zeros of the remaining 32-p bits + 1,
+    computed from the length of the binary string (``bin`` prints no
+    leading zeros in both Spark and DuckDB; an all-zero suffix gives
+    bin='0' → stripped length 0 → rho = 32-p+1, the HLL convention).
+
+    Scale: ONE map-side-combinable hash aggregate; output bounded by the
+    CONFIG (2^p rows per slice), like the CMS cells and bloom words."""
+    w_bits = 32 - p
+    v = F.conv(F.substring(F.md5(key_expr.cast("string")), 1, 8), 16, 10).cast("long")
+    sl = F.col(by) if by else F.lit("all")
+    keyed = df.select(sl.alias("slice"), v.alias("__v"))
+    bitlen = F.length(
+        F.regexp_replace(F.bin(F.col("__v") % F.lit(1 << w_bits)), "^0+", "")
+    )
+    return (
+        keyed.select(
+            "slice",
+            F.shiftright(F.col("__v"), w_bits).cast("int").alias("register"),
+            (F.lit(w_bits + 1) - bitlen).cast("int").alias("rho"),
+        )
+        .groupBy("slice", "register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """Union HLL sketches: max per (slice, register) across register
+    tables. hll_merge(sketch(A), sketch(B)) == hll_registers(A ∪ B)
+    exactly (max is associative/commutative/idempotent), which is what
+    makes per-shard/per-day sketches foldable without re-scanning —
+    the same versioned-fold contract as the streaming CMS."""
+    out = register_tables[0]
+    for t in register_tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("slice", "register").agg(F.max("max_rho").alias("max_rho"))
+
+
+# Bias-correction constants (Flajolet et al. 2007 §4); m >= 128 uses the
+# closed form. Computed driver-side so both engines see ONE double literal.
+_HLL_ALPHA_SMALL = {4: 0.673, 5: 0.697, 6: 0.709}
+
+
+def hll_alpha_m2(p: int) -> float:
+    m = 1 << p
+    alpha = _HLL_ALPHA_SMALL.get(p, 0.7213 / (1.0 + 1.079 / m))
+    return alpha * m * m
+
+
+def hll_estimate(regs: DataFrame, *, p: int = 8) -> DataFrame:
+    """(slice, n_registers_set, hll_estimate): the raw harmonic-mean HLL
+    estimate from a register table. Deliberately the RAW estimator — no
+    small-range linear-counting branch, because ln() is libm-dependent
+    across engines while the harmonic path is IEEE-exact: 2^-rho terms
+    are dyadic (exact in double), their sum over ≤2^p register rows plus
+    the integer count of empty registers is exact, and the final
+    multiply/divide is correctly rounded — so even the APPROXIMATE
+    estimate replays bit-for-bit in any SQL engine (the kmv_distinct
+    property, kept for the mergeable sketch). Use kmv for small-range
+    accuracy, HLL registers for mergeability."""
+    m = 1 << p
+    est = regs.groupBy("slice").agg(
+        F.count("*").alias("n_registers_set"),
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("__s"),
+    )
+    denom = (F.lit(float(m)) - F.col("n_registers_set")) + F.col("__s")
+    return est.select(
+        "slice",
+        "n_registers_set",
+        F.round(F.lit(hll_alpha_m2(p)) / denom, 4).alias("hll_estimate"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    *,
+    key_expr: Column,
+    by: str | None = None,
+    p: int = 8,
+) -> DataFrame:
+    """Approximate distinct count per slice via HyperLogLog: compose
+    ``hll_registers`` → ``hll_estimate``. One aggregate over the data,
+    ≤2^p rows of state per slice, deterministic across engines."""
+    return hll_estimate(hll_registers(df, key_expr=key_expr, by=by, p=p), p=p)
+
+
 def cms_sketch(
     df: DataFrame,
     *,

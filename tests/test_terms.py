@@ -403,3 +403,55 @@ def test_ngram_diversity_flags_repetition(spark):
     assert rows[("loop", 1)]["total_ngrams"] == 60
     assert rows[("loop", 2)]["distinct_ngrams"] == 2  # 'spam ham', 'ham spam'
     assert rows[("loop", 3)]["distinct_ratio"] < 0.05
+
+
+def test_hll_estimate_accuracy_partitioning_invariance_and_python_replay(spark):
+    # 5000 distinct keys at p=8 (m=256): raw-estimator regime (n >> 2.5m),
+    # standard error 1.04/sqrt(256) ≈ 6.5% — assert within ~3 sigma.
+    df = spark.createDataFrame([(i, "s") for i in range(5000)], "k long, src string")
+    (row,) = terms.hll_distinct(df, key_expr=F.col("k"), by="src", p=8).collect()
+    assert 4000 < row["hll_estimate"] < 6000
+    assert row["n_registers_set"] <= 256
+    # deterministic under repartitioning (sketch is a pure set function)
+    (row2,) = terms.hll_distinct(
+        df.repartition(13), key_expr=F.col("k"), by="src", p=8
+    ).collect()
+    assert row2["hll_estimate"] == row["hll_estimate"]
+
+    # pure-python replay of the register table + estimate
+    import hashlib
+
+    regs: dict[int, int] = {}
+    for i in range(5000):
+        v = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        idx, w = v >> 24, v % (1 << 24)
+        rho = 25 - w.bit_length()
+        regs[idx] = max(regs.get(idx, 0), rho)
+    denom = (256.0 - len(regs)) + sum(2.0**-r for r in regs.values())
+    expected = round(terms.hll_alpha_m2(8) / denom, 4)
+    assert row["hll_estimate"] == expected
+    assert row["n_registers_set"] == len(regs)
+    spark_regs = {
+        r["register"]: r["max_rho"]
+        for r in terms.hll_registers(df, key_expr=F.col("k"), by="src", p=8).collect()
+    }
+    assert spark_regs == regs
+
+
+def test_hll_merge_equals_sketch_of_union(spark):
+    # mergeability is EXACT: max-per-register union == sketch of the union,
+    # including overlapping key sets (idempotence).
+    a = spark.createDataFrame([(i, "x") for i in range(0, 600)], "k long, src string")
+    b = spark.createDataFrame([(i, "x") for i in range(400, 1100)], "k long, src string")
+    merged = terms.hll_merge(
+        terms.hll_registers(a, key_expr=F.col("k"), by="src"),
+        terms.hll_registers(b, key_expr=F.col("k"), by="src"),
+    )
+    direct = terms.hll_registers(a.unionByName(b), key_expr=F.col("k"), by="src")
+    assert sorted(map(tuple, merged.collect()), key=lambda t: t[:2]) == sorted(
+        map(tuple, direct.collect()), key=lambda t: t[:2]
+    )
+    # and the folded estimate equals the direct estimate
+    (em,) = terms.hll_estimate(merged, p=8).collect()
+    (ed,) = terms.hll_estimate(direct, p=8).collect()
+    assert em["hll_estimate"] == ed["hll_estimate"]

@@ -240,3 +240,62 @@ def test_robots_plan_broadcasts_rules_single_shuffle(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     # the frontier shuffles exactly once (the winner aggregate)
     assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 1
+
+# ---------------------------------------------------------------------------
+# corpus-wide keep-first paragraph dedup (CCNet §3.1)
+# ---------------------------------------------------------------------------
+
+
+def test_paragraph_dedup_keep_first_and_reconstruct(spark):
+    from pdf_table_extractor_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "intro one\nshared banner\noutro one"),
+            (2, "shared banner\nunique two"),
+            (3, "shared banner"),
+            (4, "   \n  "),  # whitespace-only: no non-empty paragraph
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in paragraph_dedup(docs).collect()}
+    # doc 1 owns the first occurrence of every one of its paragraphs
+    assert out[1]["clean_text"] == "intro one\nshared banner\noutro one"
+    assert (out[1]["n_paras"], out[1]["n_dropped"]) == (3, 0)
+    # doc 2 loses the banner but keeps its unique paragraph
+    assert out[2]["clean_text"] == "unique two"
+    assert (out[2]["n_paras"], out[2]["n_dropped"]) == (2, 1)
+    # doc 3 is fully deduplicated away -> empty reconstruction, still counted
+    assert out[3]["clean_text"] == ""
+    assert (out[3]["n_paras"], out[3]["n_dropped"]) == (1, 1)
+    # doc 4 had nothing to deduplicate -> absent
+    assert 4 not in out
+
+
+def test_paragraph_dedup_normalizes_hash_keeps_raw(spark):
+    from pdf_table_extractor_spark.operators.dedup import paragraph_dedup
+
+    # 'Shared  Banner' normalizes to the same key as 'shared banner' but the
+    # surviving FIRST copy is emitted in its raw form.
+    docs = spark.createDataFrame(
+        [(1, "Shared  Banner\nkeep one"), (2, "shared banner\nkeep two")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in paragraph_dedup(docs).collect()}
+    assert out[1]["clean_text"] == "Shared  Banner\nkeep one"
+    assert out[2]["clean_text"] == "keep two"
+    assert out[2]["n_dropped"] == 1
+
+
+def test_paragraph_dedup_is_aggregate_join_no_corpus_window(spark):
+    from pdf_table_extractor_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"unique {i}\nshared banner") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = (
+        paragraph_dedup(docs)._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # first-occurrence election must be an aggregate, never a window
+    assert "Window" not in plan
