@@ -102,3 +102,90 @@ def start_sketch_maintenance(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming HyperLogLog distinct state (register-max fold)
+#
+# Same versioned-commit discipline as the CMS fold above, but the merge
+# algebra is PER-REGISTER MAX (operators/terms.hll_merge) — associative,
+# commutative, AND idempotent. Where the CMS's cell addition leans
+# entirely on "same pinned base + same batch ⇒ same output" to survive a
+# checkpoint replay, the HLL fold is additionally self-healing: even an
+# accidental double-apply of a batch onto an already-advanced base would
+# leave the registers unchanged. Any version is a time-travel distinct
+# snapshot; ≤2^p rows per slice of state for an unbounded key stream.
+# ---------------------------------------------------------------------------
+
+
+def init_hll(spark: SparkSession, snapshot_root: str) -> str:
+    """Seed ``v_0`` with the empty register table."""
+    empty = spark.createDataFrame([], "slice string, register int, max_rho int")
+    os.makedirs(snapshot_root, exist_ok=True)
+    empty.write.mode("overwrite").parquet(os.path.join(snapshot_root, "v_0"))
+    _flip_pointer(snapshot_root, "v_0")
+    return "v_0"
+
+
+def apply_hll_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    snapshot_root: str,
+    *,
+    key_col: str,
+    by: str | None = None,
+    p: int = 8,
+) -> str:
+    """One register commit: ``v_<batch_id>`` ∪max this batch's registers →
+    ``v_<batch_id+1>``."""
+    from pdf_table_extractor_spark.operators.terms import hll_merge, hll_registers
+
+    base = read_version(spark, snapshot_root, f"v_{batch_id}")
+    delta = hll_registers(batch_df, key_expr=F.col(key_col), by=by, p=p)
+    merged = hll_merge(base, delta)
+    new_version = f"v_{batch_id + 1}"
+    merged.write.mode("overwrite").parquet(os.path.join(snapshot_root, new_version))
+    _flip_pointer(snapshot_root, new_version)
+    return new_version
+
+
+def start_hll_maintenance(
+    stream: DataFrame,
+    snapshot_root: str,
+    checkpoint_dir: str,
+    *,
+    key_col: str,
+    by: str | None = None,
+    p: int = 8,
+):
+    """Wire a stream into the per-batch register-fold loop. ``init_hll``
+    must have seeded ``snapshot_root`` first."""
+
+    def run_batch(batch_df: DataFrame, batch_id: int) -> None:
+        apply_hll_batch(
+            batch_df.sparkSession,
+            batch_df,
+            batch_id,
+            snapshot_root,
+            key_col=key_col,
+            by=by,
+            p=p,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(run_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def hll_snapshot_estimate(
+    spark: SparkSession, snapshot_root: str, version: str, *, p: int = 8
+) -> DataFrame:
+    """Distinct estimate from any committed register version — time-travel
+    cardinality probes without re-reading the stream."""
+    from pdf_table_extractor_spark.operators.terms import hll_estimate
+
+    return hll_estimate(read_version(spark, snapshot_root, version), p=p)

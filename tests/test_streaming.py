@@ -541,3 +541,70 @@ def test_streaming_drift_monitor_folds_and_probes(spark, tmp_path):
     )
     v1_tokens = {r["token"] for r in per1.where("n_a > 0").collect()}
     assert "slept" not in v1_tokens and "cat" in v1_tokens
+
+
+def test_streaming_hll_folds_to_direct_registers_and_double_apply_is_noop(
+    spark, tmp_path
+):
+    """Key stream → per-batch HLL register fold → versioned commits: the
+    final register table equals one direct sketch over all rows, the
+    pinned-base replay is byte-identical (CMS discipline), AND — unlike
+    the CMS's additive cells — max-merge is idempotent, so even folding
+    a batch onto the ALREADY-ADVANCED snapshot leaves it unchanged."""
+    import pandas as pd
+
+    from pdf_table_extractor_spark.operators import terms
+    from pdf_table_extractor_spark.streaming import merge as sm
+    from pdf_table_extractor_spark.streaming import sketch as sk
+
+    root = str(tmp_path / "hll")
+    ck = str(tmp_path / "ck")
+    ev_dir = tmp_path / "ev"
+    ev_dir.mkdir()
+
+    sk.init_hll(spark, root)
+
+    b1 = pd.DataFrame({"url": [f"u{i}" for i in range(300)]})
+    b2 = pd.DataFrame({"url": [f"u{i}" for i in range(200, 700)]})  # overlap
+    b1.to_parquet(ev_dir / "b1.parquet", index=False)
+    b2.to_parquet(ev_dir / "b2.parquet", index=False)
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    _os.utime(ev_dir / "b1.parquet", (now - 10, now - 10))
+    _os.utime(ev_dir / "b2.parquet", (now, now))
+
+    stream = (
+        spark.readStream.schema("url string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(ev_dir))
+    )
+    q = sk.start_hll_maintenance(stream, root, ck, key_col="url")
+    q.awaitTermination(120)
+
+    assert sm.current_version(root) == "v_2"
+    reg_of = lambda df: {  # noqa: E731
+        (r["slice"], r["register"]): r["max_rho"] for r in df.collect()
+    }
+    final = reg_of(sm.read_snapshot(spark, root))
+    both = spark.createDataFrame(pd.concat([b1, b2]))
+    from pyspark.sql import functions as F_
+
+    direct = reg_of(terms.hll_registers(both, key_expr=F_.col("url")))
+    assert final == direct
+
+    # pinned-base replay (crash after pointer flip) is byte-identical
+    sk.apply_hll_batch(spark, spark.createDataFrame(b2), 1, root, key_col="url")
+    assert reg_of(sm.read_snapshot(spark, root)) == final
+
+    # idempotence bonus: folding batch 2 onto the ADVANCED v_2 base also
+    # changes nothing (max algebra) — the failure mode addition can't survive
+    sk.apply_hll_batch(spark, spark.createDataFrame(b2), 2, root, key_col="url")
+    assert sm.current_version(root) == "v_3"
+    assert reg_of(sm.read_snapshot(spark, root)) == final
+
+    # time-travel estimate from v_1 sees only batch 1's 300 keys
+    (e1,) = sk.hll_snapshot_estimate(spark, root, "v_1").collect()
+    (e3,) = sk.hll_snapshot_estimate(spark, root, "v_3").collect()
+    assert e1["hll_estimate"] < e3["hll_estimate"]
