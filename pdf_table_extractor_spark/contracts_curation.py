@@ -4533,3 +4533,188 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         split_pattern=r"\s*\b(?:the|a)\b\s*",
         joiner="\n",
     )
+
+
+# ---------------------------------------------------------------------------
+# jusText paragraph classification (operators/justext.py — Pomikalek
+# 2011). The contract frame derives (url, block_idx, block_text) from
+# documents with deterministic link / copyright markers so every rule
+# branch fires; thresholds are tuned to the synth corpus' stopword
+# frequencies (the published defaults target real English prose). No
+# floats cross the hash: densities stay internal, outputs are counts +
+# class labels. The oracle replays the context-free chain AND both
+# window revision passes with IGNORE-NULLS fills.
+# ---------------------------------------------------------------------------
+
+_JT_STOP = ("the", "a", "of", "and", "to")
+_JT_PARAMS = dict(
+    length_low=50, length_high=80, stopwords_low=0.03,
+    stopwords_high=0.06, max_link_density=0.2,
+)
+
+_JT_BLOCKS_SQL = r"""
+WITH docs AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents WHERE trim(text) <> ''
+), blocks AS (
+  SELECT doc_id // 8 AS url, doc_id % 8 AS block_idx,
+         array_to_string(list_slice(t, 1, CAST(doc_id % 29 + 1 AS INT)), ' ')
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' see https://ex.example/p' || CAST(doc_id % 97 AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN ' © acme' ELSE '' END AS bt
+  FROM docs
+), feats AS (
+  SELECT url, block_idx, bt,
+         length(bt) AS length,
+         len(string_split(trim(regexp_replace(lower(bt), '\s+', ' ', 'g')), ' ')) AS n_words,
+         len(list_filter(string_split(trim(regexp_replace(lower(bt), '\s+', ' ', 'g')), ' '),
+                         w -> w IN ('the','a','of','and','to'))) AS n_stop,
+         COALESCE(list_sum(list_transform(regexp_extract_all(bt, 'https?://\S+'),
+                                          m -> length(m))), 0) AS link_chars
+  FROM blocks
+), cfc AS (
+  SELECT url, block_idx, bt, length, n_words, n_stop, link_chars,
+         CASE
+           WHEN CAST(link_chars AS DOUBLE) / length > 0.2 THEN 'bad'
+           WHEN contains(bt, '©') OR contains(bt, '&copy') THEN 'bad'
+           WHEN length < 50 THEN CASE WHEN link_chars > 0 THEN 'bad' ELSE 'short' END
+           WHEN (CASE WHEN n_words = 0 THEN 0.0
+                      ELSE CAST(n_stop AS DOUBLE) / n_words END) >= 0.06
+             THEN CASE WHEN length > 80 THEN 'good' ELSE 'neargood' END
+           WHEN (CASE WHEN n_words = 0 THEN 0.0
+                      ELSE CAST(n_stop AS DOUBLE) / n_words END) >= 0.03
+             THEN 'neargood'
+           ELSE 'bad'
+         END AS cf
+  FROM feats
+), nb AS (
+  SELECT *,
+    COALESCE(LAST_VALUE(CASE WHEN cf IN ('good','bad') THEN cf END IGNORE NULLS)
+      OVER (PARTITION BY url ORDER BY block_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'bad') AS prev_gb,
+    COALESCE(FIRST_VALUE(CASE WHEN cf IN ('good','bad') THEN cf END IGNORE NULLS)
+      OVER (PARTITION BY url ORDER BY block_idx
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 'bad') AS next_gb,
+    COALESCE(LAST_VALUE(CASE WHEN cf IN ('good','bad','neargood') THEN cf END IGNORE NULLS)
+      OVER (PARTITION BY url ORDER BY block_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'bad') AS prev_gbn,
+    COALESCE(FIRST_VALUE(CASE WHEN cf IN ('good','bad','neargood') THEN cf END IGNORE NULLS)
+      OVER (PARTITION BY url ORDER BY block_idx
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 'bad') AS next_gbn
+  FROM cfc
+), s2 AS (
+  SELECT url, block_idx, bt, length, n_words, n_stop, link_chars, cf,
+         CASE WHEN cf = 'short' THEN
+           CASE
+             WHEN prev_gb = 'good' AND next_gb = 'good' THEN 'good'
+             WHEN prev_gb = 'bad' AND next_gb = 'bad' THEN 'bad'
+             WHEN (prev_gb = 'bad' AND prev_gbn = 'neargood')
+               OR (next_gb = 'bad' AND next_gbn = 'neargood') THEN 'good'
+             ELSE 'bad'
+           END
+         ELSE cf END AS c2
+  FROM nb
+), nb2 AS (
+  SELECT *,
+    COALESCE(LAST_VALUE(CASE WHEN c2 IN ('good','bad') THEN c2 END IGNORE NULLS)
+      OVER (PARTITION BY url ORDER BY block_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'bad') AS prev2,
+    COALESCE(FIRST_VALUE(CASE WHEN c2 IN ('good','bad') THEN c2 END IGNORE NULLS)
+      OVER (PARTITION BY url ORDER BY block_idx
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 'bad') AS next2
+  FROM s2
+), lab AS (
+  SELECT url, block_idx, bt, length, n_words, n_stop, link_chars, cf,
+         CASE WHEN c2 = 'neargood' THEN
+           CASE WHEN prev2 = 'bad' AND next2 = 'bad' THEN 'bad' ELSE 'good' END
+         ELSE c2 END AS cls
+  FROM nb2
+)
+"""
+
+
+def _jt_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_table_extractor_spark.operators import justext
+
+    docs = load(spark, sf_dir, "documents").where(F.trim("text") != "")
+    doc_id = F.col("doc_id")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+    )
+    n = (doc_id % 29 + 1).cast("int")
+    bt = F.concat(
+        F.array_join(F.slice(toks, F.lit(1), n), " "),
+        F.when(
+            doc_id % 11 == 0,
+            F.concat(
+                F.lit(" see https://ex.example/p"),
+                (doc_id % 97).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(doc_id % 13 == 0, F.lit(" © acme")).otherwise(F.lit("")),
+    )
+    blocks = docs.select(
+        F.expr("doc_id div 8").alias("url"),
+        (doc_id % 8).alias("block_idx"),
+        bt.alias("block_text"),
+    )
+    return justext.revise_classification(
+        justext.classify_context_free(
+            justext.paragraph_features(blocks, stoplist=list(_JT_STOP)),
+            **_JT_PARAMS,
+        )
+    )
+
+
+@contract(
+    "q_justext_blocks",
+    _JT_BLOCKS_SQL
+    + """
+    SELECT url, block_idx,
+           CAST(length AS BIGINT) AS length,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_stop AS BIGINT) AS n_stop,
+           CAST(link_chars AS BIGINT) AS link_chars,
+           cf AS cf_class, cls
+    FROM lab
+    """,
+)
+def q_justext_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jusText per-paragraph classification (operators/justext.py):
+    context-free rule chain + both neighbour-resolution window passes,
+    fully replayed by the oracle including the IGNORE-NULLS fills and
+    'bad' boundary sentinels."""
+    return _jt_blocks(spark, sf_dir).select(
+        "url",
+        "block_idx",
+        F.col("length").cast("long").alias("length"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_stop").cast("long").alias("n_stop"),
+        F.col("link_chars").cast("long").alias("link_chars"),
+        "cf_class",
+        "cls",
+    )
+
+
+@contract(
+    "q_justext_main",
+    _JT_BLOCKS_SQL
+    + """
+    SELECT url,
+           COALESCE(string_agg(bt, chr(10) || chr(10) ORDER BY block_idx)
+                    FILTER (WHERE cls = 'good'), '') AS main_text,
+           COUNT(*) FILTER (WHERE cls = 'good') AS n_good_blocks
+    FROM lab GROUP BY url
+    """,
+)
+def q_justext_main(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jusText main-content reassembly: good paragraphs rejoined in
+    document order; all-boilerplate pages emit an empty row so
+    downstream accounting sees them."""
+    from pdf_table_extractor_spark.operators import justext
+
+    return justext.justext_main(_jt_blocks(spark, sf_dir)).select(
+        "url", "main_text", F.col("n_good_blocks").cast("long").alias("n_good_blocks")
+    )

@@ -1,0 +1,314 @@
+"""jusText paragraph-level content/boilerplate classification.
+
+Second published extraction algorithm next to the Boilerpipe tree in
+``operators/boilerplate.py`` (north-star: generic, config-driven layout
+heuristics replacing the reference's per-bank hardcoded extractors —
+/root/reference/Conversor.py et al. hardcode what these classifiers
+learn from shallow features). The rules are Pomikalek, "Removing
+Boilerplate and Duplicate Content from Web Corpora" (PhD thesis, 2011)
+and the public ``justext`` package: context-free paragraph classes
+good / neargood / short / bad from length, stopword density and link
+density, then a context-sensitive revision pass that resolves short and
+neargood paragraphs from their nearest decisively-classified
+neighbours.
+
+Spark-first shape: every pass is pure Catalyst — the context-sensitive
+"nearest good/bad neighbour" scans of the original (sequential cursor
+loops over a paragraph list) become last/first(ignorenulls) window
+fills over ``(url, block_idx)``. jusText applies each revision stage
+against a snapshot of the previous stage (the short pass collects
+``new_classes`` and applies them after the loop; the neargood pass is
+in-place but provably snapshot-equivalent — within a contiguous
+neargood run every member resolves to the same label, so an earlier
+in-place update never changes a later outcome), which is exactly the
+semantics a window pass computes. All windows share one partitioning
+(url), so the whole classifier costs ONE exchange regardless of how
+many passes run (asserted in tests/test_plan.py).
+
+Generic over any block frame ``(url, block_idx, block_text)`` — the
+same frame ``boilerplate.page_blocks`` derives — plus an optional
+``is_heading`` flag column enabling the thesis' short-heading
+promotion. The DOM-path rule (``^select|.select``) is inapplicable to a
+plain block frame and is intentionally out of scope (documented here so
+the omission is deliberate, not an oversight).
+
+At 100 TB: features are scan-side codegen; the classifier's only
+shuffle is the per-url window hash partition — the same url key the
+extraction pipeline already salts by — and reassembly reuses it.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pdf_table_extractor_spark.operators.boilerplate import DEFAULT_ANCHOR
+
+# Published defaults (justext.core.classify_paragraphs /
+# revise_paragraph_classification).
+LENGTH_LOW = 70
+LENGTH_HIGH = 200
+STOPWORDS_LOW = 0.30
+STOPWORDS_HIGH = 0.32
+MAX_LINK_DENSITY = 0.2
+MAX_HEADING_DISTANCE = 200
+
+_GOOD_BAD = ("good", "bad")
+
+
+def paragraph_features(
+    blocks: DataFrame,
+    *,
+    stoplist: Sequence[str],
+    anchor_pattern: str = DEFAULT_ANCHOR,
+    url_col: str = "url",
+    idx_col: str = "block_idx",
+    text_col: str = "block_text",
+    heading_col: str | None = None,
+) -> DataFrame:
+    """Per-paragraph shallow features: ``length`` (chars), ``n_words``
+    (whitespace tokens), ``n_stop`` (lowercased stoplist members, the
+    thesis' stopwords_density numerator), ``link_chars`` (total chars
+    matching ``anchor_pattern`` — the <a>-text share of a plain block),
+    and the two densities."""
+    text = F.col(text_col)
+    stop_arr = F.array(*[F.lit(w) for w in stoplist])
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")), " "
+    )
+    n_words = F.when(F.trim(text) == "", F.lit(0)).otherwise(F.size(toks))
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    link_chars = F.aggregate(
+        F.regexp_extract_all(text, F.lit(anchor_pattern), F.lit(0)),
+        F.lit(0),
+        lambda acc, m: acc + F.length(m),
+    )
+    heading = (
+        F.col(heading_col).cast("boolean")
+        if heading_col is not None
+        else F.lit(False)
+    )
+    out = blocks.select(
+        F.col(url_col).alias("url"),
+        F.col(idx_col).alias("block_idx"),
+        text.alias("block_text"),
+        heading.alias("is_heading"),
+        F.length(text).alias("length"),
+        n_words.alias("n_words"),
+        n_stop.alias("n_stop"),
+        link_chars.alias("link_chars"),
+    )
+    return out.withColumn(
+        "stop_density",
+        F.when(F.col("n_words") == 0, F.lit(0.0)).otherwise(
+            F.col("n_stop") / F.col("n_words")
+        ),
+    ).withColumn(
+        "link_density",
+        F.when(F.col("length") == 0, F.lit(0.0)).otherwise(
+            F.col("link_chars") / F.col("length")
+        ),
+    )
+
+
+def classify_context_free(
+    feats: DataFrame,
+    *,
+    length_low: int = LENGTH_LOW,
+    length_high: int = LENGTH_HIGH,
+    stopwords_low: float = STOPWORDS_LOW,
+    stopwords_high: float = STOPWORDS_HIGH,
+    max_link_density: float = MAX_LINK_DENSITY,
+) -> DataFrame:
+    """The thesis' context-free rule chain, in published order:
+    link-dense -> bad; copyright mark -> bad; under length_low -> bad if
+    any link chars else short; stopword-dense -> good if over
+    length_high else neargood; mildly stopword-dense -> neargood; else
+    bad. Adds ``cf_class``."""
+    text = F.col("block_text")
+    cf = (
+        F.when(F.col("link_density") > max_link_density, F.lit("bad"))
+        .when(
+            text.contains("©") | text.contains("&copy"), F.lit("bad")
+        )
+        .when(
+            F.col("length") < length_low,
+            F.when(F.col("link_chars") > 0, F.lit("bad")).otherwise(
+                F.lit("short")
+            ),
+        )
+        .when(
+            F.col("stop_density") >= stopwords_high,
+            F.when(F.col("length") > length_high, F.lit("good")).otherwise(
+                F.lit("neargood")
+            ),
+        )
+        .when(F.col("stop_density") >= stopwords_low, F.lit("neargood"))
+        .otherwise(F.lit("bad"))
+    )
+    return feats.withColumn("cf_class", cf)
+
+
+def _ffill_label(label: Column, w) -> Column:
+    """Nearest preceding decisive label; jusText's boundary sentinel is
+    'bad'."""
+    return F.coalesce(
+        F.last(label, ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit("bad"),
+    )
+
+
+def _bfill_label(label: Column, w) -> Column:
+    return F.coalesce(
+        F.first(label, ignorenulls=True).over(
+            w.rowsBetween(1, Window.unboundedFollowing)
+        ),
+        F.lit("bad"),
+    )
+
+
+def revise_classification(
+    cf: DataFrame,
+    *,
+    max_heading_distance: int = MAX_HEADING_DISTANCE,
+) -> DataFrame:
+    """Context-sensitive revision (revise_paragraph_classification),
+    three snapshot passes:
+
+    1. short headings within ``max_heading_distance`` chars before a
+       good paragraph -> neargood (no-op when no ``is_heading`` flags);
+    2. every remaining short resolves from its nearest good/bad
+       neighbours on each side — both good -> good, both bad -> bad,
+       mixed -> good only when the bad side's nearest
+       good/bad-or-neargood neighbour is a neargood;
+    3. every neargood -> bad iff both nearest good/bad neighbours are
+       bad, else good.
+
+    Adds ``cls`` (final label). Each pass materialises via a chained
+    projection so window outputs are never re-inlined (CLAUDE.md
+    multi-reference gotcha)."""
+    w = Window.partitionBy("url").orderBy("block_idx")
+
+    # Pass 1 — heading promotion. distance(i->g) in the thesis is the
+    # char sum of paragraphs strictly between, i.e. cum[g-1] - cum[i]
+    # with cum = running char total; the next good's cum[g-1] arrives by
+    # backward fill of (cum - length) tagged on good rows.
+    cum = F.sum("length").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s1 = cf.withColumn("__cum", cum).withColumn(
+        "__next_good_off",
+        F.first(
+            F.when(F.col("cf_class") == "good", F.col("__cum") - F.col("length")),
+            ignorenulls=True,
+        ).over(w.rowsBetween(1, Window.unboundedFollowing)),
+    )
+    promoted = F.when(
+        F.col("is_heading")
+        & (F.col("cf_class") == "short")
+        & F.col("__next_good_off").isNotNull()
+        & (F.col("__next_good_off") - F.col("__cum") <= max_heading_distance),
+        F.lit("neargood"),
+    ).otherwise(F.col("cf_class"))
+    s1 = s1.withColumn("__c1", promoted).drop("__cum", "__next_good_off")
+
+    # Pass 2 — shorts from decisive neighbours (ignore_neargood=True),
+    # with the thesis' mixed-case neargood tiebreak
+    # (ignore_neargood=False scan on the bad side).
+    c1 = F.col("__c1")
+    gb = F.when(c1.isin(*_GOOD_BAD), c1)
+    gbn = F.when(c1.isin("good", "bad", "neargood"), c1)
+    s2 = (
+        s1.withColumn("__prev_gb", _ffill_label(gb, w))
+        .withColumn("__next_gb", _bfill_label(gb, w))
+        .withColumn("__prev_gbn", _ffill_label(gbn, w))
+        .withColumn("__next_gbn", _bfill_label(gbn, w))
+    )
+    short_new = (
+        F.when(
+            (F.col("__prev_gb") == "good") & (F.col("__next_gb") == "good"),
+            F.lit("good"),
+        )
+        .when(
+            (F.col("__prev_gb") == "bad") & (F.col("__next_gb") == "bad"),
+            F.lit("bad"),
+        )
+        .when(
+            ((F.col("__prev_gb") == "bad") & (F.col("__prev_gbn") == "neargood"))
+            | ((F.col("__next_gb") == "bad") & (F.col("__next_gbn") == "neargood")),
+            F.lit("good"),
+        )
+        .otherwise(F.lit("bad"))
+    )
+    s2 = s2.withColumn(
+        "__c2", F.when(c1 == "short", short_new).otherwise(c1)
+    ).drop("__prev_gb", "__next_gb", "__prev_gbn", "__next_gbn")
+
+    # Pass 3 — neargoods against the short-resolved snapshot.
+    c2 = F.col("__c2")
+    gb2 = F.when(c2.isin(*_GOOD_BAD), c2)
+    s3 = s2.withColumn("__prev2", _ffill_label(gb2, w)).withColumn(
+        "__next2", _bfill_label(gb2, w)
+    )
+    ng_new = F.when(
+        (F.col("__prev2") == "bad") & (F.col("__next2") == "bad"), F.lit("bad")
+    ).otherwise(F.lit("good"))
+    final = F.when(c2 == "neargood", ng_new).otherwise(c2)
+    return (
+        s3.withColumn("cls", final)
+        .drop("__c1", "__c2", "__prev2", "__next2")
+    )
+
+
+def justext_main(labeled: DataFrame) -> DataFrame:
+    """Reassemble good paragraphs into main content per url (document
+    order, blank-line joined); all-boilerplate pages still emit a row."""
+    keep = F.col("cls") == "good"
+    packed = F.array_sort(
+        F.collect_list(F.when(keep, F.struct("block_idx", "block_text")))
+    )
+    return labeled.groupBy("url").agg(
+        F.array_join(
+            F.transform(packed, lambda s: s["block_text"]), "\n\n"
+        ).alias("main_text"),
+        F.sum(keep.cast("int")).alias("n_good_blocks"),
+    )
+
+
+def extract_main_justext(
+    pages: DataFrame,
+    *,
+    stoplist: Sequence[str],
+    anchor_pattern: str = DEFAULT_ANCHOR,
+    url_col: str = "url",
+    text_col: str = "text",
+    length_low: int = LENGTH_LOW,
+    length_high: int = LENGTH_HIGH,
+    stopwords_low: float = STOPWORDS_LOW,
+    stopwords_high: float = STOPWORDS_HIGH,
+    max_link_density: float = MAX_LINK_DENSITY,
+) -> DataFrame:
+    """pages -> (url, main_text, n_good_blocks): the composed jusText
+    extractor over blank-line paragraph blocks."""
+    from pdf_table_extractor_spark.operators.boilerplate import page_blocks
+
+    feats = paragraph_features(
+        page_blocks(pages, url_col=url_col, text_col=text_col),
+        stoplist=stoplist,
+        anchor_pattern=anchor_pattern,
+    )
+    labeled = revise_classification(
+        classify_context_free(
+            feats,
+            length_low=length_low,
+            length_high=length_high,
+            stopwords_low=stopwords_low,
+            stopwords_high=stopwords_high,
+            max_link_density=max_link_density,
+        )
+    )
+    return justext_main(labeled)
