@@ -4718,3 +4718,138 @@ def q_justext_main(spark: SparkSession, sf_dir: str) -> DataFrame:
     return justext.justext_main(_jt_blocks(spark, sf_dir)).select(
         "url", "main_text", F.col("n_good_blocks").cast("long").alias("n_good_blocks")
     )
+
+
+# ---------------------------------------------------------------------------
+# C4 line/page cleaning (textquality.c4_clean — Raffel et al. 2020
+# §2.2). documents.parquet is newline-free token soup, so the contract
+# synthesises line structure deterministically (8 token-slice lines with
+# cycling terminal marks + a citation-marker case, plus arithmetic-gated
+# lorem/curly/javascript/policy marker lines); the oracle rebuilds the
+# identical page AND replays the full rule chain with list lambdas.
+# ---------------------------------------------------------------------------
+
+_C4_PAGE_SQL = r"""
+WITH docs AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents WHERE trim(text) <> ''
+), pages AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(generate_series(0, 7), i ->
+             COALESCE(array_to_string(list_slice(t, i*6 + 1, i*6 + 3 + (doc_id + i) % 6), ' '), '')
+             || CASE (doc_id*7 + i) % 4
+                  WHEN 0 THEN '.' WHEN 1 THEN '?' WHEN 2 THEN '' ELSE '.[1]' END),
+           chr(10))
+         || CASE WHEN doc_id % 19 = 0
+                 THEN chr(10) || 'lorem ipsum dolor sit amet today.' ELSE '' END
+         || CASE WHEN doc_id % 23 = 0
+                 THEN chr(10) || 'the config block uses { braces } now.' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN chr(10) || 'please enable javascript to view this content.' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN chr(10) || 'this site uses cookies for the best experience.' ELSE '' END
+         AS page
+  FROM docs
+), cleaned AS (
+  SELECT doc_id, page,
+         len(string_split(page, chr(10))) AS n_lines,
+         list_filter(
+           list_transform(string_split(page, chr(10)), l ->
+             regexp_replace(trim(l), '\[\d*\]|\[edit\]|\[citation needed\]', '', 'g')),
+           l -> regexp_matches(l, '[.?!"]$')
+                AND NOT regexp_matches(l, '\.\.\.$')
+                AND len(string_split_regex(l, '\s+')) >= 5) AS s1
+  FROM pages
+), flags AS (
+  SELECT doc_id, page, n_lines,
+         len(list_filter(s1, l -> contains(lower(l), 'lorem ipsum'))) > 0 AS lorem,
+         list_filter(s1, l -> NOT contains(lower(l), 'javascript')) AS s2
+  FROM cleaned
+), flags2 AS (
+  SELECT doc_id, page, n_lines, lorem,
+         len(list_filter(s2, l -> contains(l, '{'))) > 0 AS curly,
+         list_filter(s2, l -> NOT (
+           contains(lower(l), 'terms of use') OR contains(lower(l), 'privacy policy')
+           OR contains(lower(l), 'cookie policy') OR contains(lower(l), 'uses cookies')
+           OR contains(lower(l), 'use of cookies') OR contains(lower(l), 'use cookies')
+         )) AS s3
+  FROM flags
+), scored AS (
+  SELECT doc_id, n_lines, lorem, curly, s3,
+         len(list_filter(string_split_regex(page, '\s+'), w -> length(w) > 1000)) > 0 AS long_word,
+         COALESCE(list_sum(list_transform(s3, l ->
+           len(regexp_extract_all(l, '[.?!]')))), 0) AS n_sentences
+  FROM flags2
+), fin AS (
+  SELECT doc_id,
+         (NOT lorem AND NOT curly AND NOT long_word AND n_sentences >= 3) AS page_keep,
+         n_lines, s3, n_sentences
+  FROM scored
+)
+"""
+
+
+@contract(
+    "q_c4_clean",
+    _C4_PAGE_SQL
+    + """
+    SELECT doc_id,
+           CASE WHEN page_keep THEN array_to_string(s3, chr(10)) ELSE '' END AS clean_text,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(CASE WHEN page_keep THEN len(s3) ELSE 0 END AS BIGINT) AS n_kept,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           page_keep
+    FROM fin
+    """,
+)
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning end-to-end: line rule chain in published order plus
+    the lorem/curly/long-word/sentence-count page gates; dropped pages
+    keep an accounting row."""
+    docs = load(spark, sf_dir, "documents").where(F.trim("text") != "")
+    doc_id = F.col("doc_id")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+    )
+    line_i = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda i: F.concat(
+            F.array_join(
+                F.slice(toks, i * 6 + 1, (F.lit(3) + (doc_id + i) % 6).cast("int")),
+                " ",
+            ),
+            F.when((doc_id * 7 + i) % 4 == 0, F.lit("."))
+            .when((doc_id * 7 + i) % 4 == 1, F.lit("?"))
+            .when((doc_id * 7 + i) % 4 == 2, F.lit(""))
+            .otherwise(F.lit(".[1]")),
+        ),
+    )
+    page = F.concat(
+        F.array_join(line_i, "\n"),
+        F.when(
+            doc_id % 19 == 0, F.lit("\nlorem ipsum dolor sit amet today.")
+        ).otherwise(F.lit("")),
+        F.when(
+            doc_id % 23 == 0, F.lit("\nthe config block uses { braces } now.")
+        ).otherwise(F.lit("")),
+        F.when(
+            doc_id % 11 == 0,
+            F.lit("\nplease enable javascript to view this content."),
+        ).otherwise(F.lit("")),
+        F.when(
+            doc_id % 13 == 0,
+            F.lit("\nthis site uses cookies for the best experience."),
+        ).otherwise(F.lit("")),
+    )
+    frame = docs.select("doc_id", page.alias("text"))
+    out = textquality.c4_clean(frame)
+    return out.select(
+        "doc_id",
+        "clean_text",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.col("n_sentences").cast("long").alias("n_sentences"),
+        "page_keep",
+    )

@@ -636,3 +636,117 @@ def chunk_tokens(
         F.array_join("__c", " ").alias("chunk_text"),
         F.size("__c").alias("n_toks"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style line/page cleaning (Raffel et al., "Exploring the Limits of
+# Transfer Learning with a Unified Text-to-Text Transformer", JMLR 2020
+# §2.2, and the public TFDS c4_utils.clean_page rule set).
+# ---------------------------------------------------------------------------
+
+#: Published policy-line substrings (TFDS _POLICY_SUBSTRINGS).
+C4_POLICY_SUBSTRINGS = (
+    "terms of use",
+    "privacy policy",
+    "cookie policy",
+    "uses cookies",
+    "use of cookies",
+    "use cookies",
+)
+
+_C4_CITATION_RE = r"\[\d*\]|\[edit\]|\[citation needed\]"
+
+
+def c4_clean(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 5,
+    min_num_sentences: int = 3,
+    max_word_length: int = 1000,
+    policy_substrings: tuple[str, ...] = C4_POLICY_SUBSTRINGS,
+) -> DataFrame:
+    """C4's line- and page-level cleaning, per-line rule chain in the
+    published order: strip + citation-marker removal; drop lines not
+    ending in a terminal mark (. ? ! \") or ending in an ellipsis; drop
+    lines under ``min_words_per_line`` words; a surviving line
+    containing "lorem ipsum" drops the PAGE; "javascript" lines are
+    skipped; a surviving line containing "{" drops the PAGE; policy
+    lines (cookie/terms boilerplate) are skipped. Pages also drop when
+    any raw word exceeds ``max_word_length`` chars or fewer than
+    ``min_num_sentences`` sentences survive. Sentences are counted as
+    terminal-mark occurrences in retained lines (a deterministic
+    stand-in for the original's English sentence tokenizer — no nltk at
+    executor scale, and the count only gates a >=3 threshold).
+
+    Returns (id, clean_text, n_lines, n_kept, n_sentences, page_keep);
+    dropped pages keep their row with clean_text = '' so lineage
+    accounting and keep-rate monitors see them.
+
+    Scale: one projection chain of array expressions — no shuffle, no
+    UDF, no explode; each stage's array materialises once per row via
+    chained selects (CLAUDE.md multi-reference gotcha)."""
+    text = F.col(text_col)
+    raw_lines = F.split(text, r"\n")
+    stripped = F.transform(
+        raw_lines,
+        lambda l: F.regexp_replace(F.trim(l), _C4_CITATION_RE, ""),
+    )
+    s0 = df.select(
+        F.col(id_col),
+        F.size(raw_lines).alias("n_lines"),
+        stripped.alias("__l1"),
+        # raw-text word-length page rule (checked on the page, as
+        # published: any whitespace-delimited token over the cap)
+        text.rlike(r"\S{%d}" % (max_word_length + 1)).alias("__long_word"),
+    )
+    # survive end-mark + ellipsis + min-words
+    s1 = F.filter(
+        F.col("__l1"),
+        lambda l: l.rlike(r'[.?!"]$')
+        & ~l.rlike(r"\.\.\.$")
+        & (F.size(F.split(l, r"\s+")) >= min_words_per_line),
+    )
+    s0 = s0.select("*", s1.alias("__s1")).drop("__l1")
+    lorem = F.exists(
+        F.col("__s1"), lambda l: F.lower(l).contains("lorem ipsum")
+    )
+    s2 = F.filter(
+        F.col("__s1"), lambda l: ~F.lower(l).contains("javascript")
+    )
+    s0 = s0.select(
+        "*", lorem.alias("__lorem"), s2.alias("__s2")
+    ).drop("__s1")
+    curly = F.exists(F.col("__s2"), lambda l: l.contains("{"))
+
+    def no_policy(l: Column) -> Column:
+        cond = F.lit(True)
+        for p in policy_substrings:
+            cond = cond & ~F.lower(l).contains(p)
+        return cond
+
+    s3 = F.filter(F.col("__s2"), no_policy)
+    s0 = s0.select("*", curly.alias("__curly"), s3.alias("__s3")).drop("__s2")
+    n_sent = F.aggregate(
+        F.col("__s3"),
+        F.lit(0),
+        lambda acc, l: acc + F.size(F.regexp_extract_all(l, F.lit(r"[.?!]"), F.lit(0))),
+    )
+    s0 = s0.select("*", n_sent.alias("n_sentences"))
+    keep = (
+        ~F.col("__lorem")
+        & ~F.col("__curly")
+        & ~F.col("__long_word")
+        & (F.col("n_sentences") >= min_num_sentences)
+    )
+    return s0.select(
+        id_col,
+        F.when(keep, F.array_join("__s3", "\n")).otherwise(F.lit("")).alias(
+            "clean_text"
+        ),
+        "n_lines",
+        F.when(keep, F.size("__s3")).otherwise(F.lit(0)).alias("n_kept"),
+        "n_sentences",
+        keep.alias("page_keep"),
+    )
