@@ -4853,3 +4853,38 @@ def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_sentences").cast("long").alias("n_sentences"),
         "page_keep",
     )
+
+
+@contract(
+    "q_crawl_frontier",
+    "WITH d AS (" + _DOMAIN_URL_SQL + """),
+    f AS (
+      SELECT doc_id, url,
+             'www.site' || CAST(doc_id % 7 AS VARCHAR)
+               || (CASE doc_id % 3 WHEN 0 THEN '.com.br' WHEN 1 THEN '.co.uk' ELSE '.com' END)
+               AS host,
+             length(text) % 17 AS priority
+      FROM d
+    ),
+    r AS (
+      SELECT url, host,
+             row_number() OVER (PARTITION BY host ORDER BY priority DESC, url) AS slot
+      FROM f
+    )
+    SELECT url, host,
+           CAST(('0x' || substr(md5(host), 1, 8))::UBIGINT % 5 AS BIGINT) AS worker,
+           CAST(slot AS BIGINT) AS slot
+    FROM r WHERE slot <= 20
+    """,
+)
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-aware frontier scheduling (urls.crawl_frontier): all
+    of a host's URLs on one md5-sharded worker, per-host fetch slots by
+    priority rank, mega-hosts truncated to a per-cycle budget. The
+    oracle replays the window rank and the dyadic md5 worker shard."""
+    from pdf_table_extractor_spark.operators import urls
+
+    frontier = _domain_docs(spark, sf_dir).select(
+        "url", (F.length("text") % 17).alias("priority")
+    )
+    return urls.crawl_frontier(frontier, n_workers=5, max_per_host=20)

@@ -100,3 +100,37 @@ def test_nfc_normalize_composes(spark):
     df = spark.createDataFrame([(1, decomposed)], "doc_id long, t string")
     (row,) = df.select(textops.nfc_normalize(df["t"]).alias("n")).collect()
     assert row["n"] == composed and len(row["n"]) == 5
+
+
+def test_crawl_frontier_politeness_invariants(spark):
+    """Every host lands on exactly one worker; slots are 1..k contiguous
+    by descending priority (url tiebreak); the per-host cap truncates."""
+    rows = [
+        (f"http://h{i % 3}.com/p{i}", float(i % 5)) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "url string, priority double")
+    out = urls.crawl_frontier(df, n_workers=4, max_per_host=7).collect()
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r["host"], []).append(r)
+    assert set(by_host) == {"h0.com", "h1.com", "h2.com"}
+    for host, rs in by_host.items():
+        assert len({r["worker"] for r in rs}) == 1
+        slots = sorted(r["slot"] for r in rs)
+        assert slots == list(range(1, 8))  # capped at 7, contiguous
+        # descending priority along slots
+        rs = sorted(rs, key=lambda r: r["slot"])
+        prios = [
+            float(r["url"].rsplit("p", 1)[1]) % 5 for r in rs
+        ]
+        assert prios == sorted(prios, reverse=True) or all(
+            a >= b for a, b in zip(prios, prios[1:])
+        )
+
+
+def test_crawl_frontier_rejects_bad_workers(spark):
+    import pytest
+
+    df = spark.createDataFrame([("http://a.com/x", 1.0)], "url string, priority double")
+    with pytest.raises(ValueError):
+        urls.crawl_frontier(df, n_workers=0)
