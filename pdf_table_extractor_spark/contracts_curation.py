@@ -4888,3 +4888,112 @@ def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", (F.length("text") % 17).alias("priority")
     )
     return urls.crawl_frontier(frontier, n_workers=5, max_per_host=20)
+
+
+# ---------------------------------------------------------------------------
+# Anchor-text aggregation (urls.anchor_texts): how the web describes
+# each TARGET page. The contract synthesises per-doc html with 1-2
+# anchors (targets + anchor words derived arithmetically from doc_id /
+# corpus tokens); the oracle rebuilds the identical html and replays the
+# group-indexed extraction via the tab-join trick over aligned lists.
+# ---------------------------------------------------------------------------
+
+_ANCHOR_RE_SQL = '<a\\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
+
+_ANCHOR_HTML_SQL = r"""
+WITH docs AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents WHERE trim(text) <> ''
+), h AS (
+  SELECT doc_id,
+         'http://www.src.com/p/' || CAST(doc_id AS VARCHAR) AS src,
+         '<html><body><p>intro</p><a href="http://site'
+           || CAST((doc_id*3 + 1) % 7 AS VARCHAR) || '.com/p/'
+           || CAST(doc_id % 50 AS VARCHAR) || '">'
+           || COALESCE(array_to_string(list_slice(t, 1, 2 + CAST(doc_id % 3 AS INT)), ' '), '')
+           || '</a>'
+           || CASE WHEN doc_id % 2 = 0 THEN
+                '<div><a class="m" href="http://site'
+                || CAST((doc_id*5 + 2) % 7 AS VARCHAR) || '.com/p/'
+                || CAST((doc_id + 3) % 50 AS VARCHAR) || '">'
+                || COALESCE(array_to_string(list_slice(t, 4, 4 + CAST(doc_id % 2 AS INT)), ' '), '')
+                || '</a></div>'
+              ELSE '' END
+           || '</body></html>' AS html
+  FROM docs
+)
+"""
+
+
+@contract(
+    "q_anchor_text",
+    _ANCHOR_HTML_SQL
+    + """
+    , pairs AS (
+      SELECT src,
+             unnest(list_transform(
+               generate_series(1, len(regexp_extract_all(html, '"""
+    + _ANCHOR_RE_SQL
+    + """', 1))),
+               i -> regexp_extract_all(html, '"""
+    + _ANCHOR_RE_SQL
+    + """', 1)[i] || chr(9) || regexp_extract_all(html, '"""
+    + _ANCHOR_RE_SQL
+    + """', 2)[i])) AS p
+      FROM h
+    ), sp AS (
+      SELECT src, string_split(p, chr(9))[1] AS dst,
+             string_split(p, chr(9))[2] AS txt
+      FROM pairs
+    ), terms AS (
+      SELECT src, dst,
+             unnest(string_split_regex(trim(regexp_replace(lower(txt), '\\s+', ' ', 'g')), ' ')) AS term
+      FROM sp
+    )
+    SELECT dst, term, COUNT(*) AS n_mentions, COUNT(DISTINCT src) AS n_pages
+    FROM terms WHERE term <> '' GROUP BY dst, term
+    """,
+)
+def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation per target url (urls.anchor_texts): the
+    off-page relevance signal — (dst, term, n_mentions, n_pages)."""
+    from pdf_table_extractor_spark.operators import urls
+
+    docs = load(spark, sf_dir, "documents").where(F.trim("text") != "")
+    doc_id = F.col("doc_id")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+    )
+    a1 = F.array_join(F.slice(toks, 1, (F.lit(2) + doc_id % 3).cast("int")), " ")
+    a2 = F.array_join(F.slice(toks, 4, (F.lit(1) + doc_id % 2).cast("int")), " ")
+    dst1 = F.concat(
+        F.lit("http://site"), ((doc_id * 3 + 1) % 7).cast("string"),
+        F.lit(".com/p/"), (doc_id % 50).cast("string"),
+    )
+    dst2 = F.concat(
+        F.lit("http://site"), ((doc_id * 5 + 2) % 7).cast("string"),
+        F.lit(".com/p/"), ((doc_id + 3) % 50).cast("string"),
+    )
+    html = F.concat(
+        F.lit('<html><body><p>intro</p><a href="'), dst1, F.lit('">'), a1,
+        F.lit("</a>"),
+        F.when(
+            doc_id % 2 == 0,
+            F.concat(
+                F.lit('<div><a class="m" href="'), dst2, F.lit('">'), a2,
+                F.lit("</a></div>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("http://www.src.com/p/"), doc_id.cast("string")).alias("url"),
+        html.alias("html"),
+    )
+    out = urls.anchor_texts(pages)
+    return out.select(
+        "dst", "term",
+        F.col("n_mentions").cast("long").alias("n_mentions"),
+        F.col("n_pages").cast("long").alias("n_pages"),
+    )

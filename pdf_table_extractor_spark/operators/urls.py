@@ -539,3 +539,55 @@ def crawl_frontier(
     return out.select(
         "url", "host", worker.alias("worker"), F.col("slot").cast("long").alias("slot")
     )
+
+
+#: href + inner text of plain anchors (no nested markup) — group 1 is
+#: the target, group 2 the anchor text. Same dialect in Java regex and
+#: RE2 (no lookarounds, no laziness), so the contract mirrors it.
+ANCHOR_TAG_RE = r'<a\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
+
+
+def anchor_texts(
+    pages,
+    *,
+    html_col: str = "html",
+    url_col: str = "url",
+):
+    """Anchor-text aggregation: how the web describes each TARGET page
+    — the classic off-page relevance/quality signal (anchor terms feed
+    search ranking, seed expansion, and spam detection; every
+    link-graph pipeline from Brin & Page onward aggregates them).
+    Extracts ``<a href>`` pairs with two group-indexed
+    ``regexp_extract_all`` calls (hrefs and texts stay aligned by match
+    order — one scan, no per-tag re-matching), explodes to (dst, term)
+    and aggregates ``n_mentions`` (term occurrences across all anchors
+    pointing at dst) and ``n_pages`` (distinct linking pages).
+
+    Compose with ``canonicalize_url`` on the href column upstream when
+    crawl hrefs are raw.
+
+    Scale: extraction is scan-side codegen; the only shuffle is the
+    (dst, term) hash aggregate — map-side combined, and the n_pages
+    distinct is a two-level aggregate on the same key (no global
+    distinct). Mega-targets (everyone links google.com) skew the key
+    like any hot aggregate key: AQE-splittable, no window involved."""
+    html = F.col(html_col)
+    hrefs = F.regexp_extract_all(html, F.lit(ANCHOR_TAG_RE), F.lit(1))
+    txts = F.regexp_extract_all(html, F.lit(ANCHOR_TAG_RE), F.lit(2))
+    pairs = pages.select(
+        F.col(url_col).alias("src"),
+        F.explode(F.arrays_zip(hrefs.alias("dst"), txts.alias("txt"))).alias(
+            "__p"
+        ),
+    ).select("src", F.col("__p.dst").alias("dst"), F.col("__p.txt").alias("txt"))
+    terms = pairs.select(
+        "src",
+        "dst",
+        F.explode(
+            F.split(F.trim(F.regexp_replace(F.lower("txt"), r"\s+", " ")), " ")
+        ).alias("term"),
+    ).where(F.col("term") != "")
+    return terms.groupBy("dst", "term").agg(
+        F.count("*").alias("n_mentions"),
+        F.countDistinct("src").alias("n_pages"),
+    )

@@ -134,3 +134,23 @@ def test_crawl_frontier_rejects_bad_workers(spark):
     df = spark.createDataFrame([("http://a.com/x", 1.0)], "url string, priority double")
     with pytest.raises(ValueError):
         urls.crawl_frontier(df, n_workers=0)
+
+
+def test_anchor_texts_aggregates_across_pages(spark):
+    pages = spark.createDataFrame(
+        [
+            ("p1", '<a href="http://t.com/a">Fast Spark</a>'
+                   '<a class="x" href="http://t.com/b">spark</a>'),
+            ("p2", '<b>no links</b><a href="http://t.com/a">spark engine</a>'),
+        ],
+        "url string, html string",
+    )
+    got = {
+        (r["dst"], r["term"]): (r["n_mentions"], r["n_pages"])
+        for r in urls.anchor_texts(pages).collect()
+    }
+    assert got[("http://t.com/a", "spark")] == (2, 2)
+    assert got[("http://t.com/a", "fast")] == (1, 1)
+    assert got[("http://t.com/a", "engine")] == (1, 1)
+    assert got[("http://t.com/b", "spark")] == (1, 1)
+    assert len(got) == 4
