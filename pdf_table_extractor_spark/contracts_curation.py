@@ -4997,3 +4997,28 @@ def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_mentions").cast("long").alias("n_mentions"),
         F.col("n_pages").cast("long").alias("n_pages"),
     )
+
+
+@contract(
+    "q_phrase_search",
+    f"WITH toks AS ({TOKS})"
+    + r"""
+    , m AS (
+      SELECT doc_id,
+             len(list_filter(generate_series(1, greatest(len(t) - 2, 0)),
+                 s -> t[s] = 'slow' AND t[s+1] = 'hash' AND t[s+2] = 'batch')) AS n_matches
+      FROM toks
+    )
+    SELECT doc_id, CAST(n_matches AS BIGINT) AS n_matches
+    FROM m WHERE n_matches > 0
+    """,
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-postings phrase search (terms.phrase_search): exact
+    token-adjacency matching with a broadcast offset table + one anchor
+    aggregate; the oracle scans every token window with a list lambda."""
+    from pdf_table_extractor_spark.operators import terms as _terms
+
+    return _terms.phrase_search(
+        load(spark, sf_dir, "documents"), "slow hash batch"
+    ).select("doc_id", F.col("n_matches").cast("long").alias("n_matches"))

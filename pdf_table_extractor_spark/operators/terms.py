@@ -805,3 +805,53 @@ def token_entropy(
             F.sum("c").alias("n_tokens"),
         )
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact token-boundary phrase matching via positional postings —
+    the inverted-index primitive behind quoted-query search and
+    contamination auditing ("find every document containing this exact
+    benchmark prompt"). Returns (id, n_matches) for documents with at
+    least one occurrence.
+
+    Shape: postings (id, pos, tok) are pre-filtered to the phrase's
+    tokens BEFORE any shuffle (an isin literal filter at scan speed, so
+    ~|phrase vocab| / |corpus vocab| of positions survive), then one
+    broadcast join against the (token -> phrase offset) table emits
+    candidate (id, start = pos - offset) anchors, and a single hash
+    aggregate checks that every offset 0..k-1 is present at the anchor
+    (count DISTINCT offsets == k — repeated phrase words contribute all
+    their offsets through the broadcast, so "batch batch" matches only
+    genuine adjacency). No self-joins, no window, two map-side-combined
+    shuffles on skinny rows regardless of phrase length."""
+    words = phrase.lower().split()
+    if not words:
+        raise ValueError("empty phrase")
+    k = len(words)
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+    )
+    spark = docs.sparkSession
+    offsets = spark.createDataFrame(
+        [(w, i) for i, w in enumerate(words)], "tok string, off int"
+    )
+    postings = docs.select(
+        F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "tok")
+    ).where(F.col("tok").isin(list(set(words))))
+    anchors = postings.join(F.broadcast(offsets), "tok").select(
+        "id", (F.col("pos") - F.col("off")).alias("start"), "off"
+    )
+    full = (
+        anchors.groupBy("id", "start")
+        .agg(F.countDistinct("off").alias("__n_off"))
+        .where(F.col("__n_off") == k)
+    )
+    return full.groupBy("id").agg(F.count("*").alias("n_matches")).select(
+        F.col("id").alias(id_col), "n_matches"
+    )

@@ -455,3 +455,39 @@ def test_hll_merge_equals_sketch_of_union(spark):
     (em,) = terms.hll_estimate(merged, p=8).collect()
     (ed,) = terms.hll_estimate(direct, p=8).collect()
     assert em["hll_estimate"] == ed["hll_estimate"]
+
+
+def test_phrase_search_repeated_word_adjacency(spark):
+    """'batch batch' must require genuine adjacency: a lone token or two
+    non-adjacent occurrences never match; overlapping runs count each
+    anchor ('batch batch batch' -> 2)."""
+    from pdf_table_extractor_spark.operators import terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "batch of batch things"),
+            (2, "one batch batch two"),
+            (3, "batch batch batch"),
+            (4, "no hits here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_matches"]
+        for r in terms.phrase_search(df, "batch batch").collect()
+    }
+    assert got == {2: 1, 3: 2}
+
+
+def test_phrase_search_prefilters_before_shuffle(spark):
+    from pdf_table_extractor_spark.operators import terms
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    qe = terms.phrase_search(df, "b c")._jdf.queryExecution()
+    opt = qe.optimizedPlan().toString()
+    phys = qe.executedPlan().toString()
+    # exactly one (broadcast) join against the offsets table, never a
+    # cartesian or a k-way self-join, and the postings filter survives
+    assert opt.count("Join") == 1 and "Cartesian" not in phys, opt
+    assert "BroadcastHashJoin" in phys, phys
+    assert "Filter" in opt, opt
