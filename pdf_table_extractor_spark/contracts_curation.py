@@ -5022,3 +5022,59 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _terms.phrase_search(
         load(spark, sf_dir, "documents"), "slow hash batch"
     ).select("doc_id", F.col("n_matches").cast("long").alias("n_matches"))
+
+
+def _hits_sql(iters: int = 3) -> str:
+    """Unrolled HITS oracle over the deterministic site graph (same
+    edge synth as _pagerank_sql): auth from hub, then hub from the NEW
+    auth, L2-normalized over all nodes each step."""
+    head = """
+    WITH e0 AS MATERIALIZED (
+      SELECT 'site' || CAST(doc_id % 7 AS VARCHAR) AS src,
+             'site' || CAST((doc_id * 3 + 1) % 7 AS VARCHAR) AS dst
+      FROM documents
+      UNION ALL
+      SELECT 'site' || CAST(doc_id % 7 AS VARCHAR),
+             'site' || CAST((doc_id * 5 + 2) % 7 AS VARCHAR)
+      FROM documents
+    ),
+    e AS MATERIALIZED (SELECT src, dst, COUNT(*)::DOUBLE AS w FROM e0 GROUP BY src, dst),
+    nodes AS MATERIALIZED (SELECT src AS host FROM e UNION SELECT dst FROM e),
+    s0 AS MATERIALIZED (SELECT host, 1.0::DOUBLE AS hub, 1.0::DOUBLE AS auth FROM nodes)
+    """
+    its = ""
+    for k in range(iters):
+        its += f""",
+    ar{k} AS MATERIALIZED (
+      SELECT e.dst AS host, SUM(s.hub * e.w) AS a
+      FROM e JOIN s{k} s ON s.host = e.src GROUP BY e.dst
+    ),
+    af{k} AS MATERIALIZED (
+      SELECT n.host, s.hub, COALESCE(ar.a, 0) AS auth
+      FROM nodes n JOIN s{k} s ON s.host = n.host
+      LEFT JOIN ar{k} ar ON ar.host = n.host
+    ),
+    an{k} AS MATERIALIZED (SELECT sqrt(SUM(auth * auth)) AS na FROM af{k}),
+    a{k} AS MATERIALIZED (SELECT host, hub, auth / an.na AS auth2 FROM af{k} CROSS JOIN an{k} an),
+    hr{k} AS MATERIALIZED (
+      SELECT e.src AS host, SUM(a.auth2 * e.w) AS h
+      FROM e JOIN a{k} a ON a.host = e.dst GROUP BY e.src
+    ),
+    hf{k} AS MATERIALIZED (
+      SELECT n.host, COALESCE(hr.h, 0) AS hub, a.auth2 AS auth
+      FROM nodes n JOIN a{k} a ON a.host = n.host
+      LEFT JOIN hr{k} hr ON hr.host = n.host
+    ),
+    hn{k} AS MATERIALIZED (SELECT sqrt(SUM(hub * hub)) AS nh FROM hf{k}),
+    s{k + 1} AS MATERIALIZED (SELECT host, hub / hn.nh AS hub, auth FROM hf{k} CROSS JOIN hn{k} hn)"""
+    return head + its + (
+        f"\n    SELECT host, ROUND(hub, 6) AS hub, ROUND(auth, 6) AS auth FROM s{iters}"
+    )
+
+
+@contract("q_hits_scores", _hits_sql(iters=3))
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg HITS hubs/authorities (graph.hits, 3 iterations) over
+    the deterministic site graph; the oracle unrolls the same
+    normalized iterations."""
+    return _graph.hits(_site_edges(spark, sf_dir), iters=3)

@@ -184,3 +184,96 @@ def triangle_count(
     return nodes.join(corners, "host", "left").select(
         "host", F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles")
     )
+
+
+def hits(
+    edges: DataFrame,
+    *,
+    iters: int = 8,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    weight_col: str | None = "n_links",
+    round_to: int = 6,
+    rows_per_partition: int = 500_000,
+) -> DataFrame:
+    """(host, hub, auth): Kleinberg's HITS (JACM 1999) over the link
+    graph — the hub/authority complement to PageRank's single prior
+    (mutually reinforcing: good hubs point at good authorities). Per
+    iteration, in published order: auth'(v) = Σ_{u→v} hub(u)·w, then
+    hub'(u) = Σ_{u→v} auth'(v)·w, each L2-normalized over ALL nodes.
+    Final scores rounded (default 6 dp) so an oracle unrolling the same
+    iterations agrees despite summation-order float drift.
+
+    Scale shape (same discipline as pagerank above): each iteration is
+    two equi-joins on the host key plus two 1-row norm aggregates
+    broadcast back; scores live in ONE (host, hub, auth) table,
+    localCheckpointed per iteration so the plan stays flat; the loop
+    runs at an edge-derived shuffle width. No driver-side graph."""
+    src, dst = F.col(src_col), F.col(dst_col)
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    e = edges.select(src.alias("src"), dst.alias("dst"), w.alias("w"))
+    e = e.localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .union(e.select(F.col("dst").alias("host")))
+        .distinct()
+        .localCheckpoint()
+    )
+    spark = edges.sparkSession
+    sp_key = "spark.sql.shuffle.partitions"
+    old_sp = spark.conf.get(sp_key)
+    n_part = max(1, min(int(old_sp), -(-e.count() // rows_per_partition)))
+    spark.conf.set(sp_key, str(n_part))
+    try:
+        scores = nodes.select(
+            "host", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")
+        ).localCheckpoint()
+        for _ in range(iters):
+            a_raw = (
+                e.join(
+                    scores.select(F.col("host").alias("src"), "hub"), "src"
+                )
+                .groupBy(F.col("dst").alias("host"))
+                .agg(F.sum(F.col("hub") * F.col("w")).alias("__a"))
+            )
+            a_full = scores.join(a_raw, "host", "left").select(
+                "host", "hub", F.coalesce("__a", F.lit(0.0)).alias("auth")
+            )
+            a_norm = a_full.select(
+                F.sqrt(F.sum(F.col("auth") * F.col("auth"))).alias("__na")
+            )
+            a_full = (
+                a_full.crossJoin(F.broadcast(a_norm))
+                .select(
+                    "host", "hub", (F.col("auth") / F.col("__na")).alias("auth")
+                )
+                .localCheckpoint()
+            )
+            h_raw = (
+                e.join(
+                    a_full.select(F.col("host").alias("dst"), "auth").withColumnRenamed(
+                        "auth", "__dauth"
+                    ),
+                    "dst",
+                )
+                .groupBy(F.col("src").alias("host"))
+                .agg(F.sum(F.col("__dauth") * F.col("w")).alias("__h"))
+            )
+            h_full = a_full.join(h_raw, "host", "left").select(
+                "host", F.coalesce("__h", F.lit(0.0)).alias("hub"), "auth"
+            )
+            h_norm = h_full.select(
+                F.sqrt(F.sum(F.col("hub") * F.col("hub"))).alias("__nh")
+            )
+            scores = (
+                h_full.crossJoin(F.broadcast(h_norm))
+                .select(
+                    "host", (F.col("hub") / F.col("__nh")).alias("hub"), "auth"
+                )
+                .localCheckpoint()
+            )
+    finally:
+        spark.conf.set(sp_key, old_sp)
+    return scores.select(
+        "host", F.round("hub", round_to).alias("hub"), F.round("auth", round_to).alias("auth")
+    )

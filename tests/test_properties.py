@@ -308,6 +308,43 @@ def test_pagerank_conserves_mass(spark, raw_edges):
     assert all(p > 0 for p in pr.values())
 
 
+@given(st.lists(st.tuples(st.integers(0, 6), st.integers(0, 6)), min_size=1, max_size=12))
+@SET
+def test_hits_matches_sequential_replay(spark, raw_edges):
+    """Engine HITS == a sequential dict replay of Kleinberg's update
+    (auth from hub, hub from NEW auth, L2 norms over all nodes)."""
+    import math
+
+    from pdf_table_extractor_spark.operators.graph import hits
+
+    edges = [(f"h{a}", f"h{b}", 1 + (a + b) % 3) for a, b in raw_edges]
+    w = {}
+    for s, d, n in edges:
+        w[(s, d)] = w.get((s, d), 0) + n
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    hub = {v: 1.0 for v in nodes}
+    auth = {v: 1.0 for v in nodes}
+    for _ in range(3):
+        auth = {v: sum(hub[s] * wt for (s, d), wt in w.items() if d == v) for v in nodes}
+        na = math.sqrt(sum(a * a for a in auth.values()))
+        auth = {v: a / na for v, a in auth.items()}
+        hub = {v: sum(auth[d] * wt for (s, d), wt in w.items() if s == v) for v in nodes}
+        nh = math.sqrt(sum(h * h for h in hub.values()))
+        hub = {v: h / nh for v, h in hub.items()}
+    agg = {}
+    for s, d, n in edges:
+        agg[(s, d)] = agg.get((s, d), 0) + n
+    df = spark.createDataFrame(
+        [(s, d, n) for (s, d), n in agg.items()],
+        "src_host string, dst_host string, n_links long",
+    )
+    got = {r["host"]: (r["hub"], r["auth"]) for r in hits(df, iters=3).collect()}
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v][0] - hub[v]) < 1e-5, (v, got[v], hub[v])
+        assert abs(got[v][1] - auth[v]) < 1e-5, (v, got[v], auth[v])
+
+
 _merge_op = st.tuples(
     st.integers(min_value=0, max_value=6),   # key
     st.integers(min_value=0, max_value=15),  # version
