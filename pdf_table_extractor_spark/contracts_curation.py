@@ -5078,3 +5078,67 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     the deterministic site graph; the oracle unrolls the same
     normalized iterations."""
     return _graph.hits(_site_edges(spark, sf_dir), iters=3)
+
+
+_HEAPS_TOKS = (
+    # open-vocabulary variant of TOKS: the raw synth corpus has a CLOSED
+    # ~31-type vocabulary (flat growth — exactly the degenerate case the
+    # operator flags), so the contract appends two doc-derived tokens:
+    # 'u<doc_id>' (unbounded churn) and 'v<doc_id*7%97>' (a 97-type pool
+    # saturating over the corpus) for a genuine growth curve.
+    r"SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+    r" || ' u' || CAST(doc_id AS VARCHAR)"
+    r" || ' v' || CAST((doc_id * 7) % 97 AS VARCHAR), ' ') AS t FROM documents"
+)
+
+
+@contract(
+    "q_heaps_fit",
+    f"WITH toks AS ({_HEAPS_TOKS})"
+    + r"""
+    , pd AS (SELECT doc_id AS id, len(t) AS n_toks FROM toks),
+    mx AS (SELECT MAX(id) AS m FROM pd),
+    db AS (
+      SELECT (id * 12) // (mx.m + 1) AS b, SUM(n_toks) AS toks_b
+      FROM pd CROSS JOIN mx GROUP BY 1
+    ),
+    firsts AS (
+      SELECT tok, MIN(doc_id) AS id
+      FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY tok
+    ),
+    tb AS (
+      SELECT (id * 12) // (mx.m + 1) AS b, COUNT(*) AS types_b
+      FROM firsts CROSS JOIN mx GROUP BY 1
+    ),
+    grid AS (SELECT unnest(generate_series(0, 11)) AS b),
+    cum AS (
+      SELECT g.b,
+             SUM(COALESCE(db.toks_b, 0)) OVER (ORDER BY g.b) AS cum_toks,
+             SUM(COALESCE(tb.types_b, 0)) OVER (ORDER BY g.b) AS cum_types
+      FROM grid g LEFT JOIN db ON db.b = g.b LEFT JOIN tb ON tb.b = g.b
+    ),
+    xy AS (
+      SELECT ln(cum_toks) AS x, ln(cum_types) AS y
+      FROM cum WHERE cum_toks > 0 AND cum_types > 0
+    )
+    SELECT ROUND(regr_slope(y, x), 5) AS slope,
+           ROUND(regr_intercept(y, x), 5) AS intercept,
+           ROUND(regr_r2(y, x), 5) AS r2,
+           CAST(COUNT(*) AS BIGINT) AS n_points
+    FROM xy
+    """,
+)
+def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocab-growth fit (terms.heaps_fit): V(n) = K·n^β over
+    12 id-range prefix checkpoints; β collapse flags template floods,
+    β→1 flags id-churn junk. Oracle replays buckets + prefix sums +
+    the log-log regression."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.lit(" u"), F.col("doc_id").cast("string"),
+            F.lit(" v"), ((F.col("doc_id") * 7) % 97).cast("string"),
+        ).alias("text"),
+    )
+    return terms.heaps_fit(d)

@@ -855,3 +855,81 @@ def phrase_search(
     return full.groupBy("id").agg(F.count("*").alias("n_matches")).select(
         F.col("id").alias(id_col), "n_matches"
     )
+
+
+def heaps_fit(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_checkpoints: int = 12,
+    round_to: int = 5,
+) -> DataFrame:
+    """One-row Heaps'-law vocabulary-growth fit: OLS of ln(distinct
+    types) on ln(tokens seen) over ``n_checkpoints`` prefix checkpoints
+    in id order -> (slope, intercept, r2, n_points). Natural corpora
+    grow V(n) = K·n^β with β ≈ 0.4-0.6; β collapsing toward 0 means a
+    closed template vocabulary (machine-generated floods), β near 1
+    means id-like token churn (boilerplate hashes, tracking junk) —
+    the growth-curve complement to `zipf_fit`'s head-shape gate.
+
+    Scale: prefix counts are NOT a corpus-wide window — each doc maps
+    to one of C id-range buckets, types bucket by their FIRST document
+    (min-id aggregate), and the cumulative sums run over exactly C rows
+    (model-sized single-partition window by construction). Two hash
+    aggregates + one broadcast max; no collect."""
+    c = int(n_checkpoints)
+    toks = tokens(F.col(text_col))
+    per_doc = df.select(
+        F.col(id_col).alias("id"), F.size(toks).alias("n_toks")
+    )
+    mx = per_doc.agg(F.max("id").alias("__m"))
+    bucket = F.expr(f"(id * {c}) div (__m + 1)")
+    doc_b = (
+        per_doc.crossJoin(F.broadcast(mx))
+        .groupBy(bucket.alias("b"))
+        .agg(F.sum("n_toks").alias("toks_b"))
+    )
+    firsts = (
+        df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("id").alias("id"))
+    )
+    type_b = (
+        firsts.crossJoin(F.broadcast(mx))
+        .groupBy(bucket.alias("b"))
+        .agg(F.count("*").alias("types_b"))
+    )
+    grid = mx.select(
+        F.explode(F.sequence(F.lit(0), F.lit(c - 1))).alias("b")
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    xy = (
+        grid.join(doc_b, "b", "left")
+        .join(type_b, "b", "left")
+        .select(
+            "b",
+            F.sum(F.coalesce("toks_b", F.lit(0))).over(w).alias("cum_toks"),
+            F.sum(F.coalesce("types_b", F.lit(0))).over(w).alias("cum_types"),
+        )
+        .where((F.col("cum_toks") > 0) & (F.col("cum_types") > 0))
+        .select(
+            F.log(F.col("cum_toks").cast("double")).alias("x"),
+            F.log(F.col("cum_types").cast("double")).alias("y"),
+        )
+    )
+    # try_divide: a CLOSED vocabulary (every type seen in the first
+    # checkpoint — the extreme template-flood case this gate exists to
+    # catch) makes var(y) zero; corr would throw under ANSI (when()
+    # doesn't short-circuit vectorized evaluation), so slope/r2 go NULL
+    # instead of killing the job.
+    vx, vy = F.var_pop("x"), F.var_pop("y")
+    cxy = F.covar_pop("x", "y")
+    slope = F.try_divide(cxy, vx)
+    r2 = F.try_divide(cxy * cxy, vx * vy)
+    return xy.agg(
+        F.round(slope, round_to).alias("slope"),
+        F.round(F.avg("y") - slope * F.avg("x"), round_to).alias("intercept"),
+        F.round(r2, round_to).alias("r2"),
+        F.count("*").alias("n_points"),
+    )

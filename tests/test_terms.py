@@ -491,3 +491,52 @@ def test_phrase_search_prefilters_before_shuffle(spark):
     assert opt.count("Join") == 1 and "Cartesian" not in phys, opt
     assert "BroadcastHashJoin" in phys, phys
     assert "Filter" in opt, opt
+
+
+def test_heaps_fit_matches_python_replay_and_survives_closed_vocab(spark):
+    import math
+
+    from pdf_table_extractor_spark.operators import terms
+
+    # open vocabulary: doc i contributes shared tokens + unique u<i>
+    docs = [(i, "the scan " + " ".join(f"u{j}" for j in range(3 * i, 3 * i + 3)))
+            for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    (row,) = terms.heaps_fit(df, n_checkpoints=8).collect()
+    # python replay of the same buckets + OLS
+    m = 39
+    toks_b, first = {}, {}
+    for i, t in docs:
+        b = (i * 8) // (m + 1)
+        ws = t.split()
+        toks_b[b] = toks_b.get(b, 0) + len(ws)
+        for wd in ws:
+            first.setdefault(wd, i)
+    types_b = {}
+    for wd, i in first.items():
+        b = (i * 8) // (m + 1)
+        types_b[b] = types_b.get(b, 0) + 1
+    xs, ys, ct, cv = [], [], 0, 0
+    for b in range(8):
+        ct += toks_b.get(b, 0)
+        cv += types_b.get(b, 0)
+        if ct > 0 and cv > 0:
+            xs.append(math.log(ct))
+            ys.append(math.log(cv))
+    n = len(xs)
+    mx_, my_ = sum(xs) / n, sum(ys) / n
+    vx = sum((x - mx_) ** 2 for x in xs) / n
+    cxy = sum((x - mx_) * (y - my_) for x, y in zip(xs, ys)) / n
+    slope = cxy / vx
+    assert row["n_points"] == n == 8
+    assert abs(row["slope"] - slope) < 1e-4
+    assert 0.0 < row["slope"] <= 1.1
+
+    # closed vocabulary: flat growth must yield NULL slope/r2, not throw
+    flat = spark.createDataFrame(
+        [(i, "the scan works") for i in range(20)], "doc_id long, text string"
+    )
+    (frow,) = terms.heaps_fit(flat, n_checkpoints=6).collect()
+    # tokens grow but types don't: slope exactly 0 (the flood signal),
+    # r2 undefined (zero y-variance) -> NULL, never a throw
+    assert frow["slope"] == 0.0 and frow["r2"] is None
