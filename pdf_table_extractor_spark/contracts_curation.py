@@ -5142,3 +5142,32 @@ def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return terms.heaps_fit(d)
+
+
+@contract(
+    "q_random_projection",
+    """
+    SELECT vec_id,
+           list_transform(generate_series(0, 7), j ->
+             round(
+               list_reduce(
+                 list_transform(generate_series(1, 64), i ->
+                   CAST(embedding[i] AS DOUBLE) *
+                   (CASE WHEN ('0x' || substr(md5('rp:' || CAST(i - 1 AS VARCHAR)
+                                               || ':' || CAST(j AS VARCHAR)), 1, 8))::UBIGINT % 2 = 0
+                         THEN 1.0 ELSE -1.0 END)),
+                 (a, b) -> a + b
+               ) * (1.0 / sqrt(8.0)), 6)
+           ) AS proj
+    FROM embeddings
+    """,
+)
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL sign random projection 64→8 (similarity.random_projection):
+    the md5-derived ±1 matrix constant-folds at plan time; the oracle
+    re-derives the identical matrix and replays the sequential fold."""
+    from pdf_table_extractor_spark.operators import similarity
+
+    return similarity.random_projection(
+        load(spark, sf_dir, "embeddings"), dim=64, out_dim=8, round_to=6
+    )

@@ -1161,3 +1161,52 @@ def bitext_margin(
         )
         .select("src_id", "tgt_id", F.coalesce(F.col("__m"), F.lit(False)).alias("mutual"))
     )
+
+
+def random_projection(
+    df: DataFrame,
+    *,
+    dim: int,
+    out_dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    salt: str = "rp",
+    round_to: int | None = None,
+) -> DataFrame:
+    """(id, proj): Johnson–Lindenstrauss sign random projection —
+    y_j = (1/√k)·Σ_i x_i·s(i,j) with s(i,j) ∈ {±1} (Achlioptas 2003,
+    database-friendly projections). The cheap dimensionality squeeze in
+    front of LSH bucketing / coarse ANN when PCA's data pass is not
+    worth it; distance distortion is bounded by the JL lemma for
+    k = O(ln n / ε²).
+
+    The ±1 matrix is md5-derived from (salt, i, j) LITERALS only, so
+    Catalyst constant-folds the whole k×d matrix at plan time — per-row
+    cost is k·d fused multiply-adds in codegen, zero md5 at runtime,
+    and any engine (or executor, or rerun) derives the identical
+    matrix with no shipped state. Sequential fold order (aggregate /
+    list_reduce) is pinned so cross-engine sums agree bit-for-bit."""
+    k, d = int(out_dim), int(dim)
+    inv = 1.0 / (k ** 0.5)
+    vec = F.col(vec_col)
+
+    def sign(i: int, j: int) -> Column:
+        h = F.md5(F.lit(f"{salt}:{i}:{j}"))
+        bit = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 2
+        return F.when(bit == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+    smat = F.array(*[
+        F.array(*[sign(i, j) for i in range(d)]) for j in range(k)
+    ])
+    proj = F.transform(
+        smat,
+        lambda srow: F.aggregate(
+            F.zip_with(vec, srow, lambda x, sgn: x.cast("double") * sgn),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        * F.lit(inv),
+    )
+    if round_to is not None:
+        proj = F.transform(proj, lambda y: F.round(y, round_to))
+    return df.select(F.col(id_col), proj.alias("proj"))

@@ -706,3 +706,27 @@ def test_lsh_plan_picks_inflection_near_threshold():
         lsh_plan(0, 0.5)
     with pytest.raises(ValueError):
         lsh_plan(16, 1.0)
+
+
+def test_random_projection_folds_matrix_and_preserves_distance(spark):
+    """The md5 sign matrix must constant-fold out of the runtime plan,
+    and pairwise distances must be preserved within JL-plausible bounds
+    on a hand corpus."""
+    import math
+    import random
+
+    rng = random.Random(3)
+    vecs = [(i, [rng.gauss(0, 1) for _ in range(32)]) for i in range(30)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = similarity.random_projection(df, dim=32, out_dim=16)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "md5" not in plan  # folded to literals at plan time
+    got = {r["vec_id"]: r["proj"] for r in out.collect()}
+    # norms preserved in expectation: median ratio within a loose band
+    ratios = []
+    for i, v in vecs:
+        n0 = math.sqrt(sum(x * x for x in v))
+        n1 = math.sqrt(sum(y * y for y in got[i]))
+        ratios.append(n1 / n0)
+    ratios.sort()
+    assert 0.6 < ratios[len(ratios) // 2] < 1.4, ratios
