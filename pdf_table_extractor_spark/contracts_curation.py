@@ -5171,3 +5171,120 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.random_projection(
         load(spark, sf_dir, "embeddings"), dim=64, out_dim=8, round_to=6
     )
+
+
+@contract(
+    "q_frontier_robots",
+    """
+    WITH u AS (
+      SELECT DISTINCT 'h' || CAST(doc_id % 13 AS VARCHAR) AS host,
+             '/p' || CAST(doc_id % 5 AS VARCHAR) || '/'
+                  || CAST(doc_id % 3 AS VARCHAR) AS path
+      FROM documents
+    ),
+    r(host, directive, path_prefix) AS (VALUES
+      ('h1', 'allow', '/p1'), ('h1', 'disallow', '/p1/2'),
+      ('h1', 'disallow', '/p2'),
+      ('h2', 'disallow', ''), ('h2', 'allow', '/p3'),
+      ('h3', 'allow', '/p4'), ('h3', 'disallow', '/p4'),
+      ('h5', 'disallow', '/p')
+    ),
+    m AS (
+      SELECT u.host, u.path, r.directive, r.path_prefix
+      FROM u LEFT JOIN r
+        ON r.host = u.host AND starts_with(u.path, r.path_prefix)
+    ),
+    w AS (
+      SELECT host, path, directive,
+             ROW_NUMBER() OVER (
+               PARTITION BY host, path
+               ORDER BY length(path_prefix) DESC,
+                        (directive = 'allow') DESC,
+                        path_prefix DESC, directive DESC
+             ) AS rk
+      FROM m
+    ),
+    al AS (
+      SELECT host, path FROM w
+      WHERE rk = 1 AND COALESCE(directive = 'allow', TRUE)
+    ),
+    f AS (
+      SELECT 'http://' || host || path AS url, host,
+             CAST(substr(path, 3, 1) AS INT) AS priority
+      FROM al
+    ),
+    rkk AS (
+      SELECT url, host,
+             row_number() OVER (PARTITION BY host ORDER BY priority DESC, url) AS slot
+      FROM f
+    )
+    SELECT url, host,
+           CAST(('0x' || substr(md5(host), 1, 8))::UBIGINT % 4 AS BIGINT) AS worker,
+           CAST(slot AS BIGINT) AS slot
+    FROM rkk WHERE slot <= 10
+    """,
+)
+def q_frontier_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-side composition: RFC 9309 robots gate (longest-prefix
+    winner) feeding politeness-aware frontier scheduling — only allowed
+    (host, path) candidates get fetch slots. One broadcast rule join +
+    winner aggregate, then one host shuffle; the oracle replays the
+    whole chain."""
+    d = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    frontier = d.select(
+        F.concat(F.lit("h"), (i % 13).cast("string")).alias("host"),
+        F.concat(
+            F.lit("/p"), (i % 5).cast("string"), F.lit("/"), (i % 3).cast("string")
+        ).alias("path"),
+    )
+    rules = spark.createDataFrame(
+        _ROBOTS_RULES, "host string, directive string, path_prefix string"
+    )
+    gated = _urls.robots_allowed(frontier, rules).where(F.col("allowed"))
+    sched = _urls.crawl_frontier(
+        gated.select(
+            F.concat(F.lit("http://"), "host", "path").alias("url"),
+            F.substring("path", 3, 1).cast("int").alias("priority"),
+        ),
+        n_workers=4,
+        max_per_host=10,
+    )
+    return sched
+
+
+@contract(
+    "q_dedup_containment",
+    SHINGLES
+    + """
+    , sh2 AS (SELECT DISTINCT doc_id, source, s FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh2 GROUP BY doc_id),
+    inter AS (
+      SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS n_inter
+      FROM sh2 l JOIN sh2 r
+        ON l.source = r.source AND l.s = r.s AND l.doc_id < r.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a, b, CAST(n_inter AS BIGINT) AS inter,
+           CAST(sa.sz AS BIGINT) AS sza, CAST(sb.sz AS BIGINT) AS szb,
+           ROUND(n_inter / sa.sz, 6) AS c_a_in_b,
+           ROUND(n_inter / sb.sz, 6) AS c_b_in_a
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = a
+    JOIN sizes sb ON sb.doc_id = b
+    WHERE n_inter / sa.sz >= 0.2 OR n_inter / sb.sz >= 0.2
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-set containment (dedup.containment_pairs):
+    the quote/inclusion detector Jaccard misses; both directions
+    reported, either clearing the threshold keeps the pair."""
+    return dedup.containment_pairs(
+        load(spark, sf_dir, "documents"), scope_col="source", threshold=0.2
+    ).select(
+        "a", "b",
+        F.col("inter").cast("long").alias("inter"),
+        F.col("sza").cast("long").alias("sza"),
+        F.col("szb").cast("long").alias("szb"),
+        "c_a_in_b", "c_b_in_a",
+    )

@@ -987,3 +987,74 @@ def lsh_plan(n_hashes: int, threshold: float) -> tuple[int, int]:
         if best is None or score < best[0]:
             best = (score, bands, rows)
     return best[1], best[2]
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scope_col: str | None = None,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: k-gram set containment C(A⊂B) = |A∩B|/|A|
+    per candidate pair — the measure Jaccard misses when a small
+    document is swallowed whole by a big one (quoted articles, page-in-
+    page mirrors, listicle aggregation): a 100-gram doc fully inside a
+    10 000-gram doc has Jaccard ≈ 0.01 but containment 1.0 (Broder
+    1997's "containment" companion to resemblance). Emits (a, b, inter,
+    sza, szb, c_a_in_b, c_b_in_a) for pairs where EITHER direction
+    clears ``threshold``.
+
+    Same scale discipline as `ngram_jaccard_pairs` (shingle-keyed join,
+    never all-pairs; unscoped calls REQUIRE max_df hot-shingle pruning,
+    with sizes computed on the pruned universe so both containments
+    stay internally consistent)."""
+    if scope_col is None and max_df is None:
+        raise ValueError(
+            "containment_pairs without scope_col needs max_df (see "
+            "ngram_jaccard_pairs: unscoped shingle joins blow up on "
+            "Zipf-hot shingles at scale)"
+        )
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        (F.col(scope_col) if scope_col else F.lit("all")).alias("scope"),
+        F.explode_outer(F.array_distinct(shingles(F.col(text_col), k))).alias("s"),
+    )
+    if max_df is not None:
+        hot = (
+            sh.groupBy("scope", "s")
+            .agg(F.count("*").alias("__df"))
+            .where(F.col("__df") > max_df)
+            .select("scope", "s")
+        )
+        sh = sh.join(hot, ["scope", "s"], "left_anti")
+    sizes = sh.groupBy("id", "scope").agg(F.count("s").alias("sz"))
+    l, r = sh.alias("l"), sh.alias("r")
+    inter = (
+        l.join(
+            r,
+            (F.col("l.scope") == F.col("r.scope"))
+            & (F.col("l.s") == F.col("r.s"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .groupBy(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("id").alias("b"), F.col("sz").alias("szb"))
+    out = (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("c_a_in_b", F.col("inter") / F.col("sza"))
+        .withColumn("c_b_in_a", F.col("inter") / F.col("szb"))
+        .filter(
+            (F.col("c_a_in_b") >= threshold) | (F.col("c_b_in_a") >= threshold)
+        )
+    )
+    return out.select(
+        "a", "b", "inter", "sza", "szb",
+        F.round("c_a_in_b", 6).alias("c_a_in_b"),
+        F.round("c_b_in_a", 6).alias("c_b_in_a"),
+    )

@@ -730,3 +730,24 @@ def test_random_projection_folds_matrix_and_preserves_distance(spark):
         ratios.append(n1 / n0)
     ratios.sort()
     assert 0.6 < ratios[len(ratios) // 2] < 1.4, ratios
+
+
+def test_containment_asymmetric_vs_jaccard(spark):
+    """A short doc fully inside a long one: containment ~1 one way,
+    tiny the other; Jaccard would be small."""
+    small = "alpha beta gamma delta epsilon"
+    big = small + " " + " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, small, "s"), (2, big, "s"), (3, "unrelated stuff here now", "s")],
+        "doc_id long, text string, source string",
+    )
+    rows = dedup.containment_pairs(df, scope_col="source", threshold=0.5).collect()
+    assert len(rows) == 1
+    (r,) = rows
+    assert (r["a"], r["b"]) == (1, 2)
+    assert r["c_a_in_b"] == 1.0  # every small-doc shingle is in big
+    assert r["c_b_in_a"] < 0.1
+    import pytest
+
+    with pytest.raises(ValueError):
+        dedup.containment_pairs(df)  # unscoped without max_df must refuse
