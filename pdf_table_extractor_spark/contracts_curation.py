@@ -5288,3 +5288,61 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("szb").cast("long").alias("szb"),
         "c_a_in_b", "c_b_in_a",
     )
+
+
+def _lpa_sql(iters: int = 3) -> str:
+    """Unrolled synchronous LPA oracle over the deterministic site
+    graph (MATERIALIZED CTEs — chained-CTE re-expansion is exponential
+    otherwise)."""
+    head = """
+    WITH e0 AS MATERIALIZED (
+      SELECT 'site' || CAST(doc_id % 7 AS VARCHAR) AS src,
+             'site' || CAST((doc_id * 3 + 1) % 7 AS VARCHAR) AS dst
+      FROM documents
+      UNION ALL
+      SELECT 'site' || CAST(doc_id % 7 AS VARCHAR),
+             'site' || CAST((doc_id * 5 + 2) % 7 AS VARCHAR)
+      FROM documents
+    ),
+    ed AS MATERIALIZED (SELECT src, dst, COUNT(*)::DOUBLE AS w FROM e0 GROUP BY src, dst),
+    und AS MATERIALIZED (
+      SELECT u, v, SUM(w) AS w FROM (
+        SELECT src AS u, dst AS v, w FROM ed
+        UNION ALL
+        SELECT dst AS u, src AS v, w FROM ed
+      ) GROUP BY u, v
+    ),
+    nodes AS MATERIALIZED (SELECT DISTINCT u AS host FROM und),
+    l0 AS MATERIALIZED (SELECT host, host AS community FROM nodes)
+    """
+    its = ""
+    for k in range(iters):
+        its += f""",
+    v{k} AS MATERIALIZED (
+      SELECT und.u AS host, l.community, SUM(und.w) AS wt
+      FROM und JOIN l{k} l ON l.host = und.v
+      GROUP BY und.u, l.community
+    ),
+    b{k} AS MATERIALIZED (
+      SELECT host, community FROM (
+        SELECT host, community,
+               ROW_NUMBER() OVER (PARTITION BY host
+                                  ORDER BY wt DESC, community ASC) AS rk
+        FROM v{k}
+      ) WHERE rk = 1
+    ),
+    l{k + 1} AS MATERIALIZED (
+      SELECT n.host, COALESCE(b.community, l.community) AS community
+      FROM nodes n
+      JOIN l{k} l ON l.host = n.host
+      LEFT JOIN b{k} b ON b.host = n.host
+    )"""
+    return head + its + f"\n    SELECT host, community FROM l{iters}"
+
+
+@contract("q_lpa_communities", _lpa_sql(iters=3))
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities
+    (graph.label_propagation, 3 rounds, weight-argmax with min-label
+    ties) over the deterministic site graph."""
+    return _graph.label_propagation(_site_edges(spark, sf_dir), iters=3)

@@ -345,6 +345,44 @@ def test_hits_matches_sequential_replay(spark, raw_edges):
         assert abs(got[v][1] - auth[v]) < 1e-5, (v, got[v], auth[v])
 
 
+@given(st.lists(st.tuples(st.integers(0, 6), st.integers(0, 6)), min_size=1, max_size=12))
+@SET
+def test_label_propagation_matches_sequential_replay(spark, raw_edges):
+    """Engine synchronous LPA == a dict replay (undirected folded
+    weights, weight-argmax with min-label ties, isolated keep-label)."""
+    from pdf_table_extractor_spark.operators.graph import label_propagation
+
+    und = {}
+    for a, b in raw_edges:
+        s, d, n = f"h{a}", f"h{b}", 1 + (a + b) % 3
+        und[(s, d)] = und.get((s, d), 0) + n
+        und[(d, s)] = und.get((d, s), 0) + n
+    nodes = sorted({x for e in und for x in e})
+    lab = {v: v for v in nodes}
+    for _ in range(3):
+        new = {}
+        for v in nodes:
+            votes = {}
+            for (u, w_node), wt in und.items():
+                if u == v:
+                    votes[lab[w_node]] = votes.get(lab[w_node], 0) + wt
+            if votes:
+                new[v] = min(votes, key=lambda c: (-votes[c], c))
+            else:
+                new[v] = lab[v]
+        lab = new
+    agg = {}
+    for a, b in raw_edges:
+        s, d, n = f"h{a}", f"h{b}", 1 + (a + b) % 3
+        agg[(s, d)] = agg.get((s, d), 0) + n
+    df = spark.createDataFrame(
+        [(s, d, n) for (s, d), n in agg.items()],
+        "src_host string, dst_host string, n_links long",
+    )
+    got = {r["host"]: r["community"] for r in label_propagation(df, iters=3).collect()}
+    assert got == lab
+
+
 _merge_op = st.tuples(
     st.integers(min_value=0, max_value=6),   # key
     st.integers(min_value=0, max_value=15),  # version
