@@ -5346,3 +5346,41 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     (graph.label_propagation, 3 rounds, weight-argmax with min-label
     ties) over the deterministic site graph."""
     return _graph.label_propagation(_site_edges(spark, sf_dir), iters=3)
+
+
+@contract(
+    "q_token_fertility",
+    _bpe_sql(
+        _BPE_K,
+        f"""
+    , vocab AS MATERIALIZED (
+      SELECT w, len(string_split(sym, ' ')) AS n_sub FROM w{_BPE_K}
+    ),
+    enc AS (
+      SELECT t.doc_id, COUNT(*) AS n_words, SUM(v.n_sub) AS n_subwords
+      FROM (SELECT doc_id, unnest(string_split({SQ}, ' ')) AS w
+            FROM documents) t
+      JOIN vocab v ON t.w = v.w
+      WHERE t.w <> ''
+      GROUP BY t.doc_id
+    )
+    SELECT d.lang AS slice,
+           COUNT(*) AS n_docs,
+           CAST(SUM(e.n_words) AS BIGINT) AS n_words,
+           CAST(SUM(e.n_subwords) AS BIGINT) AS n_subwords,
+           CAST(SUM(strlen(d.text)) AS BIGINT) AS n_bytes,
+           ROUND(CAST(SUM(e.n_subwords) AS DOUBLE) / SUM(e.n_words), 6) AS fertility,
+           ROUND(CAST(SUM(strlen(d.text)) AS DOUBLE) / SUM(e.n_subwords), 6) AS bytes_per_token
+    FROM documents d JOIN enc e USING (doc_id)
+    GROUP BY d.lang
+    """,
+    ),
+)
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility / bytes-per-token per language slice under
+    the in-corpus-trained BPE (training.token_fertility) — the
+    tokenizer-equity audit feeding mix weighting. Oracle replays merge
+    training, vocabulary encode and the slice rollup."""
+    return training.token_fertility(
+        load(spark, sf_dir, "documents"), bpe_k=_BPE_K
+    )

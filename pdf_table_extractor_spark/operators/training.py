@@ -521,3 +521,48 @@ def bpe_encode_counts(
             F.sum("n_sub").alias("n_subwords"),
         )
     )
+
+
+def token_fertility(
+    df: DataFrame,
+    merges: list[dict] | None = None,
+    *,
+    by: str = "lang",
+    bpe_k: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-slice tokenizer fertility audit: (slice, n_docs, n_words,
+    n_subwords, n_bytes, fertility, bytes_per_token) under a trained
+    BPE vocabulary — fertility (subwords per word) and bytes/token are
+    the standard tokenizer-equity metrics (Rust et al., "How Good is
+    Your Tokenizer?", ACL 2021): a language slice paying 2× the
+    fertility of the tokenizer's home language gets half the effective
+    context window and double the training cost per byte, so mix
+    planners weight by these numbers. Trains in-corpus when ``merges``
+    is not supplied. Docs whose tokenization is empty carry no token or
+    byte mass (same inner-join semantics as ``bpe_encode_counts``).
+
+    Scale: the merge chain runs over the vocabulary, the corpus pays
+    one tokenize + one broadcast vocab join + one slice aggregate."""
+    if merges is None:
+        merges = bpe_merges(df, bpe_k, text_col=text_col)
+    enc = bpe_encode_counts(df, merges, id_col=id_col, text_col=text_col)
+    meta = df.select(
+        F.col(id_col),
+        F.col(by).alias("slice"),
+        F.octet_length(F.col(text_col)).alias("__bytes"),
+    )
+    j = meta.join(enc, id_col)
+    return j.groupBy("slice").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("n_words"),
+        F.sum("n_subwords").alias("n_subwords"),
+        F.sum("__bytes").cast("long").alias("n_bytes"),
+        F.round(F.try_divide(F.sum("n_subwords"), F.sum("n_words")), 6).alias(
+            "fertility"
+        ),
+        F.round(
+            F.try_divide(F.sum("__bytes"), F.sum("n_subwords")), 6
+        ).alias("bytes_per_token"),
+    )

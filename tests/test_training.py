@@ -285,3 +285,25 @@ def test_bpe_training_deterministic_under_repartition(spark):
     a = training.bpe_merges(df, 6)
     b = training.bpe_merges(df.repartition(7), 6)
     assert a == b
+
+
+def test_token_fertility_hand_corpus(spark):
+    """Hand-checkable: tiny corpus with a supplied 1-merge vocabulary."""
+    from pdf_table_extractor_spark.operators import training
+
+    df = spark.createDataFrame(
+        [(1, "aa b", "x"), (2, "aa aa", "x"), (3, "b", "y")],
+        "doc_id long, text string, lang string",
+    )
+    merges = training.bpe_merges(df, 1)
+    out = {r["slice"]: r for r in training.token_fertility(df, merges, bpe_k=1).collect()}
+    # merge 1 fuses the most frequent pair inside 'aa<end>' chain;
+    # whatever it is, totals must be consistent:
+    x = out["x"]
+    assert x["n_docs"] == 2 and x["n_words"] == 4
+    assert x["fertility"] == round(x["n_subwords"] / x["n_words"], 6)
+    assert x["n_bytes"] == 4 + 5  # 'aa b' + 'aa aa'
+    y = out["y"]
+    assert y["n_words"] == 1 and y["n_bytes"] == 1
+    # single-char word 'b' + end marker, one merge may fuse it -> 1 or 2
+    assert y["n_subwords"] in (1, 2)
