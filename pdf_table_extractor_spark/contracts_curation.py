@@ -5384,3 +5384,81 @@ def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training.token_fertility(
         load(spark, sf_dir, "documents"), bpe_k=_BPE_K
     )
+
+
+@contract(
+    "q_winnow_fingerprints",
+    f"WITH toks AS ({TOKS})"
+    + r"""
+    , hs AS (
+      SELECT doc_id,
+             list_transform(
+               list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+               g -> CAST(('0x' || substr(md5(g), 1, 8))::UBIGINT AS BIGINT)) AS h
+      FROM toks
+    )
+    SELECT DISTINCT doc_id, p.pos - 1 AS pos, p.fp
+    FROM (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(h) - 3, 1)),
+               j -> struct_pack(
+                 pos := j + list_max(list_filter(
+                   generate_series(0, least(3, len(h) - j)),
+                   i -> h[j + i] = list_min(list_slice(h, j, j + 3)))),
+                 fp := list_min(list_slice(h, j, j + 3))
+               ))) AS p
+      FROM hs WHERE len(h) > 0
+    )
+    """,
+)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (textquality.winnow_fingerprints — MOSS,
+    SIGMOD'03): min-per-window k-gram hash selection with rightmost
+    ties; the oracle replays window minima + tie rule with list
+    lambdas."""
+    return textquality.winnow_fingerprints(
+        load(spark, sf_dir, "documents"), k=3, window=4
+    )
+
+
+@contract(
+    "q_url_templates",
+    """
+    WITH u AS (
+      SELECT 'http://www.site' || CAST(doc_id % 5 AS VARCHAR) || '.com/'
+             || (CASE doc_id % 3 WHEN 0 THEN 'post/' || CAST(doc_id AS VARCHAR)
+                 WHEN 1 THEN 'cache/' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                 ELSE 'page/' || CAST(doc_id % 9 AS VARCHAR) || '/view' END)
+             AS url
+      FROM documents
+    )
+    SELECT lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^@/?#]*@)?([^:/?#]*)', 1)) AS host,
+           regexp_replace(regexp_replace(
+             regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+             '[0-9a-f]{8,}', '{hex}', 'g'), '[0-9]+', '{n}', 'g') AS template,
+           COUNT(*) AS n_urls,
+           MIN(url) AS example_url
+    FROM u GROUP BY 1, 2
+    """,
+)
+def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL path-template mining (urls.url_templates): digit runs fold
+    to {n}, hex ids to {hex}; per-(host, template) member counts drive
+    crawl caps and canonicalization priorities."""
+    from pdf_table_extractor_spark.operators import urls as _u
+
+    d = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    url = F.concat(
+        F.lit("http://www.site"), (i % 5).cast("string"), F.lit(".com/"),
+        F.when(i % 3 == 0, F.concat(F.lit("post/"), i.cast("string")))
+        .when(i % 3 == 1, F.concat(F.lit("cache/"), F.substring(F.md5(i.cast("string")), 1, 12)))
+        .otherwise(F.concat(F.lit("page/"), (i % 9).cast("string"), F.lit("/view"))),
+    )
+    return _u.url_templates(d.select(url.alias("url"))).select(
+        "host", "template",
+        F.col("n_urls").cast("long").alias("n_urls"),
+        "example_url",
+    )

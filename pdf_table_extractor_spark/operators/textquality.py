@@ -750,3 +750,67 @@ def c4_clean(
         "n_sentences",
         keep.alias("page_keep"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    *,
+    k: int = 3,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every token k-gram, slide a
+    ``window`` over the hash sequence and select the MINIMUM of each
+    window (ties to the RIGHTMOST occurrence), dedup selected
+    positions. Guarantees: any shared run of ≥ window+k-1 tokens shares
+    at least one fingerprint, and density is ~2/(window+1) — the
+    published local-sampling sweet spot between "hash everything"
+    (rolling_fingerprint's stride grid) and "hash nothing matches".
+    Shorter documents (< window hashes) winnow their whole sequence as
+    one window. Output: (id, pos, fp) — exploded skinny rows ready for
+    the same equi-join/dedup machinery shingle tables use.
+
+    Pure array expressions per document (hashes bound ONCE via
+    dedup.bind — the HOF re-inlining gotcha is real), one narrow
+    posexplode-shaped explode, no shuffle, no UDF; md5-derived hashes
+    replay dyadic-exact cross-engine."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    sh = shingles(F.col(text_col), k)
+    hashes = F.transform(
+        sh,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+    )
+
+    def selected(hs: Column) -> Column:
+        n = F.size(hs)
+        starts = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1)))
+        picks = F.transform(
+            starts,
+            lambda j: F.struct(
+                (
+                    j
+                    + F.array_max(
+                        F.filter(
+                            F.sequence(F.lit(0), F.least(F.lit(window - 1), n - j)),
+                            lambda i: F.try_element_at(hs, j + i)
+                            == F.array_min(F.slice(hs, j, window)),
+                        )
+                    )
+                ).alias("pos"),
+                F.array_min(F.slice(hs, j, window)).alias("fp"),
+            ),
+        )
+        return F.array_distinct(picks)
+
+    out = df.select(
+        F.col(id_col),
+        F.explode(F.when(F.size(sh) > 0, bind(hashes, selected))).alias("__s"),
+    )
+    return out.select(
+        id_col,
+        (F.col("__s.pos") - 1).alias("pos"),
+        F.col("__s.fp").alias("fp"),
+    )

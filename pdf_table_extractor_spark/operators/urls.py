@@ -591,3 +591,33 @@ def anchor_texts(
         F.count("*").alias("n_mentions"),
         F.countDistinct("src").alias("n_pages"),
     )
+
+
+def url_templates(
+    pages,
+    *,
+    url_col: str = "url",
+):
+    """Cluster a host's URL space by path TEMPLATE — digit runs fold to
+    ``{n}``, long hex runs (session ids, content hashes) to ``{hex}`` —
+    and count members per (host, template) with a deterministic example
+    (min url). The crawl-budget diagnostic every frontier needs:
+    calendar/pagination/session templates generate unbounded URL spaces
+    from finite content, and their member counts say where dedup-by-
+    canonicalization or crawl caps should bite.
+
+    Scale: template derivation is two scan-side regexp_replaces; the
+    only shuffle is the (host, template) map-side-combined aggregate
+    (min(url) rides the same combine)."""
+    u = F.col(url_col)
+    host = host_of(u)
+    path = F.regexp_extract(u, _SCHEME + r"[^/?#]*([^?#]*)", 1)
+    template = F.regexp_replace(
+        F.regexp_replace(path, r"[0-9a-f]{8,}", "{hex}"), r"[0-9]+", "{n}"
+    )
+    return pages.groupBy(
+        host.alias("host"), template.alias("template")
+    ).agg(
+        F.count("*").alias("n_urls"),
+        F.min(u).alias("example_url"),
+    )

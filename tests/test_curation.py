@@ -751,3 +751,52 @@ def test_containment_asymmetric_vs_jaccard(spark):
 
     with pytest.raises(ValueError):
         dedup.containment_pairs(df)  # unscoped without max_df must refuse
+
+
+def test_winnow_fingerprints_matches_python_replay(spark):
+    """Engine winnowing == the published algorithm replayed in python
+    (min per window, rightmost ties, distinct positions), plus the
+    coverage guarantee: docs sharing a long run share a fingerprint."""
+    import hashlib
+    import random
+
+    rng = random.Random(11)
+    vocab = ["a", "b", "c", "d", "e", "f"]
+    docs = []
+    shared = " ".join(rng.choice(vocab) for _ in range(12))
+    for i in range(25):
+        n = rng.randrange(0, 15)
+        words = [rng.choice(vocab) for _ in range(n)]
+        if i % 5 == 0:
+            words = words[: n // 2] + shared.split() + words[n // 2:]
+        docs.append((i, " ".join(words)))
+    k, w = 3, 4
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def ref(text):
+        toks = text.split()
+        sh = [" ".join(toks[j:j + k]) for j in range(len(toks) - k + 1)]
+        hs = [h(s) for s in sh]
+        if not hs:
+            return set()
+        out = set()
+        for j in range(max(len(hs) - w + 1, 1)):
+            win = hs[j:j + w]
+            m = min(win)
+            pos = j + max(i for i, x in enumerate(win) if x == m)
+            out.add((pos, m))
+        return out
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in textquality.winnow_fingerprints(df, k=k, window=w).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    for i, t in docs:
+        assert got.get(i, set()) == ref(t), (i, t)
+    # coverage guarantee across the planted shared run
+    sharers = [i for i, t in docs if shared in t]
+    fps = [ {fp for _, fp in got[i]} for i in sharers ]
+    common = set.intersection(*fps) if fps else set()
+    assert len(sharers) >= 2 and common, sharers

@@ -154,3 +154,24 @@ def test_anchor_texts_aggregates_across_pages(spark):
     assert got[("http://t.com/a", "engine")] == (1, 1)
     assert got[("http://t.com/b", "spark")] == (1, 1)
     assert len(got) == 4
+
+
+def test_url_templates_folds_ids(spark):
+    pages = spark.createDataFrame(
+        [
+            ("http://a.com/post/123",),
+            ("http://a.com/post/456",),
+            ("http://a.com/cache/deadbeef1234/x",),
+            ("http://a.com/about",),
+            ("http://b.com/post/1",),
+        ],
+        "url string",
+    )
+    got = {
+        (r["host"], r["template"]): (r["n_urls"], r["example_url"])
+        for r in urls.url_templates(pages).collect()
+    }
+    assert got[("a.com", "/post/{n}")] == (2, "http://a.com/post/123")
+    assert got[("a.com", "/cache/{hex}/x")] == (1, "http://a.com/cache/deadbeef1234/x")
+    assert got[("a.com", "/about")][0] == 1
+    assert got[("b.com", "/post/{n}")][0] == 1
