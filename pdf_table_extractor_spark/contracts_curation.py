@@ -5462,3 +5462,163 @@ def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_urls").cast("long").alias("n_urls"),
         "example_url",
     )
+
+
+# ---------------------------------------------------------------------------
+# Generic HTML table/metadata extraction (operators/htmltables.py). The
+# contract synthesises per-doc html embedding token-slice cells, nested
+# tags, entities and optional second tables; the oracle CONSTRUCTS the
+# expected rows directly from the same pieces (it never runs the regex
+# path — an independent derivation, so tag-stripping / entity folds /
+# match ordering are all cross-checked).
+# ---------------------------------------------------------------------------
+
+_HT_PIECES_SQL = r"""
+WITH docs AS (
+  SELECT doc_id, lang,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents WHERE trim(text) <> ''
+), p AS (
+  SELECT doc_id, lang,
+         'http://s.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+         COALESCE(array_to_string(list_slice(t, 1, 2), ' '), '') AS c1,
+         COALESCE(array_to_string(list_slice(t, 3, 4), ' '), '') AS c2,
+         COALESCE(array_to_string(list_slice(t, 5, 6), ' '), '') AS c3,
+         COALESCE(array_to_string(list_slice(t, 7, 8), ' '), '') AS c4,
+         'n' || CAST(doc_id % 7 AS VARCHAR) AS c5,
+         'extra ' || CAST(doc_id % 11 AS VARCHAR) AS c6
+  FROM docs
+), cells AS (
+  SELECT doc_id, lang, url, c1, c2, c5, c6,
+         trim(regexp_replace(c3 || ' & ' || c4, '\s+', ' ', 'g')) AS c34
+  FROM p
+)
+"""
+
+
+def _ht_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").where(F.trim("text") != "")
+    i = F.col("doc_id")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+    )
+    c = lambda a: F.array_join(F.slice(toks, F.lit(a), F.lit(2)), " ")  # noqa: E731
+    html = F.concat(
+        F.lit('<html lang="'), F.col("lang"), F.lit('"><head><title>Doc '),
+        i.cast("string"), F.lit(" &amp; friends</title>"),
+        F.when(
+            i % 4 == 0,
+            F.concat(
+                F.lit('<meta name="description" content="about '),
+                (i % 13).cast("string"), F.lit('">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 3 == 0,
+            F.concat(
+                F.lit('<link rel="canonical" href="http://s.com/p/'),
+                i.cast("string"), F.lit('">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit('</head><body><table id="t0"><tr><th>k</th><th>v</th></tr>'),
+        F.lit("<tr><td><b>"), c(1), F.lit("</b></td><td>"), c(3),
+        F.lit("</td></tr><tr><td>"), c(5), F.lit(" &amp; "), c(7),
+        F.lit("</td><td>n"), (i % 7).cast("string"), F.lit("</td></tr></table>"),
+        F.when(
+            i % 5 == 0,
+            F.concat(
+                F.lit("<table><tr><td>extra "), (i % 11).cast("string"),
+                F.lit("</td></tr></table>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    return docs.select(
+        F.concat(F.lit("http://s.com/p/"), i.cast("string")).alias("url"),
+        html.alias("html"),
+    )
+
+
+@contract(
+    "q_html_tables",
+    _HT_PIECES_SQL
+    + """
+    SELECT url, 0 AS table_no, 0 AS row_no, ['k', 'v'] AS cells, 2 AS n_cells FROM cells
+    UNION ALL
+    SELECT url, 0, 1, [c1, c2], 2 FROM cells
+    UNION ALL
+    SELECT url, 0, 2, [c34, c5], 2 FROM cells
+    UNION ALL
+    SELECT url, 1, 0, [c6], 1 FROM cells WHERE doc_id % 5 = 0
+    """,
+)
+def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic <table> extraction (htmltables.html_tables): document-
+    ordered tables/rows, tag-stripped + entity-unescaped cells; the
+    oracle constructs the expected rows from the synthesis pieces
+    without running any regex."""
+    from pdf_table_extractor_spark.operators import htmltables
+
+    return htmltables.html_tables(_ht_frame(spark, sf_dir)).select(
+        "url",
+        F.col("table_no").cast("int").alias("table_no"),
+        F.col("row_no").cast("int").alias("row_no"),
+        "cells",
+        F.col("n_cells").cast("int").alias("n_cells"),
+    )
+
+
+@contract(
+    "q_table_markdown",
+    _HT_PIECES_SQL
+    + r"""
+    SELECT url, 0 AS table_no,
+           '| k | v |' || chr(10) || '| --- | --- |' || chr(10)
+           || '| ' || replace(c1, '|', '\|') || ' | ' || replace(c2, '|', '\|')
+           || ' |' || chr(10)
+           || '| ' || replace(c34, '|', '\|') || ' | ' || c5 || ' |' AS markdown,
+           3 AS n_rows
+    FROM cells
+    UNION ALL
+    SELECT url, 1, '| ' || c6 || ' |' || chr(10) || '| --- |', 1
+    FROM cells WHERE doc_id % 5 = 0
+    """,
+)
+def q_table_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown table rendering (htmltables.table_markdown) composed on
+    html_tables — the LLM-ingestion text shape; oracle constructs the
+    expected strings directly."""
+    from pdf_table_extractor_spark.operators import htmltables
+
+    return htmltables.table_markdown(
+        htmltables.html_tables(_ht_frame(spark, sf_dir))
+    ).select(
+        "url",
+        F.col("table_no").cast("int").alias("table_no"),
+        "markdown",
+        F.col("n_rows").cast("int").alias("n_rows"),
+    )
+
+
+@contract(
+    "q_html_meta",
+    _HT_PIECES_SQL
+    + """
+    SELECT url,
+           'Doc ' || CAST(doc_id AS VARCHAR) || ' & friends' AS title,
+           CASE WHEN doc_id % 4 = 0 THEN 'about ' || CAST(doc_id % 13 AS VARCHAR)
+                ELSE '' END AS description,
+           CASE WHEN doc_id % 3 = 0 THEN 'http://s.com/p/' || CAST(doc_id AS VARCHAR)
+                ELSE '' END AS canonical,
+           '' AS og_title,
+           lang AS lang_attr
+    FROM cells
+    """,
+)
+def q_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-metadata extraction (htmltables.html_meta): title /
+    description / canonical / og:title / lang, first match wins,
+    absent fields ''."""
+    from pdf_table_extractor_spark.operators import htmltables
+
+    return htmltables.html_meta(_ht_frame(spark, sf_dir))
