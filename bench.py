@@ -58,6 +58,14 @@ HEADLINE = [
     # as-of (union + one exchange + ffill window) and the hierarchical
     # multi-grain rollup (one raw scan via exchange reuse)
     "q_asof_join",
+    # round-4 session additions: the new extraction/web headliners —
+    # jusText's shared-window classify+reassemble, C4's array-chain
+    # cleaner, HTML table explode+pack, and winnowing's per-doc window
+    # scan (the heaviest new array expression).
+    "q_justext_main",
+    "q_c4_clean",
+    "q_table_markdown",
+    "q_winnow_fingerprints",
     "q_hypertable_rollup",
     # CDC MERGE apply (reduce + full-outer join + resolution)
     "q_merge_upsert",

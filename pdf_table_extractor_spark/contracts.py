@@ -63,15 +63,16 @@ _PRIORITY: list[str] = [
     "q_line_dedup", "q_url_canonicalize",
     # --- top curation / LLM-pipeline contracts (fills the 50 window) ---
     "q_dedup_substring", "q_fuzzy_dedup_keep", "q_pagerank",
-    "q_assign_shards", "q_boilerplate_main", "q_temperature_resample",
+    "q_assign_shards", "q_boilerplate_main",
     "q_dedup_exact", "q_dedup_minhash", "q_unigram_ppl",
-    "q_tfidf_topk", "q_semdedup", "q_domain_cap",
-    # the round-3 temporal/MERGE family takes the last three window slots:
-    # newest code gets the driver's hard gate; the displaced contracts
-    # (q_dsir_weights, q_pack_sequences, q_gopher_quality) are unchanged
-    # since they went green and stay covered by tools/check_contract.py.
+    "q_domain_cap",
     "q_asof_join", "q_hypertable_rollup", "q_merge_upsert",
-    "q_contamination",
+    # round-4 extraction/web flagships take the last four slots (same
+    # policy as round 3: newest code gets the driver's hard gate); the
+    # displaced q_temperature_resample / q_tfidf_topk / q_semdedup /
+    # q_contamination are unchanged since they went green and stay
+    # covered by tools/check_contract.py.
+    "q_justext_main", "q_c4_clean", "q_html_tables", "q_crawl_frontier",
 ]
 
 
