@@ -5622,3 +5622,60 @@ def q_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf_table_extractor_spark.operators import htmltables
 
     return htmltables.html_meta(_ht_frame(spark, sf_dir))
+
+
+@contract(
+    "q_readability",
+    r"""
+    WITH p AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+               || repeat(' stop.', CAST(doc_id % 4 + 1 AS INT)) AS txt
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(txt), '\s+', ' ', 'g')), ' ') AS t,
+             greatest(len(regexp_extract_all(txt, '[.!?]+')), 1) AS n_sent
+      FROM p
+    ),
+    g AS (
+      SELECT doc_id,
+             len(t) AS n_words, n_sent,
+             list_reduce(
+               list_transform(t, w ->
+                 greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1)),
+               (a, b) -> a + b) AS n_syll
+      FROM f
+    )
+    SELECT doc_id,
+           CAST(n_words AS INT) AS n_words,
+           CAST(n_sent AS INT) AS n_sentences,
+           CAST(n_syll AS INT) AS n_syllables,
+           ROUND(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sent)
+                         - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 4) AS reading_ease,
+           ROUND(0.39 * (CAST(n_words AS DOUBLE) / n_sent)
+                 + 11.8 * (CAST(n_syll AS DOUBLE) / n_words) - 15.59, 4) AS fk_grade
+    FROM g
+    """,
+)
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch/FK readability (textquality.readability) over documents
+    with deterministic sentence markers appended (the raw synth corpus
+    is punctuation-free); oracle replays vowel-group syllables +
+    terminal-run sentences + both published formulas."""
+    d = load(spark, sf_dir, "documents")
+    txt = F.concat(
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")),
+        F.repeat(F.lit(" stop."), (F.col("doc_id") % 4 + 1).cast("int")),
+    )
+    return textquality.readability(
+        d.select("doc_id", txt.alias("text"))
+    ).select(
+        "doc_id",
+        F.col("n_words").cast("int").alias("n_words"),
+        F.col("n_sentences").cast("int").alias("n_sentences"),
+        F.col("n_syllables").cast("int").alias("n_syllables"),
+        "reading_ease",
+        "fk_grade",
+    )

@@ -814,3 +814,56 @@ def winnow_fingerprints(
         (F.col("__s.pos") - 1).alias("pos"),
         F.col("__s.fp").alias("fp"),
     )
+
+
+def readability(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """Flesch Reading Ease + Flesch–Kincaid grade level (Kincaid et
+    al. 1975) per document — the classic surface-readability gate
+    (complexity-band mixing, kid-safe filtering, OCR-garbage triage
+    where syllable density explodes):
+
+        ease  = 206.835 − 1.015·(words/sentences) − 84.6·(syll/words)
+        grade = 0.39·(words/sentences) + 11.8·(syll/words) − 15.59
+
+    Syllables use the standard vowel-group heuristic (runs of
+    [aeiouy], minimum 1 per word — exactly replayable cross-engine,
+    unlike dictionary syllabifiers); sentences count terminal-mark
+    runs, minimum 1. Zero-word documents yield NULL scores via
+    try_divide, never a throw. Pure array expressions, no shuffle."""
+    text = F.col(text_col)
+    # blank text tokenizes to [''] — filter so zero-word docs read 0/NULL
+    toks = F.filter(tokens(text), lambda t: t != "")
+    n_words = F.size(toks)
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(text, F.lit(r"[.!?]+"), F.lit(0))),
+        F.lit(1),
+    )
+    n_syll = F.aggregate(
+        toks,
+        F.lit(0),
+        lambda acc, w: acc
+        + F.greatest(
+            F.size(F.regexp_extract_all(w, F.lit(r"[aeiouy]+"), F.lit(0))),
+            F.lit(1),
+        ),
+    )
+    wps = F.try_divide(n_words.cast("double"), n_sent)
+    spw = F.try_divide(n_syll.cast("double"), n_words)
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+        F.round(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, round_to).alias(
+            "reading_ease"
+        ),
+        F.round(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), round_to).alias(
+            "fk_grade"
+        ),
+    )

@@ -800,3 +800,21 @@ def test_winnow_fingerprints_matches_python_replay(spark):
     fps = [ {fp for _, fp in got[i]} for i in sharers ]
     common = set.intersection(*fps) if fps else set()
     assert len(sharers) >= 2 and common, sharers
+
+
+def test_readability_hand_checked(spark):
+    """'the cat sat on the mat.' — 6 words, 1 sentence, 6 syllables:
+    ease = 206.835 - 1.015*6 - 84.6*1 = 116.145; grade = 0.39*6 +
+    11.8*1 - 15.59 = -1.45. Empty docs yield NULLs, not throws."""
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat."), (2, ""), (3, "beautiful anywhere!")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in textquality.readability(df).collect()}
+    r1 = got[1]
+    assert (r1["n_words"], r1["n_sentences"], r1["n_syllables"]) == (6, 1, 6)
+    assert r1["reading_ease"] == round(206.835 - 1.015 * 6 - 84.6 * 1, 4)
+    assert r1["fk_grade"] == round(0.39 * 6 + 11.8 * 1 - 15.59, 4)
+    assert got[2]["reading_ease"] is None and got[2]["fk_grade"] is None
+    # vowel groups: beautiful -> eau,i,u (3); anywhere! -> a,y,e,e (4)
+    assert got[3]["n_syllables"] == 7 and got[3]["n_sentences"] == 1
