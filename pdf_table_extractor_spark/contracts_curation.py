@@ -5679,3 +5679,63 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "reading_ease",
         "fk_grade",
     )
+
+
+@contract(
+    "q_parse_robots",
+    """
+    WITH hosts AS (
+      SELECT DISTINCT 'h' || CAST(doc_id % 13 AS VARCHAR) AS host,
+             doc_id % 13 AS k
+      FROM documents
+    )
+    SELECT host, 'disallow' AS directive,
+           '/deep' || CAST(k AS VARCHAR) AS path_prefix
+    FROM hosts WHERE k % 4 IN (1, 2)
+    UNION ALL
+    SELECT host, 'allow', '/deep' || CAST(k AS VARCHAR) || '/ok'
+    FROM hosts WHERE k % 4 IN (1, 2)
+    UNION ALL
+    SELECT host, 'disallow', '/x' || CAST(k % 3 AS VARCHAR)
+    FROM hosts WHERE k % 4 NOT IN (1, 2)
+    UNION ALL
+    SELECT host, 'allow', '/x' || CAST(k % 3 AS VARCHAR) || '/pub'
+    FROM hosts WHERE k % 4 NOT IN (1, 2) AND k % 2 = 0
+    """,
+)
+def q_parse_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt body parsing (urls.parse_robots): RFC 9309 group
+    numbering, comment strip, most-specific agent selection ('*' scores
+    0, longer substring match wins, losing groups contribute nothing).
+    The oracle CONSTRUCTS the expected winning rule set from the same
+    arithmetic — the parser's window machinery is cross-checked against
+    an independent derivation, never replayed."""
+    from pdf_table_extractor_spark.operators import urls as _u
+
+    d = load(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 13).cast("long")
+    host = F.concat(F.lit("h"), k.cast("string"))
+    nl = F.lit("\n")
+    star_group = F.concat(
+        F.lit("# synthetic robots\nUser-agent: *\nDisallow: /x"),
+        (k % 3).cast("string"), nl,
+        F.when(
+            k % 2 == 0,
+            F.concat(F.lit("Allow: /x"), (k % 3).cast("string"), F.lit("/pub\n")),
+        ).otherwise(F.lit("")),
+    )
+    graft_group = F.when(
+        (k % 4 == 1) | (k % 4 == 2),
+        F.concat(
+            F.lit("\nUser-agent: graftbot\nDisallow: /deep"), k.cast("string"),
+            nl, F.lit("Allow: /deep"), k.cast("string"), F.lit("/ok\n"),
+        ),
+    ).otherwise(F.lit(""))
+    mega_group = F.when(
+        k % 4 == 2, F.lit("\nUser-agent: megabot\nDisallow: /m\n")
+    ).otherwise(F.lit(""))
+    bodies = d.select(
+        host.alias("host"),
+        F.concat(star_group, graft_group, mega_group).alias("robots_txt"),
+    ).distinct()
+    return _u.parse_robots(bodies, "graftbot/2.0")

@@ -621,3 +621,79 @@ def url_templates(
         F.count("*").alias("n_urls"),
         F.min(u).alias("example_url"),
     )
+
+
+def parse_robots(
+    bodies,
+    agent: str,
+    *,
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+):
+    """Parse raw robots.txt bodies into the (host, directive,
+    path_prefix) rule table `robots_allowed` consumes — the upstream
+    seam that function's docstring names. RFC 9309 group semantics:
+    comments (#…) strip; consecutive ``User-agent`` lines open ONE
+    group owning the following allow/disallow rules; rules before any
+    User-agent line are ignored. Group selection per host: a group
+    matches when its agent token is ``*`` or a case-insensitive
+    substring of ``agent``; the longest matching token wins (``*``
+    scores 0 — the RFC's most-specific-match rule), and ALL groups at
+    the winning score contribute rules (the RFC merges same-agent
+    groups). Empty-value ``Disallow:`` lines (the classic allow-all
+    idiom) survive as prefix '' rules, which is exactly how the
+    evaluator treats them.
+
+    Scale: one posexplode of body lines, two per-host line-ordered
+    window passes (group numbering + winning-score fill) — robots
+    bodies are KB-sized per host, so the host partition is tiny by
+    construction; the output is the broadcast-sized rule table."""
+    from pyspark.sql import Window
+
+    lines = bodies.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), r"\r?\n")).alias(
+            "line_no", "__raw"
+        ),
+    ).select(
+        "host",
+        "line_no",
+        F.trim(F.regexp_replace(F.col("__raw"), r"#.*$", "")).alias("__l"),
+    )
+    kind = F.lower(
+        F.regexp_extract(F.col("__l"), r"(?i)^(user-agent|allow|disallow)\s*:", 1)
+    )
+    value = F.trim(F.regexp_extract(F.col("__l"), r"^[A-Za-z-]+\s*:\s*(.*)$", 1))
+    w = Window.partitionBy("host").orderBy("line_no")
+    tagged = lines.select(
+        "host", "line_no", kind.alias("kind"), value.alias("value")
+    ).where(F.col("kind") != "")
+    is_ua = F.col("kind") == "user-agent"
+    new_group = is_ua & ~F.coalesce(F.lag(is_ua, 1).over(w), F.lit(False))
+    g = tagged.withColumn(
+        "gid", F.sum(new_group.cast("int")).over(w)
+    ).where(F.col("gid") > 0)
+
+    uas = g.where(is_ua).select(
+        "host",
+        "gid",
+        F.when(F.col("value") == "*", F.lit(0))
+        .when(
+            F.instr(F.lit(agent.lower()), F.lower(F.col("value"))) > 0,
+            F.length("value"),
+        )
+        .alias("__score"),
+    ).where(F.col("__score").isNotNull())
+    best = uas.groupBy("host").agg(F.max("__score").alias("__best"))
+    win_gids = (
+        uas.join(best, "host")
+        .where(F.col("__score") == F.col("__best"))
+        .select("host", "gid")
+        .distinct()
+    )
+    rules = g.where(~is_ua).join(win_gids, ["host", "gid"]).select(
+        "host",
+        F.col("kind").alias("directive"),
+        F.col("value").alias("path_prefix"),
+    )
+    return rules.distinct()

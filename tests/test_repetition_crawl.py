@@ -175,3 +175,49 @@ def test_url_templates_folds_ids(spark):
     assert got[("a.com", "/cache/{hex}/x")] == (1, "http://a.com/cache/deadbeef1234/x")
     assert got[("a.com", "/about")][0] == 1
     assert got[("b.com", "/post/{n}")][0] == 1
+
+
+def test_parse_robots_group_resolution(spark):
+    body_a = "\n".join([
+        "Disallow: /before-any-group   # ignored per RFC",
+        "# a comment line",
+        "User-agent: *",
+        "Disallow: /tmp",
+        "Allow: /tmp/ok",
+        "",
+        "User-agent: spark-graft-bot",
+        "User-agent: otherbot",
+        "Disallow: /private",
+        "Allow:",
+    ])
+    body_b = "User-agent: *\r\nDisallow: /all\r\n"
+    body_c = "User-agent: googlebot\nDisallow: /g\n"
+    df = spark.createDataFrame(
+        [("a.com", body_a), ("b.com", body_b), ("c.com", body_c)],
+        "host string, robots_txt string",
+    )
+    rules = urls.parse_robots(df, "Spark-Graft-Bot/1.0")
+    got = {(r["host"], r["directive"], r["path_prefix"]) for r in rules.collect()}
+    # a.com: the specific group (len 15) beats *; both its agents' rules
+    assert got == {
+        ("a.com", "disallow", "/private"),
+        ("a.com", "allow", ""),
+        ("b.com", "disallow", "/all"),
+        # c.com: no matching group -> no rules -> evaluator default-allows
+    }
+    # composition: the parsed table drives robots_allowed directly
+    frontier = spark.createDataFrame(
+        [("a.com", "/private/x"), ("a.com", "/open"), ("b.com", "/all/y"),
+         ("c.com", "/anything")],
+        "host string, path string",
+    )
+    verdict = {
+        (r["host"], r["path"]): r["allowed"]
+        for r in urls.robots_allowed(frontier, rules).collect()
+    }
+    assert verdict == {
+        ("a.com", "/private/x"): False,
+        ("a.com", "/open"): True,     # '' allow matches everything
+        ("b.com", "/all/y"): False,
+        ("c.com", "/anything"): True,  # ruleless host default-allows
+    }
