@@ -5739,3 +5739,71 @@ def q_parse_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(star_group, graft_group, mega_group).alias("robots_txt"),
     ).distinct()
     return _u.parse_robots(bodies, "graftbot/2.0")
+
+
+@contract(
+    "q_parse_sitemaps",
+    """
+    WITH hosts AS (
+      SELECT DISTINCT 'h' || CAST(doc_id % 11 AS VARCHAR) AS host,
+             doc_id % 11 AS k
+      FROM documents
+    )
+    SELECT host, 'url' AS kind,
+           'http://h' || CAST(k AS VARCHAR) || '.com/p/' || CAST(k * 7 % 19 AS VARCHAR) AS loc,
+           '2024-0' || CAST(k % 9 + 1 AS VARCHAR) || '-15' AS lastmod,
+           CAST('2024-0' || CAST(k % 9 + 1 AS VARCHAR) || '-15' AS DATE) AS lastmod_date
+    FROM hosts
+    UNION ALL
+    SELECT host, 'url',
+           'http://h' || CAST(k AS VARCHAR) || '.com/q/' || CAST(k AS VARCHAR),
+           '', NULL
+    FROM hosts WHERE k % 2 = 0
+    UNION ALL
+    SELECT host, 'sitemap',
+           'http://h' || CAST(k AS VARCHAR) || '.com/sitemap' || CAST(k % 3 AS VARCHAR) || '.xml',
+           '2024-12-0' || CAST(k % 9 + 1 AS VARCHAR) || 'T10:00:00Z',
+           CAST('2024-12-0' || CAST(k % 9 + 1 AS VARCHAR) AS DATE)
+    FROM hosts WHERE k % 3 = 0
+    """,
+)
+def q_parse_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap parsing (urls.parse_sitemaps): urlset + sitemapindex
+    entries with optional lastmod (W3C datetime truncates to date,
+    absent stays NULL). Oracle constructs the expected seed rows
+    independently from the synthesis arithmetic."""
+    from pdf_table_extractor_spark.operators import urls as _u
+
+    d = load(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 11).cast("long")
+    ks = k.cast("string")
+    host = F.concat(F.lit("h"), ks)
+    url_entries = F.concat(
+        F.lit("<url><loc>http://h"), ks, F.lit(".com/p/"),
+        (k * 7 % 19).cast("string"),
+        F.lit("</loc><lastmod>2024-0"), (k % 9 + 1).cast("string"),
+        F.lit("-15</lastmod></url>"),
+        F.when(
+            k % 2 == 0,
+            F.concat(
+                F.lit("<url><loc> http://h"), ks, F.lit(".com/q/"), ks,
+                F.lit(" </loc></url>"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    index_entries = F.when(
+        k % 3 == 0,
+        F.concat(
+            F.lit("<sitemap><loc>http://h"), ks, F.lit(".com/sitemap"),
+            (k % 3).cast("string"),
+            F.lit(".xml</loc><lastmod>2024-12-0"), (k % 9 + 1).cast("string"),
+            F.lit("T10:00:00Z</lastmod></sitemap>"),
+        ),
+    ).otherwise(F.lit(""))
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset>'), url_entries,
+        F.lit("</urlset><sitemapindex>"), index_entries,
+        F.lit("</sitemapindex>"),
+    )
+    bodies = d.select(host.alias("host"), xml.alias("sitemap_xml")).distinct()
+    return _u.parse_sitemaps(bodies)

@@ -697,3 +697,46 @@ def parse_robots(
         F.col("value").alias("path_prefix"),
     )
     return rules.distinct()
+
+
+def parse_sitemaps(
+    sitemaps,
+    *,
+    xml_col: str = "sitemap_xml",
+    host_col: str = "host",
+):
+    """Parse sitemap.xml bodies (sitemaps.org protocol) into frontier
+    seeds: ``<urlset>`` entries yield kind='url' rows, ``<sitemapindex>``
+    entries kind='sitemap' rows (the recursion the fetch loop follows);
+    optional ``<lastmod>`` survives as both raw string and try_cast
+    DATE (W3C datetimes truncate to their date part, crawl-noise values
+    go NULL instead of throwing under ANSI). Output: (host, kind, loc,
+    lastmod, lastmod_date).
+
+    Scale: two scan-side entry explodes + per-entry regexp extracts;
+    no shuffle. Entity-unescape loc via htmltables.unescape_basic
+    downstream if feeds embed &amp; (sitemaps.org requires escaping)."""
+    xml = F.col(xml_col)
+
+    def entries(tag: str, kind: str):
+        ent = F.explode(
+            F.regexp_extract_all(
+                xml, F.lit(rf"(?s)<{tag}>.*?</{tag}>"), F.lit(0)
+            )
+        )
+        e = sitemaps.select(
+            F.col(host_col).alias("host"), ent.alias("__e")
+        )
+        loc = F.trim(F.regexp_extract(F.col("__e"), r"(?s)<loc>(.*?)</loc>", 1))
+        lastmod = F.trim(
+            F.regexp_extract(F.col("__e"), r"(?s)<lastmod>(.*?)</lastmod>", 1)
+        )
+        return e.select(
+            "host",
+            F.lit(kind).alias("kind"),
+            loc.alias("loc"),
+            lastmod.alias("lastmod"),
+            F.try_to_date(F.substring(lastmod, 1, 10)).alias("lastmod_date"),
+        ).where(F.col("loc") != "")
+
+    return entries("url", "url").unionByName(entries("sitemap", "sitemap"))

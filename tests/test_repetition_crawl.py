@@ -221,3 +221,27 @@ def test_parse_robots_group_resolution(spark):
         ("b.com", "/all/y"): False,
         ("c.com", "/anything"): True,  # ruleless host default-allows
     }
+
+
+def test_parse_sitemaps_kinds_and_lastmod(spark):
+    xml = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc>http://a.com/1</loc><lastmod>2024-03-05</lastmod></url>"
+        "<url><loc> http://a.com/2 </loc></url>"
+        "<url><loc>http://a.com/3</loc><lastmod>garbage</lastmod></url>"
+        "</urlset><sitemapindex>"
+        "<sitemap><loc>http://a.com/more.xml</loc>"
+        "<lastmod>2024-01-02T03:04:05Z</lastmod></sitemap>"
+        "</sitemapindex>"
+    )
+    df = spark.createDataFrame([("a.com", xml)], "host string, sitemap_xml string")
+    got = {
+        (r["kind"], r["loc"]): (r["lastmod"], str(r["lastmod_date"]))
+        for r in urls.parse_sitemaps(df).collect()
+    }
+    assert got[("url", "http://a.com/1")] == ("2024-03-05", "2024-03-05")
+    assert got[("url", "http://a.com/2")] == ("", "None")  # trimmed loc, no lastmod
+    assert got[("url", "http://a.com/3")][1] == "None"     # garbage -> NULL not throw
+    assert got[("sitemap", "http://a.com/more.xml")] == (
+        "2024-01-02T03:04:05Z", "2024-01-02",
+    )
