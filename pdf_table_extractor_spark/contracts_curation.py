@@ -5807,3 +5807,219 @@ def q_parse_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bodies = d.select(host.alias("host"), xml.alias("sitemap_xml")).distinct()
     return _u.parse_sitemaps(bodies)
+
+
+_HB_BLOCKS_SQL = r"""
+    WITH docs AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+      FROM documents WHERE trim(text) <> ''
+    ), p AS (
+      SELECT doc_id,
+             'http://s.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+             COALESCE(array_to_string(list_slice(t, 1, 2 + CAST(doc_id % 4 AS INT)), ' '), '') AS c1,
+             trim(regexp_replace(
+               COALESCE(array_to_string(list_slice(t, 3, 7 + CAST(doc_id % 6 AS INT)), ' '), '')
+               || ' & '
+               || COALESCE(array_to_string(list_slice(t, 15, 17), ' '), ''),
+               '\s+', ' ', 'g')) AS c345,
+             COALESCE(array_to_string(list_slice(t, 18, 19 + CAST(doc_id % 8 AS INT)), ' '), '') || 'x' AS c7x,
+             COALESCE(array_to_string(list_slice(t, 27, 30), ' '), '') AS c9
+      FROM docs
+    ), cand AS (
+      SELECT doc_id, url,
+             [struct_pack(t := c1, h := TRUE),
+              struct_pack(t := c345, h := FALSE),
+              struct_pack(t := c7x, h := FALSE)]
+             || (CASE WHEN doc_id % 2 = 0
+                      THEN [struct_pack(t := c9, h := FALSE)]
+                      ELSE [] END) AS cs
+      FROM p
+    ), surv AS (
+      SELECT url, list_filter(cs, s -> s.t <> '') AS ss FROM cand
+    ),
+    hb AS (
+      SELECT url, s.idx AS block_idx, s.t AS block_text, s.h AS is_heading
+      FROM (
+        SELECT url,
+               unnest(list_transform(generate_series(1, len(ss)),
+                      j -> struct_pack(idx := j - 1, t := ss[j].t, h := ss[j].h))) AS s
+        FROM surv WHERE len(ss) > 0
+      )
+    )
+"""
+
+
+def _hb_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(url, html) pages with h1/p/div/li blocks, script+comment noise
+    and entity markers, derived from documents (shared by q_html_blocks
+    and q_extract_html_main; _HB_BLOCKS_SQL constructs its expected
+    block array)."""
+    docs = load(spark, sf_dir, "documents").where(F.trim("text") != "")
+    i = F.col("doc_id")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+    )
+    def c(a, ln):
+        return F.array_join(F.slice(toks, F.lit(a), ln), " ")
+
+    i_ = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><head><title>T</title><style>p{color:red}</style></head><body>"),
+        F.lit("<h1>"), c(1, (F.lit(2) + i_ % 4).cast("int")), F.lit("</h1>"),
+        F.lit("<p>"), c(3, (F.lit(5) + i_ % 6).cast("int")), F.lit(" &amp; "),
+        c(15, F.lit(3)), F.lit("</p>"),
+        F.when(
+            i % 3 == 0, F.lit('<script>var q = "<p>junk</p>";</script>')
+        ).otherwise(F.lit("")),
+        F.lit("<div>"), c(18, (F.lit(2) + i_ % 8).cast("int")), F.lit("<b>x</b></div>"),
+        F.when(
+            i % 2 == 0,
+            F.concat(F.lit("<h2></h2><li>"), c(27, F.lit(4)), F.lit("</li>")),
+        ).otherwise(F.lit("")),
+        F.lit("<!-- <p>ghost</p> --></body></html>"),
+    )
+    return docs.select(
+        F.concat(F.lit("http://s.com/p/"), i.cast("string")).alias("url"),
+        html.alias("html"),
+    )
+
+
+@contract(
+    "q_html_blocks",
+    _HB_BLOCKS_SQL
+    + """
+    SELECT url, block_idx, block_text, is_heading FROM hb
+    """,
+)
+def q_html_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-HTML DOM-block derivation (htmltables.html_blocks):
+    sentinel-marked block split with heading flags, script/style/
+    comment drop, per-block tag-strip + entity fold. The oracle
+    CONSTRUCTS the surviving block list from the synthesis pieces —
+    the marking/split/cleanup machinery is cross-checked against an
+    independent derivation."""
+    from pdf_table_extractor_spark.operators import htmltables
+
+    return htmltables.html_blocks(_hb_frame(spark, sf_dir)).select(
+        "url",
+        F.col("block_idx").cast("int").alias("block_idx"),
+        "block_text",
+        "is_heading",
+    )
+
+
+_JTH_PARAMS = dict(
+    length_low=30, length_high=60, stopwords_low=0.03,
+    stopwords_high=0.06, max_link_density=0.2,
+)
+
+
+@contract(
+    "q_extract_html_main",
+    _HB_BLOCKS_SQL
+    + """
+    , jf AS (
+      SELECT url, block_idx, block_text AS bt, is_heading,
+             length(block_text) AS length,
+             len(string_split(trim(regexp_replace(lower(block_text), '\\s+', ' ', 'g')), ' ')) AS n_words,
+             len(list_filter(string_split(trim(regexp_replace(lower(block_text), '\\s+', ' ', 'g')), ' '),
+                             w -> w IN ('the','a','of','and','to'))) AS n_stop,
+             COALESCE(list_sum(list_transform(regexp_extract_all(block_text, 'https?://\\S+'),
+                                              m -> length(m))), 0) AS link_chars
+      FROM hb
+    ), jc AS (
+      SELECT url, block_idx, bt, is_heading, length,
+             CASE
+               WHEN CAST(link_chars AS DOUBLE) / length > 0.2 THEN 'bad'
+               WHEN contains(bt, '©') OR contains(bt, '&copy') THEN 'bad'
+               WHEN length < 30 THEN CASE WHEN link_chars > 0 THEN 'bad' ELSE 'short' END
+               WHEN (CASE WHEN n_words = 0 THEN 0.0
+                          ELSE CAST(n_stop AS DOUBLE) / n_words END) >= 0.06
+                 THEN CASE WHEN length > 60 THEN 'good' ELSE 'neargood' END
+               WHEN (CASE WHEN n_words = 0 THEN 0.0
+                          ELSE CAST(n_stop AS DOUBLE) / n_words END) >= 0.03
+                 THEN 'neargood'
+               ELSE 'bad'
+             END AS cf
+      FROM jf
+    ), jh AS (
+      SELECT *,
+        SUM(length) OVER (PARTITION BY url ORDER BY block_idx
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM jc
+    ), jh2 AS (
+      SELECT *,
+        FIRST_VALUE(CASE WHEN cf = 'good' THEN cum - length END IGNORE NULLS)
+          OVER (PARTITION BY url ORDER BY block_idx
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS ngo
+      FROM jh
+    ), j1 AS (
+      SELECT url, block_idx, bt,
+             CASE WHEN is_heading AND cf = 'short' AND ngo IS NOT NULL
+                       AND ngo - cum <= 200
+                  THEN 'neargood' ELSE cf END AS c1
+      FROM jh2
+    ), jn AS (
+      SELECT *,
+        COALESCE(LAST_VALUE(CASE WHEN c1 IN ('good','bad') THEN c1 END IGNORE NULLS)
+          OVER (PARTITION BY url ORDER BY block_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'bad') AS prev_gb,
+        COALESCE(FIRST_VALUE(CASE WHEN c1 IN ('good','bad') THEN c1 END IGNORE NULLS)
+          OVER (PARTITION BY url ORDER BY block_idx
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 'bad') AS next_gb,
+        COALESCE(LAST_VALUE(CASE WHEN c1 IN ('good','bad','neargood') THEN c1 END IGNORE NULLS)
+          OVER (PARTITION BY url ORDER BY block_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'bad') AS prev_gbn,
+        COALESCE(FIRST_VALUE(CASE WHEN c1 IN ('good','bad','neargood') THEN c1 END IGNORE NULLS)
+          OVER (PARTITION BY url ORDER BY block_idx
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 'bad') AS next_gbn
+      FROM j1
+    ), j2 AS (
+      SELECT url, block_idx, bt,
+             CASE WHEN c1 = 'short' THEN
+               CASE
+                 WHEN prev_gb = 'good' AND next_gb = 'good' THEN 'good'
+                 WHEN prev_gb = 'bad' AND next_gb = 'bad' THEN 'bad'
+                 WHEN (prev_gb = 'bad' AND prev_gbn = 'neargood')
+                   OR (next_gb = 'bad' AND next_gbn = 'neargood') THEN 'good'
+                 ELSE 'bad'
+               END
+             ELSE c1 END AS c2
+      FROM jn
+    ), jn2 AS (
+      SELECT *,
+        COALESCE(LAST_VALUE(CASE WHEN c2 IN ('good','bad') THEN c2 END IGNORE NULLS)
+          OVER (PARTITION BY url ORDER BY block_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'bad') AS prev2,
+        COALESCE(FIRST_VALUE(CASE WHEN c2 IN ('good','bad') THEN c2 END IGNORE NULLS)
+          OVER (PARTITION BY url ORDER BY block_idx
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 'bad') AS next2
+      FROM j2
+    ), jl AS (
+      SELECT url, block_idx, bt,
+             CASE WHEN c2 = 'neargood' THEN
+               CASE WHEN prev2 = 'bad' AND next2 = 'bad' THEN 'bad' ELSE 'good' END
+             ELSE c2 END AS cls
+      FROM jn2
+    )
+    SELECT url,
+           COALESCE(string_agg(bt, chr(10) || chr(10) ORDER BY block_idx)
+                    FILTER (WHERE cls = 'good'), '') AS main_text,
+           COUNT(*) FILTER (WHERE cls = 'good') AS n_good_blocks
+    FROM jl GROUP BY url
+    """,
+)
+def q_extract_html_main(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship web composition: RAW HTML -> DOM blocks (real
+    heading flags) -> full jusText chain INCLUDING heading promotion ->
+    main-content reassembly (justext.extract_main_html). The oracle
+    replays everything: constructed block array, features, context-free
+    chain, the heading-distance pass and both neighbour revisions."""
+    from pdf_table_extractor_spark.operators import justext
+
+    return justext.extract_main_html(
+        _hb_frame(spark, sf_dir), stoplist=list(_JT_STOP), **_JTH_PARAMS
+    ).select(
+        "url", "main_text", F.col("n_good_blocks").cast("long").alias("n_good_blocks")
+    )

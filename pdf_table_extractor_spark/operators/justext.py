@@ -312,3 +312,34 @@ def extract_main_justext(
         )
     )
     return justext_main(labeled)
+
+
+def extract_main_html(
+    pages: DataFrame,
+    *,
+    stoplist: Sequence[str],
+    anchor_pattern: str = DEFAULT_ANCHOR,
+    url_col: str = "url",
+    html_col: str = "html",
+    max_heading_distance: int = MAX_HEADING_DISTANCE,
+    **params,
+) -> DataFrame:
+    """RAW HTML -> main content, end to end: `htmltables.html_blocks`
+    (sentinel block split, real heading flags, script/style drop) into
+    the full jusText chain INCLUDING the heading-promotion pass, then
+    good-paragraph reassembly. The production composition of the two
+    contracted halves; ``params`` forward to classify_context_free."""
+    from pdf_table_extractor_spark.operators.htmltables import html_blocks
+
+    blocks = html_blocks(pages, html_col=html_col, url_col=url_col)
+    feats = paragraph_features(
+        blocks,
+        stoplist=stoplist,
+        anchor_pattern=anchor_pattern,
+        heading_col="is_heading",
+    )
+    labeled = revise_classification(
+        classify_context_free(feats, **params),
+        max_heading_distance=max_heading_distance,
+    )
+    return justext_main(labeled)

@@ -66,3 +66,24 @@ def test_no_python_in_plan(spark):
     assert "Python" not in plan
     # extraction itself shuffles nothing; only the markdown pack groups
     assert plan.count("Exchange") <= 1
+
+
+def test_html_blocks_headings_and_strip(spark):
+    html = (
+        "<html><head><style>p{color:red}</style>"
+        "<script>var x = '<p>fake</p>';</script></head><body>"
+        "<h1>Big Title</h1><p>First para &amp; more.</p>"
+        "<div>Second <b>bold</b> block</div>"
+        "<p></p>"  # empty block drops
+        "<!-- <p>comment para</p> -->"
+        "<li>item one</li></body></html>"
+    )
+    df = spark.createDataFrame([Row(url="u", html=html)])
+    rows = htmltables.html_blocks(df).orderBy("block_idx").collect()
+    got = [(r["block_idx"], r["block_text"], r["is_heading"]) for r in rows]
+    assert got == [
+        (0, "Big Title", True),
+        (1, "First para & more.", False),
+        (2, "Second bold block", False),
+        (3, "item one", False),
+    ]
