@@ -6023,3 +6023,107 @@ def q_extract_html_main(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "url", "main_text", F.col("n_good_blocks").cast("long").alias("n_good_blocks")
     )
+
+
+@contract(
+    "q_winnow_pairs",
+    f"WITH toks AS ({TOKS})"
+    + r"""
+    , hs AS (
+      SELECT doc_id,
+             list_transform(
+               list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+               g -> CAST(('0x' || substr(md5(g), 1, 8))::UBIGINT AS BIGINT)) AS h
+      FROM toks
+    ), fp0 AS (
+      SELECT DISTINCT doc_id, p.fp
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(h) - 3, 1)),
+                 j -> struct_pack(
+                   pos := j, fp := list_min(list_slice(h, j, j + 3))))) AS p
+        FROM hs WHERE len(h) > 0
+      )
+    ), cold AS (
+      SELECT fp FROM fp0 GROUP BY fp HAVING COUNT(*) <= 64
+    ), fps AS (
+      SELECT doc_id, fp FROM fp0 JOIN cold USING (fp)
+    )
+    SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS n_shared
+    FROM fps l JOIN fps r ON l.fp = r.fp AND l.doc_id < r.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """,
+)
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS end to end (dedup.winnow_pairs): winnowed fingerprints →
+    hot-fp pruning → equi-join pair candidates with distinct-shared
+    counts; the oracle replays selection (distinct fps per doc make
+    the tie rule irrelevant here) + pruning + join."""
+    return dedup.winnow_pairs(load(spark, sf_dir, "documents")).select(
+        "a", "b", F.col("n_shared").cast("long").alias("n_shared")
+    )
+
+
+@contract(
+    "q_recrawl_priority",
+    """
+    WITH seeds AS (
+      SELECT 'http://h' || CAST(doc_id % 11 AS VARCHAR) || '.com/p/'
+               || CAST(doc_id % 40 AS VARCHAR) AS url,
+             CASE WHEN doc_id % 3 = 0
+                  THEN DATE '2024-01-01' + CAST(doc_id % 200 AS INT)
+                  ELSE NULL END AS lastmod_date
+      FROM (SELECT DISTINCT doc_id % 440 AS doc_id FROM documents)
+    ),
+    caps AS (
+      SELECT 'http://h' || CAST(doc_id % 11 AS VARCHAR) || '.com/p/'
+               || CAST(doc_id % 40 AS VARCHAR) AS url,
+             DATE '2024-02-01' + CAST(doc_id % 90 AS INT) AS captured_date,
+             DATE '2024-08-01' AS asof_date
+      FROM (SELECT DISTINCT doc_id % 440 AS doc_id FROM documents
+            WHERE doc_id % 5 <> 0)
+    ),
+    j AS (SELECT s.url, s.lastmod_date AS lm, c.captured_date AS cap,
+                 c.asof_date AS asof_d
+          FROM seeds s LEFT JOIN caps c USING (url))
+    SELECT url,
+           CASE WHEN cap IS NULL THEN 1
+                WHEN lm IS NOT NULL AND lm > cap THEN 2
+                ELSE 3 END AS tier,
+           CAST(CASE WHEN cap IS NULL THEN 10000
+                WHEN lm IS NOT NULL AND lm > cap THEN datediff('day', cap, lm)
+                ELSE datediff('day', cap, asof_d) END AS BIGINT) AS days_stale
+    FROM j
+    """,
+)
+def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness-aware recrawl tiers (urls.recrawl_priority): discovery
+    / publisher-stale / age-revisit with days-stale priorities, ready
+    for crawl_frontier. Deterministic date arithmetic both sides."""
+    from pdf_table_extractor_spark.operators import urls as _u
+
+    d = load(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 440).alias("doc_id")
+    ).distinct()
+    i = F.col("doc_id")
+    url = F.concat(
+        F.lit("http://h"), (i % 11).cast("string"), F.lit(".com/p/"),
+        (i % 40).cast("string"),
+    )
+    seeds = d.select(
+        url.alias("url"),
+        F.when(
+            i % 3 == 0,
+            F.date_add(F.lit("2024-01-01").cast("date"), (i % 200).cast("int")),
+        ).alias("lastmod_date"),
+    )
+    caps = d.where(i % 5 != 0).select(
+        url.alias("url"),
+        F.date_add(F.lit("2024-02-01").cast("date"), (i % 90).cast("int")).alias(
+            "captured_date"
+        ),
+        F.lit("2024-08-01").cast("date").alias("asof_date"),
+    )
+    return _u.recrawl_priority(caps, seeds)

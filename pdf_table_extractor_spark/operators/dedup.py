@@ -1058,3 +1058,52 @@ def containment_pairs(
         F.round("c_a_in_b", 6).alias("c_a_in_b"),
         F.round("c_b_in_a", 6).alias("c_b_in_a"),
     )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = 64,
+) -> DataFrame:
+    """Candidate near-dup pairs from WINNOWING fingerprints (the MOSS
+    pipeline end to end): `textquality.winnow_fingerprints` selects
+    ~2/(window+1) of the k-gram hashes per document, pairs form by
+    fingerprint equi-join, and ``n_shared`` counts DISTINCT shared
+    fingerprints per pair — the coverage guarantee means any shared run
+    of ≥ window+k−1 tokens surfaces. The winnowed density is what makes
+    the join affordable where a full shingle join is not.
+
+    Same hot-key discipline as the shingle joins: fingerprints whose
+    document frequency exceeds ``max_df`` are pruned before the join
+    (boilerplate fragments shared by everyone carry no pair signal),
+    bounding any fingerprint's contribution to max_df²/2 pairs."""
+    from pdf_table_extractor_spark.operators.textquality import (
+        winnow_fingerprints,
+    )
+
+    fps = winnow_fingerprints(
+        df, k=k, window=window, text_col=text_col, id_col=id_col
+    ).select(F.col(id_col).alias("id"), "fp").distinct()
+    if max_df is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count("*").alias("__df"))
+            .where(F.col("__df") > max_df)
+            .select("fp")
+        )
+        fps = fps.join(hot, "fp", "left_anti")
+    l, r = fps.alias("l"), fps.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.fp") == F.col("r.fp")) & (F.col("l.id") < F.col("r.id")),
+        )
+        .groupBy(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -740,3 +740,55 @@ def parse_sitemaps(
         ).where(F.col("loc") != "")
 
     return entries("url", "url").unionByName(entries("sitemap", "sitemap"))
+
+
+def recrawl_priority(
+    captures,
+    seeds,
+    *,
+    url_col: str = "url",
+    captured_col: str = "captured_date",
+    lastmod_col: str = "lastmod_date",
+    asof_col: str = "asof_date",
+):
+    """Staleness-driven refresh ranking: join the last-capture record
+    per url against sitemap/feed seeds and tier the frontier —
+    tier 1 = never captured (discovery), tier 2 = publisher says stale
+    (lastmod after our capture), tier 3 = revisit by age. ``priority``
+    is days-stale within the tier (tier 2: lastmod − captured; tier 3:
+    asof − captured; tier 1: a large sentinel so discovery sorts
+    first under (tier ASC, priority DESC)). The standard incremental-
+    recrawl scheduling rule (freshness-aware crawl ordering à la Cho &
+    Garcia-Molina 2000), ready to feed `crawl_frontier`.
+
+    Scale: one equi-join on url (both sides skinny: seeds are feed
+    rows, captures come pre-aggregated from `latest_capture`) + a
+    projection. NULL-safe date arithmetic via datediff on DATEs."""
+    s = seeds.select(
+        F.col(url_col).alias("url"), F.col(lastmod_col).alias("__lm")
+    )
+    c = captures.select(
+        F.col(url_col).alias("url"),
+        F.col(captured_col).alias("__cap"),
+        F.col(asof_col).alias("__asof"),
+    )
+    j = s.join(c, "url", "left")
+    tier = (
+        F.when(F.col("__cap").isNull(), F.lit(1))
+        .when(
+            F.col("__lm").isNotNull() & (F.col("__lm") > F.col("__cap")),
+            F.lit(2),
+        )
+        .otherwise(F.lit(3))
+    )
+    priority = (
+        F.when(F.col("__cap").isNull(), F.lit(10_000))
+        .when(
+            F.col("__lm").isNotNull() & (F.col("__lm") > F.col("__cap")),
+            F.datediff(F.col("__lm"), F.col("__cap")),
+        )
+        .otherwise(F.datediff(F.col("__asof"), F.col("__cap")))
+    )
+    return j.select(
+        "url", tier.alias("tier"), priority.cast("long").alias("days_stale")
+    )

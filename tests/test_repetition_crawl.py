@@ -245,3 +245,25 @@ def test_parse_sitemaps_kinds_and_lastmod(spark):
     assert got[("sitemap", "http://a.com/more.xml")] == (
         "2024-01-02T03:04:05Z", "2024-01-02",
     )
+
+
+def test_recrawl_priority_tiers(spark):
+    import datetime as dt
+
+    seeds = spark.createDataFrame(
+        [("u1", dt.date(2024, 6, 1)), ("u2", dt.date(2024, 1, 1)),
+         ("u3", None), ("u4", dt.date(2024, 3, 1))],
+        "url string, lastmod_date date",
+    )
+    caps = spark.createDataFrame(
+        [("u1", dt.date(2024, 5, 1), dt.date(2024, 8, 1)),
+         ("u2", dt.date(2024, 2, 1), dt.date(2024, 8, 1)),
+         ("u3", dt.date(2024, 7, 1), dt.date(2024, 8, 1))],
+        "url string, captured_date date, asof_date date",
+    )
+    got = {r["url"]: (r["tier"], r["days_stale"])
+           for r in urls.recrawl_priority(caps, seeds).collect()}
+    assert got["u1"] == (2, 31)    # publisher-stale by a month
+    assert got["u2"] == (3, 182)   # lastmod older than capture -> age revisit
+    assert got["u3"] == (3, 31)    # no lastmod -> age revisit
+    assert got["u4"] == (1, 10000) # never captured -> discovery
