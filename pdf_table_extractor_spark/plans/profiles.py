@@ -861,6 +861,35 @@ def build_webpage(pages: DataFrame) -> DataFrame:
     return labeled.filter("is_content").select("url", "block_idx", "block_text")
 
 
+# webjt — jusText main-content profile (second published extraction
+# algorithm, operators/justext.py — Pomikalek 2011 with the published
+# default thresholds): blank-line paragraph blocks, stopword/link/length
+# context-free classes, then the short/neargood neighbour revisions as
+# window fills. Same branch shape as webpage: features + the rule chain
+# are codegen off the shared text exchange; the revision windows and the
+# pack groupBy ride the url key.
+
+#: English stoplist for the webjt profile (jusText ships per-language
+#: stoplists as data; this is the corpus-matched config — synth.STOP_EN).
+WEBJT_STOPLIST = (
+    "the a an of and to in is it that for on with as at this by from or be"
+).split()
+
+
+def build_webjt(pages: DataFrame) -> DataFrame:
+    from pdf_table_extractor_spark.operators import boilerplate, justext
+
+    blocks = boilerplate.page_blocks(pages)
+    labeled = justext.revise_classification(
+        justext.classify_context_free(
+            justext.paragraph_features(blocks, stoplist=WEBJT_STOPLIST)
+        )
+    )
+    return labeled.filter(F.col("cls") == "good").select(
+        "url", "block_idx", "block_text"
+    )
+
+
 def build_santander(pages: DataFrame) -> DataFrame:
     from pdf_table_extractor_spark.operators.statemachines import santander_records
 
@@ -1049,6 +1078,18 @@ PROFILES: dict[str, Profile] = {
         build_webpage,
         # always emit bytes per url, even b"" for all-boilerplate pages —
         # the north rule gates on "byte-identical extracted text per url"
+        emit_empty=True,
+        sink=Sink(
+            columns=["main_text"],
+            source_cols=["block_text"],
+            order_by=["block_idx"],
+            utf8_sig=False,
+            raw=True,
+        ),
+    ),
+    "webjt": Profile(
+        "webjt",
+        build_webjt,
         emit_empty=True,
         sink=Sink(
             columns=["main_text"],

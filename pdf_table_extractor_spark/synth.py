@@ -695,6 +695,65 @@ def gen_webpage(rng: random.Random):
     return lines, None, [], None
 
 
+# ---------------------------------------------------------------------------
+# webjt — generic web page for the jusText main-content profile (second
+# published extraction algorithm; operators/justext.py). Stopword
+# densities are drawn around the published 0.30/0.32 thresholds and
+# block char-lengths straddle 70/200, so the context-free chain AND the
+# short/neargood neighbour revisions are all exercised by the golden
+# gate; ~7% of pages are all-boilerplate (emit-empty path).
+# ---------------------------------------------------------------------------
+
+STOP_EN = (
+    "the a an of and to in is it that for on with as at this by from or be"
+).split()
+
+
+def _wjt_sentence(rng: random.Random, n: int, stop_rate: float) -> str:
+    return " ".join(
+        rng.choice(STOP_EN) if rng.random() < stop_rate else rng.choice(WEB_WORDS)
+        for _ in range(n)
+    )
+
+
+def gen_webjt(rng: random.Random):
+    if rng.random() < 0.07:
+        blocks = [
+            " ".join(_wp_link(rng) for _ in range(rng.randint(2, 6)))
+            for _ in range(rng.randint(2, 4))
+        ] + [f"© {rng.randint(2019, 2025)} {_wp_link(rng)} all rights reserved"]
+    else:
+        blocks = [
+            " ".join(_wp_link(rng) for _ in range(rng.randint(3, 6))),
+            _wjt_sentence(rng, rng.randint(2, 8), 0.1),  # headline (short)
+        ]
+        for _ in range(rng.randint(3, 8)):
+            rate = rng.choice([0.05, 0.2, 0.31, 0.38, 0.5, 0.5, 0.65])
+            n = rng.choice([rng.randint(4, 30), rng.randint(30, 90)])  # straddles 70 and 200 chars
+            sent = _wjt_sentence(rng, n, rate)
+            if rng.random() < 0.2:  # inline link pushes link density
+                toks = sent.split(" ")
+                toks[rng.randrange(len(toks))] = _wp_link(rng)
+                sent = " ".join(toks)
+            blocks.append(_wp_wrap(sent))
+            if rng.random() < 0.2:
+                blocks.append(_wjt_sentence(rng, rng.randint(2, 10), 0.31))
+        if rng.random() < 0.5:
+            blocks.append(
+                "\n".join(
+                    f"{rng.choice(WEB_WORDS)} {_wp_link(rng)}"
+                    for _ in range(rng.randint(2, 4))
+                )
+            )
+        blocks.append(f"© {rng.randint(2019, 2025)} example.org")
+    lines: list[str] = []
+    for b in blocks:
+        if lines:
+            lines.append("")
+        lines.extend(b.split("\n"))
+    return lines, None, [], None
+
+
 GENERATORS = {
     "banestes": gen_banestes,
     "pagbank": gen_pagbank,
@@ -712,6 +771,7 @@ GENERATORS = {
     "stone": gen_stone,
     "itau": gen_itau,
     "webpage": gen_webpage,
+    "webjt": gen_webjt,
 }
 
 NOISE_LANGS = ["en", "es", "de"]

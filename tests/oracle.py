@@ -871,6 +871,84 @@ def oracle_webpage(text: str, html: bytes) -> bytes | None:
     return "\n\n".join(kept).encode("utf-8")
 
 
+_JT_STOP_EN = set(
+    "the a an of and to in is it that for on with as at this by from or be".split()
+)
+_JT_LINK = re.compile(r"https?://\S+")
+
+
+def _jt_neighbour(i, classes, ignore_neargood, inc, boundary):
+    while i + inc != boundary:
+        i += inc
+        c = classes[i]
+        if c in ("good", "bad"):
+            return c
+        if c == "neargood" and not ignore_neargood:
+            return c
+    return "bad"
+
+
+def oracle_webjt(text: str, html: bytes) -> bytes | None:
+    """Independent re-derivation of jusText (Pomikalek 2011, published
+    defaults, no headings in a plain text-layer block frame): blank-line
+    blocks, length/stopword-density/link-density context-free classes,
+    then the sequential short + neargood neighbour revisions; good
+    blocks rejoined with a blank line (b'' when none survive)."""
+    blocks = [
+        b for b in re.split(r"\n{2,}", text) if b.strip(" ") != ""
+    ]
+    cf = []
+    for b in blocks:
+        squeezed = re.sub(r"\s+", " ", b.lower()).strip(" ")
+        words = [] if squeezed == "" else squeezed.split(" ")
+        n_stop = sum(1 for w in words if w in _JT_STOP_EN)
+        stop_density = n_stop / len(words) if words else 0.0
+        link_chars = sum(len(m) for m in _JT_LINK.findall(b))
+        length = len(b)
+        link_density = link_chars / length if length else 0.0
+        if link_density > 0.2:
+            cf.append("bad")
+        elif "©" in b or "&copy" in b:
+            cf.append("bad")
+        elif length < 70:
+            cf.append("bad" if link_chars > 0 else "short")
+        elif stop_density >= 0.32:
+            cf.append("good" if length > 200 else "neargood")
+        elif stop_density >= 0.30:
+            cf.append("neargood")
+        else:
+            cf.append("bad")
+    classes = list(cf)
+    n = len(classes)
+    new = {}
+    for i in range(n):
+        if classes[i] != "short":
+            continue
+        prev = _jt_neighbour(i, classes, True, -1, -1)
+        nxt = _jt_neighbour(i, classes, True, 1, n)
+        pair = {prev, nxt}
+        if pair == {"good"}:
+            new[i] = "good"
+        elif pair == {"bad"}:
+            new[i] = "bad"
+        elif (prev == "bad" and _jt_neighbour(i, classes, False, -1, -1) == "neargood") or (
+            nxt == "bad" and _jt_neighbour(i, classes, False, 1, n) == "neargood"
+        ):
+            new[i] = "good"
+        else:
+            new[i] = "bad"
+    for i, c in new.items():
+        classes[i] = c
+    for i in range(n):
+        if classes[i] != "neargood":
+            continue
+        prev = _jt_neighbour(i, classes, True, -1, -1)
+        nxt = _jt_neighbour(i, classes, True, 1, n)
+        classes[i] = "bad" if (prev, nxt) == ("bad", "bad") else "good"
+    kept = [b for b, c in zip(blocks, classes) if c == "good"]
+    return "\n\n".join(kept).encode("utf-8")
+
+
 ORACLES = {
     "banestes": oracle_banestes,
     "pagbank": oracle_pagbank,
@@ -888,6 +966,7 @@ ORACLES = {
     "stone": oracle_stone,
     "itau": oracle_itau,
     "webpage": oracle_webpage,
+    "webjt": oracle_webjt,
 }
 
 

@@ -1,7 +1,7 @@
 """Physical-plan assertions (SURVEY §4): the plans we designed for, not
 just the first ones that passed.
 
-Round-2 topology (plans/extract.py): the SHIPPED extract() plan — all 16
+Round-2 topology (plans/extract.py): the SHIPPED extract() plan — all 17
 profile branches + the zero-record sentinel — materializes the pages source
 exactly THREE times, once per column group:
 
@@ -72,11 +72,14 @@ def test_three_column_pruned_scans(extract_plan):
 
 
 def test_branches_reuse_salt_exchanges(extract_plan):
-    # 16 profile branches (caixa is a single sub-plan since the data-driven
-    # pattern dispatch — round 2; webpage is pure Catalyst off the text
-    # exchange) = 16 exchange consumers served by 2 materialized exchanges
-    # + 14 reuses (the sentinel has its own skinny url-only exchange).
-    assert extract_plan.count("ReusedExchange") == 14
+    # 17 profile branches (caixa is a single sub-plan since the data-driven
+    # pattern dispatch — round 2; webpage and webjt are pure Catalyst off
+    # the text exchange) = 17 exchange consumers served by 2 materialized
+    # exchanges + 15 reuses (the sentinel has its own skinny url-only
+    # exchange; round 4's webjt branch added its consumer WITHOUT
+    # materializing any new exchange — the jusText revision windows
+    # re-sort but never re-shuffle, see test_exchange_budget).
+    assert extract_plan.count("ReusedExchange") == 15
 
 
 def test_exchange_budget(extract_plan):
