@@ -6127,3 +6127,111 @@ def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("2024-08-01").cast("date").alias("asof_date"),
     )
     return _u.recrawl_priority(caps, seeds)
+
+
+@contract(
+    "q_extractor_agreement",
+    _BP_BLOCKS_SQL
+    + r"""
+    , jfeat AS (
+      SELECT url, block_idx, block_text,
+             length(block_text) AS jlen,
+             len(string_split(trim(regexp_replace(lower(block_text), '\s+', ' ', 'g')), ' ')) AS jn_words,
+             len(list_filter(string_split(trim(regexp_replace(lower(block_text), '\s+', ' ', 'g')), ' '),
+                             w -> w IN ('the','a','of','and','to'))) AS jn_stop,
+             COALESCE(list_sum(list_transform(
+               regexp_extract_all(block_text, '\b(?:spark|data|query|scan)\b'),
+               m -> length(m))), 0) AS jlink
+      FROM feats
+    ), jcf AS (
+      SELECT url, block_idx,
+             CASE
+               WHEN CAST(jlink AS DOUBLE) / jlen > 0.2 THEN 'bad'
+               WHEN contains(block_text, '©') OR contains(block_text, '&copy') THEN 'bad'
+               WHEN jlen < 50 THEN CASE WHEN jlink > 0 THEN 'bad' ELSE 'short' END
+               WHEN (CASE WHEN jn_words = 0 THEN 0.0
+                          ELSE CAST(jn_stop AS DOUBLE) / jn_words END) >= 0.06
+                 THEN CASE WHEN jlen > 80 THEN 'good' ELSE 'neargood' END
+               WHEN (CASE WHEN jn_words = 0 THEN 0.0
+                          ELSE CAST(jn_stop AS DOUBLE) / jn_words END) >= 0.03
+                 THEN 'neargood'
+               ELSE 'bad'
+             END AS cf
+      FROM jfeat
+    ), jnb AS (
+      SELECT *,
+        COALESCE(LAST_VALUE(CASE WHEN cf IN ('good','bad') THEN cf END IGNORE NULLS)
+          OVER (PARTITION BY url ORDER BY block_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'bad') AS prev_gb,
+        COALESCE(FIRST_VALUE(CASE WHEN cf IN ('good','bad') THEN cf END IGNORE NULLS)
+          OVER (PARTITION BY url ORDER BY block_idx
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 'bad') AS next_gb,
+        COALESCE(LAST_VALUE(CASE WHEN cf IN ('good','bad','neargood') THEN cf END IGNORE NULLS)
+          OVER (PARTITION BY url ORDER BY block_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'bad') AS prev_gbn,
+        COALESCE(FIRST_VALUE(CASE WHEN cf IN ('good','bad','neargood') THEN cf END IGNORE NULLS)
+          OVER (PARTITION BY url ORDER BY block_idx
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 'bad') AS next_gbn
+      FROM jcf
+    ), js2 AS (
+      SELECT url, block_idx,
+             CASE WHEN cf = 'short' THEN
+               CASE
+                 WHEN prev_gb = 'good' AND next_gb = 'good' THEN 'good'
+                 WHEN prev_gb = 'bad' AND next_gb = 'bad' THEN 'bad'
+                 WHEN (prev_gb = 'bad' AND prev_gbn = 'neargood')
+                   OR (next_gb = 'bad' AND next_gbn = 'neargood') THEN 'good'
+                 ELSE 'bad'
+               END
+             ELSE cf END AS c2
+      FROM jnb
+    ), jnb2 AS (
+      SELECT *,
+        COALESCE(LAST_VALUE(CASE WHEN c2 IN ('good','bad') THEN c2 END IGNORE NULLS)
+          OVER (PARTITION BY url ORDER BY block_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'bad') AS prev2,
+        COALESCE(FIRST_VALUE(CASE WHEN c2 IN ('good','bad') THEN c2 END IGNORE NULLS)
+          OVER (PARTITION BY url ORDER BY block_idx
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 'bad') AS next2
+      FROM js2
+    ), jlab AS (
+      SELECT url, block_idx,
+             (CASE WHEN c2 = 'neargood' THEN
+               CASE WHEN prev2 = 'bad' AND next2 = 'bad' THEN 'bad' ELSE 'good' END
+             ELSE c2 END) = 'good' AS jt_keep
+      FROM jnb2
+    ), agree AS (
+      SELECT c.url, c.is_content AS bp, j.jt_keep AS jt
+      FROM cls c JOIN jlab j USING (url, block_idx)
+    )
+    SELECT url,
+           COUNT(*) AS n_blocks,
+           CAST(COUNT(*) FILTER (WHERE bp AND jt) AS BIGINT) AS n_both_keep,
+           CAST(COUNT(*) FILTER (WHERE NOT bp AND NOT jt) AS BIGINT) AS n_both_drop,
+           CAST(COUNT(*) FILTER (WHERE bp AND NOT jt) AS BIGINT) AS n_bp_only,
+           CAST(COUNT(*) FILTER (WHERE NOT bp AND jt) AS BIGINT) AS n_jt_only,
+           ROUND(CAST(COUNT(*) FILTER (WHERE bp = jt) AS DOUBLE) / COUNT(*), 6) AS agree_rate
+    FROM agree GROUP BY url
+    """,
+)
+def q_extractor_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble extraction QA (justext.classifier_agreement): Boilerpipe
+    vs jusText over one block frame, per-page keep/drop agreement. The
+    oracle replays BOTH classifiers on the shared frame."""
+    from pdf_table_extractor_spark.operators import justext
+
+    out = justext.classifier_agreement(
+        _bp_blocks(spark, sf_dir),
+        stoplist=list(_JT_STOP),
+        anchor_pattern=_BP_ANCHOR,
+        **_JT_PARAMS,
+    )
+    return out.select(
+        "url",
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        F.col("n_both_keep").cast("long").alias("n_both_keep"),
+        F.col("n_both_drop").cast("long").alias("n_both_drop"),
+        F.col("n_bp_only").cast("long").alias("n_bp_only"),
+        F.col("n_jt_only").cast("long").alias("n_jt_only"),
+        "agree_rate",
+    )

@@ -343,3 +343,70 @@ def extract_main_html(
         max_heading_distance=max_heading_distance,
     )
     return justext_main(labeled)
+
+
+def classifier_agreement(
+    blocks: DataFrame,
+    *,
+    stoplist: Sequence[str],
+    anchor_pattern: str = DEFAULT_ANCHOR,
+    url_col: str = "url",
+    idx_col: str = "block_idx",
+    text_col: str = "block_text",
+    **jt_params,
+) -> DataFrame:
+    """Extraction-ensemble QA: run BOTH published classifiers
+    (Boilerpipe's NumWordsRules tree and this module's jusText chain)
+    over one block frame and score per-page agreement — (url, n_blocks,
+    n_both_keep, n_both_drop, n_bp_only, n_jt_only, agree_rate). Low
+    agreement is the triage signal for layout families neither
+    heuristic models well (the two algorithms key on different
+    features: neighbour word-counts vs stopword density), and
+    both-keep ∩ is a high-precision content vote for training-data
+    curation.
+
+    Scale: both classifiers are pure Catalyst over the SAME url-keyed
+    frame, the equi-join is on (url, block_idx) with identical upstream
+    partitioning, and the rollup is one url aggregate."""
+    from pdf_table_extractor_spark.operators.boilerplate import (
+        block_features,
+        classify_blocks,
+    )
+
+    bp = classify_blocks(
+        block_features(
+            blocks,
+            anchor_pattern=anchor_pattern,
+            url_col=url_col,
+            idx_col=idx_col,
+            text_col=text_col,
+        )
+    ).select("url", "block_idx", F.col("is_content").alias("__bp"))
+    jt = revise_classification(
+        classify_context_free(
+            paragraph_features(
+                blocks,
+                stoplist=stoplist,
+                anchor_pattern=anchor_pattern,
+                url_col=url_col,
+                idx_col=idx_col,
+                text_col=text_col,
+            ),
+            **jt_params,
+        )
+    ).select(
+        "url", "block_idx", (F.col("cls") == "good").alias("__jt")
+    )
+    j = bp.join(jt, ["url", "block_idx"])
+    both = F.col("__bp") & F.col("__jt")
+    neither = ~F.col("__bp") & ~F.col("__jt")
+    return j.groupBy("url").agg(
+        F.count("*").alias("n_blocks"),
+        F.sum(both.cast("int")).alias("n_both_keep"),
+        F.sum(neither.cast("int")).alias("n_both_drop"),
+        F.sum((F.col("__bp") & ~F.col("__jt")).cast("int")).alias("n_bp_only"),
+        F.sum((~F.col("__bp") & F.col("__jt")).cast("int")).alias("n_jt_only"),
+        F.round(
+            F.sum((both | neither).cast("int")) / F.count("*"), 6
+        ).alias("agree_rate"),
+    )
