@@ -6235,3 +6235,91 @@ def q_extractor_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_jt_only").cast("long").alias("n_jt_only"),
         "agree_rate",
     )
+
+
+@contract(
+    "q_domain_lang_mix",
+    "WITH d AS (" + _DOMAIN_URL_SQL + """),
+    l AS (
+      SELECT domain,
+             CASE WHEN doc_id % 5 = 0 THEN 'en'
+                  WHEN doc_id % 7 = 0 THEN 'es' ELSE 'pt' END AS lang
+      FROM d
+    ),
+    p AS (SELECT domain, lang, COUNT(*) AS n_docs FROM l GROUP BY 1, 2),
+    t AS (SELECT domain, SUM(n_docs) AS tot FROM p GROUP BY domain)
+    SELECT p.domain, p.lang, CAST(p.n_docs AS BIGINT) AS n_docs,
+           ROUND(CAST(p.n_docs AS DOUBLE) / t.tot, 6) AS share
+    FROM p JOIN t USING (domain)
+    """,
+)
+def q_domain_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain language composition (urls.domain_lang_mix) over the
+    deterministic url synth with an arithmetic lang assignment."""
+    from pdf_table_extractor_spark.operators import urls as _u
+
+    d = _domain_docs(spark, sf_dir)
+    i = F.col("doc_id")
+    frame = d.select(
+        "url",
+        F.when(i % 5 == 0, "en").when(i % 7 == 0, "es").otherwise("pt").alias(
+            "lang"
+        ),
+    )
+    return _u.domain_lang_mix(frame).select(
+        "domain", "lang",
+        F.col("n_docs").cast("long").alias("n_docs"), "share",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mojibake contract fixtures: the corrupted suffix is COMPUTED
+# (suffix.encode('utf-8').decode('cp1252')) at import, never hand-typed,
+# and the oracle CONSTRUCTS the expected repaired text independently —
+# only the artifact COUNT constant below is pre-derived (regex matches
+# in the corrupted suffix: 10).
+# ---------------------------------------------------------------------------
+
+_MOJI_SUFFIX = ' ação é ótima à noite — “café único’'
+_MOJI_BAD = _MOJI_SUFFIX.encode("utf-8").decode("cp1252")
+_MOJI_N_ART = 10
+
+
+@contract(
+    "q_mojibake",
+    f"""
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN {_MOJI_N_ART} ELSE 0 END AS INT) AS n_artifacts,
+           CAST(length(text) + CASE WHEN doc_id % 3 = 0
+                THEN 49 ELSE 36 END AS INT) AS n_chars,
+           ROUND(CASE WHEN doc_id % 3 = 0
+                 THEN {_MOJI_N_ART} * 1000.0 / (length(text) + 49)
+                 ELSE 0.0 END, 6) AS artifacts_per_kchar,
+           text || {_MOJI_SUFFIX!r} AS fixed_text
+    FROM documents
+    """,
+)
+def q_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTF-8-as-cp1252 mojibake detection + repair
+    (textquality.mojibake_stats): every third doc carries the computed
+    corrupted suffix; the engine must count its artifacts and restore
+    the clean text byte-for-byte. The oracle constructs the expected
+    repaired text independently."""
+    d = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    frame = d.select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.when(i % 3 == 0, F.lit(_MOJI_BAD)).otherwise(
+                F.lit(_MOJI_SUFFIX)
+            ),
+        ).alias("text"),
+    )
+    return textquality.mojibake_stats(frame).select(
+        "doc_id",
+        F.col("n_artifacts").cast("int").alias("n_artifacts"),
+        F.col("n_chars").cast("int").alias("n_chars"),
+        "artifacts_per_kchar",
+        "fixed_text",
+    )

@@ -867,3 +867,60 @@ def readability(
             "fk_grade"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mojibake (UTF-8 read as cp1252) detection + repair — the ftfy problem
+# class, scoped to the deterministic double-encoding case that dominates
+# web corpora. The map is COMPUTED (ch.encode('utf-8').decode('cp1252'))
+# for the common Western accented set + punctuation, not hand-typed;
+# bytes unmappable in cp1252 (0x81/8D/8F/90/9D — e.g. the right double
+# quote's 0x9D) are exactly the cases a replace chain cannot round-trip
+# and are left to a bytes-level seam. Control-ish artifact chars (soft
+# hyphen, nbsp) are spelled as escapes on purpose.
+# ---------------------------------------------------------------------------
+
+MOJIBAKE_MAP: tuple[tuple[str, str], ...] = tuple(
+    (ch.encode("utf-8").decode("cp1252"), ch)
+    for ch in "\u00e1\u00e9\u00ed\u00f3\u00fa\u00e3\u00f5\u00e7"
+              "\u00e2\u00ea\u00f4\u00e0\u00e8\u00ec\u00f2\u00f9"
+              "\u00fc\u00f1\u2019\u201c\u2013\u2014\u00b7"
+)
+
+#: Artifact detector: the lead chars of double-encoded Western text.
+_MOJIBAKE_RE = "(?:\u00c3[\u0080-\u00bf\u00ad\u00a0]|\u00e2\u20ac.|\u00c2[\u00a0-\u00bf])"
+
+
+def mojibake_fix(col: Column) -> Column:
+    """Repair the deterministic UTF-8-as-cp1252 double-encoding for the
+    computed Western map — 3-char sequences first (curly punctuation)
+    so their lead pair is never half-eaten by a 2-char rule."""
+    out = col
+    for bad, good in sorted(MOJIBAKE_MAP, key=lambda kv: -len(kv[0])):
+        out = F.replace(out, F.lit(bad), F.lit(good))
+    return out
+
+
+def mojibake_stats(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_artifacts, n_chars, artifacts_per_kchar, fixed_text): the
+    encoding-health gate (a slice whose artifact rate jumps is an
+    upstream decode regression) plus the repaired text. Scan-side
+    regexp count + the replace chain; no shuffle."""
+    text = F.col(text_col)
+    n_art = F.size(
+        F.regexp_extract_all(text, F.lit(_MOJIBAKE_RE), F.lit(0))
+    )
+    return df.select(
+        F.col(id_col),
+        n_art.alias("n_artifacts"),
+        F.length(text).alias("n_chars"),
+        F.round(
+            F.try_divide(n_art * F.lit(1000.0), F.length(text)), 6
+        ).alias("artifacts_per_kchar"),
+        mojibake_fix(text).alias("fixed_text"),
+    )

@@ -792,3 +792,30 @@ def recrawl_priority(
     return j.select(
         "url", tier.alias("tier"), priority.cast("long").alias("days_stale")
     )
+
+
+def domain_lang_mix(
+    docs,
+    *,
+    url_col: str = "url",
+    lang_col: str = "lang",
+):
+    """(domain, lang, n_docs, share): per-registrable-domain language
+    composition — the multilingual-crawl audit (CCNet/OSCAR slice
+    sanity: a .br domain suddenly 90% 'en' is an extraction or lang-id
+    regression, a mixed domain informs per-language routing).
+
+    Scale: one (domain, lang) map-side-combined aggregate + a domain
+    total via a second aggregate joined back (both keyed on the derived
+    domain; no window)."""
+    dom = registered_domain(host_of(F.col(url_col)))
+    by_pair = docs.groupBy(
+        dom.alias("domain"), F.col(lang_col).alias("lang")
+    ).agg(F.count("*").alias("n_docs"))
+    totals = by_pair.groupBy("domain").agg(F.sum("n_docs").alias("__t"))
+    return by_pair.join(totals, "domain").select(
+        "domain",
+        "lang",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("__t"), 6).alias("share"),
+    )

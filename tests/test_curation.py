@@ -818,3 +818,19 @@ def test_readability_hand_checked(spark):
     assert got[2]["reading_ease"] is None and got[2]["fk_grade"] is None
     # vowel groups: beautiful -> eau,i,u (3); anywhere! -> a,y,e,e (4)
     assert got[3]["n_syllables"] == 7 and got[3]["n_sentences"] == 1
+
+
+def test_mojibake_roundtrip_and_score(spark):
+    """Corrupt -> fix restores the original byte-for-byte for the whole
+    computed map; clean text scores zero."""
+    clean = "ação é ótima — “café único’ " + "plain ascii tail"
+    bad = clean.encode("utf-8").decode("cp1252")
+    df = spark.createDataFrame(
+        [(1, bad), (2, clean), (3, "pure ascii only")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in textquality.mojibake_stats(df).collect()}
+    assert got[1]["fixed_text"] == clean
+    assert got[1]["n_artifacts"] > 0
+    assert got[2]["fixed_text"] == clean  # already-clean text untouched
+    assert got[3]["n_artifacts"] == 0 and got[3]["artifacts_per_kchar"] == 0.0
