@@ -6323,3 +6323,61 @@ def q_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
         "artifacts_per_kchar",
         "fixed_text",
     )
+
+
+@contract(
+    "q_rake_keywords",
+    f"WITH toks0 AS ({TOKS})"
+    + r"""
+    , tk AS (
+      SELECT doc_id, s.pos AS pos, s.w AS w
+      FROM (SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(t)),
+                          i -> struct_pack(pos := i - 1, w := t[i]))) AS s
+            FROM toks0)
+      WHERE s.w <> ''
+    ), ns AS (
+      SELECT doc_id, pos, w,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM tk WHERE w NOT IN ('the', 'a')
+    ), ph AS (
+      SELECT doc_id, grp,
+             string_agg(w, ' ' ORDER BY pos) AS phrase,
+             COUNT(*) AS plen
+      FROM ns GROUP BY doc_id, grp
+    ), ws AS (
+      SELECT n.doc_id, n.w,
+             (SUM(p.plen - 1) + COUNT(*)) / CAST(COUNT(*) AS DOUBLE) AS wscore
+      FROM ns n JOIN ph p USING (doc_id, grp)
+      GROUP BY n.doc_id, n.w
+    ), psc AS (
+      SELECT n.doc_id, n.grp, ROUND(SUM(ws.wscore), 6) AS score
+      FROM ns n JOIN ws ON ws.doc_id = n.doc_id AND ws.w = n.w
+      GROUP BY n.doc_id, n.grp
+    ), agg AS (
+      SELECT p.doc_id, p.phrase, MAX(s.score) AS score,
+             COUNT(*) AS n_occurrences
+      FROM ph p JOIN psc s USING (doc_id, grp)
+      GROUP BY p.doc_id, p.phrase
+    )
+    SELECT doc_id, CAST(rank AS INT) AS rank, phrase, score,
+           CAST(n_occurrences AS BIGINT) AS n_occurrences
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, phrase) AS rank
+      FROM agg
+    ) WHERE rank <= 5
+    """,
+)
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keywords (terms.rake_keywords — Rose et al. 2010) with the
+    corpus's own stopwords as delimiters; the oracle replays phrase
+    islands, word degree/frequency scores and the per-doc top-5."""
+    return terms.rake_keywords(
+        load(spark, sf_dir, "documents"), stoplist=["the", "a"], k=5
+    ).select(
+        "doc_id",
+        F.col("rank").cast("int").alias("rank"),
+        "phrase", "score",
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+    )

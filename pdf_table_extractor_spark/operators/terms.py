@@ -933,3 +933,78 @@ def heaps_fit(
         F.round(r2, round_to).alias("r2"),
         F.count("*").alias("n_points"),
     )
+
+
+def rake_keywords(
+    df: DataFrame,
+    *,
+    stoplist: list[str],
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose, Engel, Cramer & Cowley, "Automatic
+    Keyword Extraction from Individual Documents", 2010): candidate
+    phrases are maximal runs of non-stopword tokens; each word scores
+    deg(w)/freq(w) within the document (deg counts the words
+    co-occurring in w's phrases, self included); a phrase scores the
+    sum of its words' scores; top-``k`` distinct phrases per document
+    win (ties broken by phrase text). The zero-training keyword
+    extractor for indexing/faceting a fresh corpus.
+
+    Spark shape: phrase segmentation is gaps-and-islands — position
+    minus the non-stop token's per-doc rank is constant within a run —
+    so NO regex alternation over the stoplist (RE2-portable for the
+    oracle) and no per-row Python; everything downstream is doc-keyed
+    aggregates and joins, and both windows (rank, top-k) partition by
+    document, never corpus-wide."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "w"),
+    ).where(F.col("w") != "")
+    nonstop = toks.where(~F.col("w").isin(list(stoplist)))
+    wnd = Window.partitionBy("id").orderBy("pos")
+    runs = nonstop.withColumn(
+        "grp", F.col("pos") - F.row_number().over(wnd)
+    )
+    phrases = runs.groupBy("id", "grp").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count("*").alias("plen"),
+    )
+    words = runs.join(
+        phrases.select("id", "grp", "plen"), ["id", "grp"]
+    )
+    wscores = words.groupBy("id", "w").agg(
+        (
+            (F.sum(F.col("plen") - 1) + F.count("*")) / F.count("*")
+        ).alias("wscore")
+    )
+    pscores = (
+        words.join(wscores, ["id", "w"])
+        .groupBy("id", "grp")
+        .agg(F.round(F.sum("wscore"), round_to).alias("score"))
+        .join(phrases.select("id", "grp", "phrase"), ["id", "grp"])
+        .groupBy("id", "phrase")
+        .agg(F.max("score").alias("score"), F.count("*").alias("n_occurrences"))
+    )
+    topw = Window.partitionBy("id").orderBy(
+        F.desc("score"), F.asc("phrase")
+    )
+    return (
+        pscores.withColumn("rank", F.row_number().over(topw))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("id").alias(id_col),
+            "rank",
+            "phrase",
+            "score",
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+        )
+    )

@@ -540,3 +540,59 @@ def test_heaps_fit_matches_python_replay_and_survives_closed_vocab(spark):
     # tokens grow but types don't: slope exactly 0 (the flood signal),
     # r2 undefined (zero y-variance) -> NULL, never a throw
     assert frow["slope"] == 0.0 and frow["r2"] is None
+
+
+def test_rake_matches_python_replay(spark):
+    """Engine RAKE == the published algorithm replayed sequentially
+    (freq/degree over all phrase occurrences, deg includes self)."""
+    import random
+
+    STOP = ["the", "a", "of", "and"]
+    rng = random.Random(5)
+    vocab = ["deep", "learning", "model", "data", "graph", "spark"]
+    docs = []
+    for i in range(30):
+        toks = []
+        for _ in range(rng.randrange(3, 40)):
+            toks.append(rng.choice(STOP) if rng.random() < 0.3 else rng.choice(vocab))
+        docs.append((i, " ".join(toks)))
+
+    def ref(text, k=5):
+        toks = [t for t in text.lower().split() if t]
+        runs, cur = [], []
+        for t in toks:
+            if t in STOP:
+                if cur:
+                    runs.append(cur)
+                cur = []
+            else:
+                cur.append(t)
+        if cur:
+            runs.append(cur)
+        freq, deg = {}, {}
+        for r in runs:
+            for w in r:
+                freq[w] = freq.get(w, 0) + 1
+                deg[w] = deg.get(w, 0) + len(r) - 1
+        score = {w: (deg[w] + freq[w]) / freq[w] for w in freq}
+        agg = {}
+        for r in runs:
+            p = " ".join(r)
+            s = round(sum(score[w] for w in r), 6)
+            n, _ = agg.get(p, (0, s))
+            agg[p] = (n + 1, s)
+        ranked = sorted(agg.items(), key=lambda kv: (-kv[1][1], kv[0]))[:k]
+        return {
+            p: (rank + 1, s, n)
+            for rank, (p, (n, s)) in enumerate(ranked)
+        }
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in terms.rake_keywords(df, stoplist=STOP, k=5).collect():
+        got.setdefault(r["doc_id"], {})[r["phrase"]] = (
+            r["rank"], r["score"], r["n_occurrences"]
+        )
+    for i, t in docs:
+        want = ref(t)
+        assert got.get(i, {}) == want, (i, t, got.get(i), want)
