@@ -6381,3 +6381,68 @@ def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         "phrase", "score",
         F.col("n_occurrences").cast("long").alias("n_occurrences"),
     )
+
+
+def _textrank_sql(iters: int = 5, d: float = 0.85) -> str:
+    """Unrolled TextRank oracle (window-2 adjacency over ORIGINAL token
+    positions — stopword removal leaves gaps, exactly as the engine
+    keeps posexplode positions). MATERIALIZED CTEs throughout."""
+    head = (
+        f"WITH toks0 AS MATERIALIZED ({TOKS})"
+        + r"""
+    , tk AS MATERIALIZED (
+      SELECT doc_id, s.pos AS pos, s.w AS w
+      FROM (SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(t)),
+                          i -> struct_pack(pos := i - 1, w := t[i]))) AS s
+            FROM toks0)
+      WHERE s.w <> '' AND s.w NOT IN ('the', 'a')
+    ), pr AS MATERIALIZED (
+      SELECT l.doc_id, l.w AS u, r.w AS v
+      FROM tk l JOIN tk r ON r.doc_id = l.doc_id AND r.pos = l.pos + 1
+      WHERE l.w <> r.w
+    ), ed AS MATERIALIZED (
+      SELECT doc_id, u, v, CAST(COUNT(*) AS DOUBLE) AS wt FROM (
+        SELECT doc_id, u, v FROM pr
+        UNION ALL
+        SELECT doc_id, v AS u, u AS v FROM pr
+      ) GROUP BY doc_id, u, v
+    ), dg AS MATERIALIZED (
+      SELECT doc_id, u, SUM(wt) AS deg FROM ed GROUP BY doc_id, u
+    ), sh AS MATERIALIZED (
+      SELECT e.doc_id, e.u, e.v, e.wt / d.deg AS share
+      FROM ed e JOIN dg d ON d.doc_id = e.doc_id AND d.u = e.u
+    ), nd AS MATERIALIZED (SELECT DISTINCT doc_id, u AS w FROM ed),
+    s0 AS MATERIALIZED (SELECT doc_id, w, 1.0::DOUBLE AS s FROM nd)"""
+    )
+    its = ""
+    for i in range(iters):
+        its += f""",
+    c{i} AS MATERIALIZED (
+      SELECT sh.doc_id, sh.v AS w, SUM(s.s * sh.share) AS c
+      FROM sh JOIN s{i} s ON s.doc_id = sh.doc_id AND s.w = sh.u
+      GROUP BY sh.doc_id, sh.v
+    ),
+    s{i + 1} AS MATERIALIZED (
+      SELECT n.doc_id, n.w, {1 - d} + {d} * COALESCE(c.c, 0) AS s
+      FROM nd n LEFT JOIN c{i} c ON c.doc_id = n.doc_id AND c.w = n.w
+    )"""
+    return head + its + f"""
+    SELECT doc_id, CAST(rank AS INT) AS rank, word, score
+    FROM (
+      SELECT doc_id, w AS word, ROUND(s, 6) AS score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY ROUND(s, 6) DESC, w) AS rank
+      FROM s{iters}
+    ) WHERE rank <= 5
+    """
+
+
+@contract("q_textrank_keywords", _textrank_sql(iters=5))
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keywords (terms.textrank_keywords — Mihalcea & Tarau
+    2004): per-doc weighted PageRank over window-2 co-occurrence, all
+    documents iterating at once; the oracle unrolls the five rounds."""
+    return terms.textrank_keywords(
+        load(spark, sf_dir, "documents"), stoplist=["the", "a"], k=5
+    )

@@ -1008,3 +1008,91 @@ def rake_keywords(
             F.col("n_occurrences").cast("long").alias("n_occurrences"),
         )
     )
+
+
+def textrank_keywords(
+    df: DataFrame,
+    *,
+    stoplist: list[str],
+    k: int = 5,
+    window: int = 2,
+    iters: int = 5,
+    damping: float = 0.85,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """TextRank keywords (Mihalcea & Tarau, EMNLP 2004): per document,
+    non-stopword token TYPES are nodes, co-occurrence within a
+    ``window`` of the token sequence weights undirected edges, and the
+    weighted PageRank variant s(v) = (1−d) + d·Σ w(u,v)/wdeg(u)·s(u)
+    runs a fixed ``iters`` rounds from s=1; top-``k`` types per doc win
+    (rounded score, ties by word). The graph-based complement to RAKE's
+    degree/frequency heuristic — TextRank rewards central vocabulary,
+    RAKE rewards long collocations; disagreement between them is a
+    useful doc-type signal.
+
+    Spark shape: ALL documents iterate at once — edges are one
+    offset-explode equi-join on (doc, position+offset) (never a self
+    cartesian), weights/degrees are (doc, word)-keyed aggregates, and
+    each iteration is exactly one join + one aggregate over the whole
+    corpus' edge table, localCheckpointed so the plan stays flat. No
+    per-doc driver loop, no window over the corpus."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "w"),
+    ).where((F.col("w") != "") & ~F.col("w").isin(list(stoplist)))
+    left = toks.select(
+        "id", "pos", F.col("w").alias("u"),
+        F.explode(F.sequence(F.lit(1), F.lit(max(window - 1, 1)))).alias("__o"),
+    ).select("id", (F.col("pos") + F.col("__o")).alias("pos2"), "u")
+    pairs = left.join(
+        toks.select("id", F.col("pos").alias("pos2"), F.col("w").alias("v")),
+        ["id", "pos2"],
+    ).where(F.col("u") != F.col("v"))
+    und = pairs.select("id", "u", "v").union(
+        pairs.select("id", F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    edges = und.groupBy("id", "u", "v").agg(
+        F.count("*").cast("double").alias("wt")
+    )
+    edges = edges.localCheckpoint()
+    wdeg = edges.groupBy("id", "u").agg(F.sum("wt").alias("__deg"))
+    share = edges.join(wdeg, ["id", "u"]).select(
+        "id", "u", "v", (F.col("wt") / F.col("__deg")).alias("__share")
+    ).localCheckpoint()
+    nodes = edges.select("id", F.col("u").alias("w")).distinct()
+    scores = nodes.select("id", "w", F.lit(1.0).alias("s")).localCheckpoint()
+    for _ in range(iters):
+        contrib = (
+            share.join(
+                scores.select("id", F.col("w").alias("u"), "s"), ["id", "u"]
+            )
+            .groupBy("id", F.col("v").alias("w"))
+            .agg(F.sum(F.col("s") * F.col("__share")).alias("__c"))
+        )
+        scores = (
+            nodes.join(contrib, ["id", "w"], "left")
+            .select(
+                "id", "w",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce("__c", F.lit(0.0))
+                ).alias("s"),
+            )
+            .localCheckpoint()
+        )
+    topw = Window.partitionBy("id").orderBy(
+        F.desc("s_r"), F.asc("w")
+    )
+    ranked = scores.withColumn("s_r", F.round("s", round_to))
+    return (
+        ranked.withColumn("rank", F.row_number().over(topw))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("w").alias("word"),
+            F.col("s_r").alias("score"),
+        )
+    )

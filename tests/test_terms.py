@@ -596,3 +596,62 @@ def test_rake_matches_python_replay(spark):
     for i, t in docs:
         want = ref(t)
         assert got.get(i, {}) == want, (i, t, got.get(i), want)
+
+
+def test_textrank_matches_python_replay(spark):
+    """Engine TextRank == sequential replay (window-2 co-occurrence,
+    weighted PageRank variant, fixed 5 iterations)."""
+    import random
+
+    STOP = ["the", "a"]
+    rng = random.Random(9)
+    vocab = ["deep", "learning", "model", "data", "graph"]
+    docs = []
+    for i in range(25):
+        toks = [rng.choice(STOP) if rng.random() < 0.25 else rng.choice(vocab)
+                for _ in range(rng.randrange(2, 30))]
+        docs.append((i, " ".join(toks)))
+
+    def ref(text, k=5, iters=5, d=0.85):
+        seq = [t for t in text.lower().split() if t and t not in STOP]
+        # NOTE: engine keeps original positions, so stopword removal
+        # leaves GAPS — adjacency is over original positions, not the
+        # compacted sequence. Replay that exactly.
+        toks = [(p, t) for p, t in enumerate(text.lower().split()) if t and t not in STOP]
+        pos = dict(toks)
+        w = {}
+        for p, t in toks:
+            q = pos.get(p + 1)
+            if q is not None and q != t:
+                w[(t, q)] = w.get((t, q), 0) + 1
+                w[(q, t)] = w.get((q, t), 0) + 1
+        nodes = sorted({x for e in w for x in e})
+        if not nodes:
+            return {}
+        deg = {}
+        for (u, v), wt in w.items():
+            deg[u] = deg.get(u, 0) + wt
+        s = {v: 1.0 for v in nodes}
+        for _ in range(iters):
+            s = {
+                v: 0.15 + d * sum(
+                    s[u] * wt / deg[u]
+                    for (u, vv), wt in w.items() if vv == v
+                )
+                for v in nodes
+            }
+        ranked = sorted(((round(sc, 6), wd) for wd, sc in s.items()),
+                        key=lambda t: (-t[0], t[1]))[:k]
+        return {wd: (r + 1, sc) for r, (sc, wd) in enumerate(ranked)}
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in terms.textrank_keywords(df, stoplist=STOP, k=5).collect():
+        got.setdefault(r["doc_id"], {})[r["word"]] = (r["rank"], r["score"])
+    for i, t in docs:
+        want = ref(t)
+        g = got.get(i, {})
+        assert set(g) == set(want), (i, t, g, want)
+        for wd in want:
+            assert g[wd][0] == want[wd][0], (i, wd, g, want)
+            assert abs(g[wd][1] - want[wd][1]) < 2e-6, (i, wd, g, want)
