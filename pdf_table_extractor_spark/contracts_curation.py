@@ -6446,3 +6446,104 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.textrank_keywords(
         load(spark, sf_dir, "documents"), stoplist=["the", "a"], k=5
     )
+
+
+@contract(
+    "q_dehyphenate",
+    r"""
+    WITH docs AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+      FROM documents WHERE len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) >= 12
+    )
+    SELECT doc_id,
+           array_to_string(list_slice(t, 1, 2), ' ')
+           || array_to_string(list_slice(t, 3, 4), ' ')
+           || ' plain ' || array_to_string(list_slice(t, 5, 6), ' ')
+           || '-' || chr(10) || '  Upper end' AS fixed
+    FROM docs
+    """,
+)
+def q_dehyphenate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF line-break dehyphenation (functions/textops.dehyphenate):
+    letter-hyphen-newline-lowercase joins (indent absorbed); uppercase
+    continuations and numeric ranges stay. The oracle constructs the
+    expected repaired text independently."""
+    from pdf_table_extractor_spark.functions import textops
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+    )
+    docs = docs.where(F.size(toks) >= 12)
+    c = lambda a: F.array_join(F.slice(toks, F.lit(a), F.lit(2)), " ")  # noqa: E731
+    broken = F.concat(
+        c(1), F.lit("-\n"), c(3), F.lit(" plain "), c(5),
+        F.lit("-\n  Upper end"),
+    )
+    return docs.select(
+        "doc_id", textops.dehyphenate(broken).alias("fixed")
+    )
+
+
+@contract(
+    "q_homoglyph_fold",
+    """
+    SELECT doc_id, CAST(2 AS INT) AS n_mixed_words,
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+             || ' password \u043f\u0440\u0438\u0432\u0435\u0442 web cafe' AS folded_text
+    FROM documents WHERE trim(text) <> ''
+    """,
+)
+def q_homoglyph_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cyrillic-homoglyph folding scoped to mixed-script words
+    (functions/textops.homoglyph_stats): '\u0440\u0430ssword' and
+    'w\u0435b' fold, genuine Cyrillic stays; expected text constructed
+    independently."""
+    from pdf_table_extractor_spark.functions import textops
+
+    docs = load(spark, sf_dir, "documents").where(F.trim("text") != "")
+    frame = docs.select(
+        "doc_id",
+        F.concat(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")),
+            F.lit(" \u0440\u0430ssword \u043f\u0440\u0438\u0432\u0435\u0442 w\u0435b cafe"),
+        ).alias("text"),
+    )
+    return textops.homoglyph_stats(frame).select(
+        "doc_id",
+        F.col("n_mixed_words").cast("int").alias("n_mixed_words"),
+        "folded_text",
+    )
+
+
+@contract(
+    "q_oov_rate",
+    f"""
+    WITH toks AS (
+      SELECT lang AS slice, unnest(string_split({SQ}, ' ')) AS w FROM documents
+    )
+    SELECT slice, COUNT(*) AS n_tokens,
+           CAST(COUNT(*) FILTER (WHERE w NOT IN
+             ('the','a','scan','column','window','order','sort','part',
+              'agg','value','line','key','join','merge','group')) AS BIGINT) AS n_oov,
+           ROUND(CAST(COUNT(*) FILTER (WHERE w NOT IN
+             ('the','a','scan','column','window','order','sort','part',
+              'agg','value','line','key','join','merge','group')) AS DOUBLE)
+             / COUNT(*), 6) AS oov_rate
+    FROM toks WHERE w <> '' GROUP BY slice
+    """,
+)
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OOV share per language slice vs a 15-word reference vocabulary
+    (terms.oov_rate) — the tokenizer/corpus coverage audit."""
+    return terms.oov_rate(
+        load(spark, sf_dir, "documents"),
+        ["the","a","scan","column","window","order","sort","part",
+         "agg","value","line","key","join","merge","group"],
+    ).select(
+        "slice",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_oov").cast("long").alias("n_oov"),
+        "oov_rate",
+    )

@@ -148,3 +148,64 @@ def nfc_normalize(col: Column) -> Column:
         return s.map(lambda x: unicodedata.normalize("NFC", x) if x is not None else None)
 
     return _nfc(col)
+
+
+def dehyphenate(col: Column) -> Column:
+    """Repair PDF/print line-break hyphenation — 'exam-\\nple' ->
+    'example' (the text-layer artifact every PDF extraction inherits;
+    the reference's per-bank parsers never hit it only because bank
+    statements avoid justified prose). Conservative rule: join ONLY
+    letter + hyphen + newline(+indent) + lowercase letter, so genuine
+    hyphenated compounds at line ends ('state-of-the-art' broken after
+    'state-') rejoin while 'well-known' mid-line and numeric ranges
+    ('2023-\\n2024') stay untouched. Same \\p{L} semantics in Java
+    regex and RE2."""
+    return F.regexp_replace(
+        col, r"(\p{L})-\n[ \t]*(\p{Ll})", r"$1$2"
+    )
+
+
+#: Cyrillic look-alikes of Latin letters (the UTS #39 confusables core
+#: used for spam/evasion folding; lowercase + the common uppercase set).
+HOMOGLYPH_CYR = "\u0430\u0435\u043e\u0440\u0441\u0445\u0443\u0456\u0410\u0412\u0415\u041a\u041c\u041d\u041e\u0420\u0421\u0422\u0425"
+HOMOGLYPH_LAT = "aeopcxyiABEKMHOPCTX"
+
+
+def homoglyph_fold(col: Column) -> Column:
+    """Fold Cyrillic homoglyphs to Latin — but ONLY inside mixed-script
+    words (a Latin letter AND a Cyrillic look-alike in the same token:
+    the blocklist-evasion signature), so genuine Cyrillic text is never
+    mangled. Word-level conditional transform over the whitespace
+    tokenization; pure array expressions."""
+    toks = F.split(col, r"\s+")
+    folded = F.transform(
+        toks,
+        lambda w: F.when(
+            w.rlike("[A-Za-z]") & w.rlike("[" + HOMOGLYPH_CYR + "]"),
+            F.translate(w, HOMOGLYPH_CYR, HOMOGLYPH_LAT),
+        ).otherwise(w),
+    )
+    return F.array_join(folded, " ")
+
+
+def homoglyph_stats(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_mixed_words, folded_text): mixed-script word counts (the
+    evasion detector) + the folded text. No shuffle."""
+    text = F.col(text_col)
+    toks = F.split(text, r"\s+")
+    mixed = F.size(
+        F.filter(
+            toks,
+            lambda w: w.rlike("[A-Za-z]") & w.rlike("[" + HOMOGLYPH_CYR + "]"),
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        mixed.alias("n_mixed_words"),
+        homoglyph_fold(text).alias("folded_text"),
+    )

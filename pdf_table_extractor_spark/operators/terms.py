@@ -1096,3 +1096,31 @@ def textrank_keywords(
             F.col("s_r").alias("score"),
         )
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab: list[str],
+    *,
+    by: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """(slice, n_tokens, n_oov, oov_rate): out-of-vocabulary token share
+    per slice against a reference vocabulary — the tokenizer/corpus
+    coverage audit (an OOV spike in one language slice means the vocab
+    was trained on a different register, and every OOV token costs
+    fallback bytes). For model-sized vocabularies the membership test is
+    a literal isin (codegen set probe); ship the vocab as a broadcast
+    join instead when it stops being config-sized.
+
+    One explode + one slice aggregate, map-side combined."""
+    toks = df.select(
+        F.col(by).alias("slice"),
+        F.explode(tokens(F.col(text_col))).alias("w"),
+    ).where(F.col("w") != "")
+    is_oov = (~F.col("w").isin(list(vocab))).cast("int")
+    return toks.groupBy("slice").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(is_oov).alias("n_oov"),
+        F.round(F.sum(is_oov) / F.count("*"), 6).alias("oov_rate"),
+    )

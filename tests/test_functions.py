@@ -168,3 +168,24 @@ def test_sheet_name_rule(spark):
     df = spark.createDataFrame([(c,) for c in cases], "u string")
     got = [r.s for r in df.select(sheet_name_col(F.col("u")).alias("s")).collect()]
     assert got == expected
+
+
+def test_dehyphenate_and_homoglyphs(spark):
+    from pdf_table_extractor_spark.functions import textops
+
+    df = spark.createDataFrame(
+        [(1, "exam-\nple stays well-known 2023-\n2024 Break-\nUpper state-\n  of")],
+        "doc_id long, text string",
+    )
+    (r,) = df.select(textops.dehyphenate(F.col("text")).alias("d")).collect()
+    # joins letter--newline-lowercase (indent absorbed); keeps mid-line
+    # hyphens, numeric ranges, uppercase continuations
+    assert r["d"] == "example stays well-known 2023-\n2024 Break-\nUpper stateof"
+
+    df2 = spark.createDataFrame(
+        [(1, "\u0440\u0430ssword \u043f\u0440\u0438\u0432\u0435\u0442 ok w\u0435b")],
+        "doc_id long, text string",
+    )
+    (h,) = textops.homoglyph_stats(df2).collect()
+    assert h["n_mixed_words"] == 2
+    assert h["folded_text"] == "password \u043f\u0440\u0438\u0432\u0435\u0442 ok web"
