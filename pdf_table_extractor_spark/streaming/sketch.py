@@ -189,3 +189,109 @@ def hll_snapshot_estimate(
     from pdf_table_extractor_spark.operators.terms import hll_estimate
 
     return hll_estimate(read_version(spark, snapshot_root, version), p=p)
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy-hitter candidates over the CMS fold
+#
+# The candidate table is the key-bounded companion the raw sketch cannot
+# provide (cells keep counts, not identities): per batch, fold the CMS
+# as above, then re-probe the UNION of previous candidates and this
+# batch's distinct keys against the merged sketch, keeping keys whose
+# estimate clears ``min_frac`` of the running stream total. CMS never
+# under-counts, so the survivors are a SUPERSET of the true >=min_frac
+# hitters (one-sided error, same guarantee as the batch operator);
+# keys that fade below the moving threshold are pruned, so state stays
+# ~O(1/min_frac) candidates regardless of the key universe. Determinism
+# discipline is the file's usual: v_<n> + batch n => byte-identical
+# v_<n+1>, never _LATEST.
+# ---------------------------------------------------------------------------
+
+
+def init_heavy(spark: SparkSession, snapshot_root: str, *, depth: int, width: int) -> str:
+    """Seed v_0 for both the sketch cells and the (empty) candidates."""
+    init_sketch(spark, os.path.join(snapshot_root, "cells"), depth=depth, width=width)
+    empty = spark.createDataFrame([], "key string, est_count long")
+    cand_root = os.path.join(snapshot_root, "cand")
+    os.makedirs(cand_root, exist_ok=True)
+    empty.write.mode("overwrite").parquet(os.path.join(cand_root, "v_0"))
+    _flip_pointer(cand_root, "v_0")
+    return "v_0"
+
+
+def apply_heavy_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    snapshot_root: str,
+    *,
+    key_col: str,
+    depth: int,
+    width: int,
+    min_frac: float,
+) -> str:
+    """One heavy-hitter commit: fold the batch's cells, then re-estimate
+    previous candidates ∪ batch keys against the merged sketch and keep
+    those at >= min_frac of the running total."""
+    from pdf_table_extractor_spark.operators.terms import _cms_min_estimate
+
+    cells_root = os.path.join(snapshot_root, "cells")
+    cand_root = os.path.join(snapshot_root, "cand")
+    new_version = apply_sketch_batch(
+        spark, batch_df, batch_id, cells_root,
+        key_col=key_col, depth=depth, width=width,
+    )
+    merged = read_version(spark, cells_root, new_version)
+    prev = read_version(spark, cand_root, f"v_{batch_id}")
+    cand_keys = (
+        prev.select(F.col("key").alias(key_col))
+        .unionByName(batch_df.select(F.col(key_col)))
+        .distinct()
+    )
+    est = _cms_min_estimate(
+        cand_keys, merged, key_col=key_col, depth=depth, width=width
+    )
+    total = merged.agg(
+        (F.coalesce(F.sum("cell_count"), F.lit(0)) / depth).alias("__n")
+    )
+    kept = (
+        est.crossJoin(F.broadcast(total))
+        .where(F.col("est_count") >= F.lit(min_frac) * F.col("__n"))
+        .select(F.col(key_col).alias("key"), F.col("est_count").cast("long").alias("est_count"))
+    )
+    kept.write.mode("overwrite").parquet(os.path.join(cand_root, new_version))
+    _flip_pointer(cand_root, new_version)
+    return new_version
+
+
+def start_heavy_maintenance(
+    stream: DataFrame,
+    snapshot_root: str,
+    checkpoint_dir: str,
+    *,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    min_frac: float = 0.05,
+):
+    """Wire a stream into the per-batch heavy-hitter fold; ``init_heavy``
+    must have seeded ``snapshot_root`` first."""
+
+    def run_batch(batch_df: DataFrame, batch_id: int) -> None:
+        apply_heavy_batch(
+            batch_df.sparkSession,
+            batch_df,
+            batch_id,
+            snapshot_root,
+            key_col=key_col,
+            depth=depth,
+            width=width,
+            min_frac=min_frac,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(run_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

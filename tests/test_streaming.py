@@ -608,3 +608,52 @@ def test_streaming_hll_folds_to_direct_registers_and_double_apply_is_noop(
     (e1,) = sk.hll_snapshot_estimate(spark, root, "v_1").collect()
     (e3,) = sk.hll_snapshot_estimate(spark, root, "v_3").collect()
     assert e1["hll_estimate"] < e3["hll_estimate"]
+
+
+def test_streaming_heavy_hitters_track_and_prune(spark, tmp_path):
+    """Candidate maintenance over the CMS fold: heavy keys surface
+    (superset guarantee), light keys never enter, an early-heavy key
+    fades below the moving min_frac threshold and is PRUNED; replaying
+    a batch against its pinned base is deterministic."""
+    from pdf_table_extractor_spark.streaming import sketch as sk
+
+    root = str(tmp_path / "heavy")
+    depth, width, frac = 4, 256, 0.2
+    sk.init_heavy(spark, root, depth=depth, width=width)
+
+    # batch 0: 'early' is 50% of the stream
+    b0 = [("early",)] * 10 + [("x%d" % i,) for i in range(10)]
+    sk.apply_heavy_batch(
+        spark, spark.createDataFrame(b0, "host string"), 0, root,
+        key_col="host", depth=depth, width=width, min_frac=frac,
+    )
+    c1 = {
+        r["key"]: r["est_count"]
+        for r in spark.read.parquet(f"{root}/cand/v_1").collect()
+    }
+    assert "early" in c1 and c1["early"] >= 10
+    assert not any(k.startswith("x") for k in c1)
+
+    # batch 1: 'early' vanishes, 'late' floods -> early falls under 20%
+    b1 = [("late",)] * 60 + [("y%d" % i,) for i in range(20)]
+    sk.apply_heavy_batch(
+        spark, spark.createDataFrame(b1, "host string"), 1, root,
+        key_col="host", depth=depth, width=width, min_frac=frac,
+    )
+    c2 = {
+        r["key"]: r["est_count"]
+        for r in spark.read.parquet(f"{root}/cand/v_2").collect()
+    }
+    assert "late" in c2 and c2["late"] >= 60
+    assert "early" not in c2  # 10/100 < 20%: pruned by the moving bar
+
+    # replay batch 1 against its pinned base: byte-identical candidates
+    sk.apply_heavy_batch(
+        spark, spark.createDataFrame(b1, "host string"), 1, root,
+        key_col="host", depth=depth, width=width, min_frac=frac,
+    )
+    c2b = {
+        r["key"]: r["est_count"]
+        for r in spark.read.parquet(f"{root}/cand/v_2").collect()
+    }
+    assert c2b == c2
