@@ -5147,30 +5147,36 @@ def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @contract(
     "q_random_projection",
     """
-    SELECT vec_id,
-           list_transform(generate_series(0, 7), j ->
-             round(
-               list_reduce(
-                 list_transform(generate_series(1, 64), i ->
-                   CAST(embedding[i] AS DOUBLE) *
-                   (CASE WHEN ('0x' || substr(md5('rp:' || CAST(i - 1 AS VARCHAR)
-                                               || ':' || CAST(j AS VARCHAR)), 1, 8))::UBIGINT % 2 = 0
-                         THEN 1.0 ELSE -1.0 END)),
-                 (a, b) -> a + b
-               ) * (1.0 / sqrt(8.0)), 6)
-           ) AS proj
-    FROM embeddings
+    WITH p AS (
+      SELECT vec_id,
+             list_transform(generate_series(0, 7), j ->
+               round(
+                 list_reduce(
+                   list_transform(generate_series(1, 64), i ->
+                     CAST(embedding[i] AS DOUBLE) *
+                     (CASE WHEN ('0x' || substr(md5('rp:' || CAST(i - 1 AS VARCHAR)
+                                                 || ':' || CAST(j AS VARCHAR)), 1, 8))::UBIGINT % 2 = 0
+                           THEN 1.0 ELSE -1.0 END)),
+                   (a, b) -> a + b
+                 ) * (1.0 / sqrt(8.0)), 6)
+             ) AS proj
+      FROM embeddings
+    )
+    SELECT vec_id, CAST(j AS INT) AS c, proj[j + 1] AS coord
+    FROM p CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j)
     """,
 )
 def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JL sign random projection 64→8 (similarity.random_projection):
     the md5-derived ±1 matrix constant-folds at plan time; the oracle
-    re-derives the identical matrix and replays the sequential fold."""
+    re-derives the identical matrix and replays the sequential fold.
+    Output is posexploded to (vec_id, c, coord) scalars — the driver's
+    canonicalizer cannot hash array cells (round-4 latent bomb)."""
     from pdf_table_extractor_spark.operators import similarity
 
     return similarity.random_projection(
         load(spark, sf_dir, "embeddings"), dim=64, out_dim=8, round_to=6
-    )
+    ).select("vec_id", F.posexplode("proj").alias("c", "coord"))
 
 
 @contract(
@@ -5543,27 +5549,30 @@ def _ht_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_html_tables",
     _HT_PIECES_SQL
     + """
-    SELECT url, 0 AS table_no, 0 AS row_no, ['k', 'v'] AS cells, 2 AS n_cells FROM cells
+    SELECT url, 0 AS table_no, 0 AS row_no,
+           'k' || chr(31) || 'v' AS cells, 2 AS n_cells FROM cells
     UNION ALL
-    SELECT url, 0, 1, [c1, c2], 2 FROM cells
+    SELECT url, 0, 1, c1 || chr(31) || c2, 2 FROM cells
     UNION ALL
-    SELECT url, 0, 2, [c34, c5], 2 FROM cells
+    SELECT url, 0, 2, c34 || chr(31) || c5, 2 FROM cells
     UNION ALL
-    SELECT url, 1, 0, [c6], 1 FROM cells WHERE doc_id % 5 = 0
+    SELECT url, 1, 0, c6, 1 FROM cells WHERE doc_id % 5 = 0
     """,
 )
 def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic <table> extraction (htmltables.html_tables): document-
     ordered tables/rows, tag-stripped + entity-unescaped cells; the
     oracle constructs the expected rows from the synthesis pieces
-    without running any regex."""
+    without running any regex.  Cells are US-separated (chr 31) into
+    one scalar string per row: the driver's pandas canonicalizer sorts
+    output columns and cannot hash array cells (round-4 red row)."""
     from pdf_table_extractor_spark.operators import htmltables
 
     return htmltables.html_tables(_ht_frame(spark, sf_dir)).select(
         "url",
         F.col("table_no").cast("int").alias("table_no"),
         F.col("row_no").cast("int").alias("row_no"),
-        "cells",
+        F.array_join("cells", "\x1f").alias("cells"),
         F.col("n_cells").cast("int").alias("n_cells"),
     )
 

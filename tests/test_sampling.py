@@ -398,3 +398,25 @@ def test_bpe_denominated_shard_pack_mix(spark):
         ).collect()
     }
     assert mix == {"src0": counts[1], "src1": counts[3]}
+
+
+def test_leakage_safe_split_string_ids(spark):
+    # Round-4 ADVICE regression: the representative must stay in the id
+    # column's NATIVE type — string/UUID-keyed corpora (url-keyed web
+    # pages) must work, not just int64 doc_id. ANSI mode would throw on
+    # a long cast of these.
+    docs = spark.createDataFrame(
+        [("u-aa",), ("u-bb",), ("u-cc",), ("u-dd",)], "url string"
+    )
+    pairs = spark.createDataFrame([("u-bb", "u-cc")], "a string, b string")
+    out = sampling.leakage_safe_split(
+        docs, pairs, {"train": 0.7, "eval": 0.3}, id_col="url", salt="s"
+    )
+    assert dict(out.dtypes)["cluster_rep"] == "string"
+    rows = {r["url"]: r for r in out.collect()}
+    assert rows["u-bb"]["cluster_rep"] == rows["u-cc"]["cluster_rep"] == "u-bb"
+    assert rows["u-bb"]["split"] == rows["u-cc"]["split"]
+    for u in ("u-aa", "u-dd"):
+        assert rows[u]["cluster_rep"] == u
+        expected = "train" if _expected_u(u, "s") < 0.7 else "eval"
+        assert rows[u]["split"] == expected

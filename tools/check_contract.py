@@ -47,6 +47,19 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def scalar_violations(df) -> list[str]:
+    """Names of output columns with array/map/struct types — the driver's
+    correctness harness cannot canonicalize these (pandas sort raises
+    ``TypeError: unhashable type``), so contracts must emit scalars only."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+
+
 def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     errs: list[str] = []
     if len(sdf) != len(odf):
@@ -96,7 +109,16 @@ def main() -> int:
             continue
         t0 = time.perf_counter()
         try:
-            sdf = fn(spark, SF_DIR).toPandas()
+            res = fn(spark, SF_DIR)
+            bad_cols = scalar_violations(res)
+            if bad_cols:
+                # Driver-faithful: its pandas canonicalizer sorts result
+                # columns and dies on unhashable array/map/struct cells
+                # (round-4 q_html_tables red row). Fail here, loudly.
+                print(f"FAIL {name}: non-scalar output columns {bad_cols}")
+                n_fail += 1
+                continue
+            sdf = res.toPandas()
         except Exception:
             print(f"FAIL {name}: spark raised\n{traceback.format_exc()}")
             n_fail += 1
