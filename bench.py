@@ -101,10 +101,55 @@ def run_count(df) -> int:
     return df.count()
 
 
+def _copy_probe_once(mb: int, reps: int, q) -> None:
+    import numpy as np
+
+    a = np.arange(mb * 1024 * 1024 // 8, dtype=np.int64)
+    b = np.empty_like(a)
+    for warm in (True, False):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            np.copyto(b, a)
+            np.copyto(a, b)
+        dt = time.perf_counter() - t0
+    q.put(dt)
+
+
+def host_copy_probe(active: int = 4, mb: int = 50, reps: int = 120) -> float:
+    """Memory-bus contention probe, run in-band so the bench JSON
+    self-documents its regime (round-4 verdict ask: a throughput dip on
+    this shared host is hardware attribution only if the probe says so).
+    Returns the slowdown of a 50 MB copy loop at `active` concurrent
+    processes vs 1 — ~1.0 = quiet host, ≫1 = bus-bound window (r3/r4
+    sessions measured 1.1-1.8× during contended benches). Same probe as
+    tools/probe_host.py, fewer reps to keep bench cheap."""
+    import multiprocessing as mp
+
+    def run(k: int) -> float:
+        ctx = mp.get_context("spawn")
+        q = ctx.Queue()
+        procs = [
+            ctx.Process(target=_copy_probe_once, args=(mb, reps, q))
+            for _ in range(k)
+        ]
+        for p in procs:
+            p.start()
+        vals = sorted(q.get() for _ in procs)
+        for p in procs:
+            p.join()
+        return vals[len(vals) // 2]
+
+    base = run(1)
+    return round(run(active) / base, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
+    # Probe BEFORE Spark starts: measures contention from OTHER tenants of
+    # this shared host, not our own executor threads.
+    probe_pre = host_copy_probe()
     spark = build_spark(
         app_name="bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8)
     )
@@ -198,6 +243,8 @@ def main() -> None:
         "extract_docs_out": n_out,
         "extract_docs_per_sec": round(docs_per_sec, 1),
         "extract_reps_sec": extract_reps,
+        "probe_copy_slowdown_4": probe_pre,
+        "probe_copy_slowdown_4_post": host_copy_probe(),
         "cpus": cpus,
     }
     for key, fname in scaling_keys.items():

@@ -62,17 +62,26 @@ _PRIORITY: list[str] = [
     "q_array_ops", "q_split_explode", "q_auto_columns",
     "q_line_dedup", "q_url_canonicalize",
     # --- top curation / LLM-pipeline contracts (fills the 50 window) ---
-    "q_dedup_substring", "q_fuzzy_dedup_keep", "q_pagerank",
-    "q_assign_shards", "q_boilerplate_main",
-    "q_dedup_exact", "q_dedup_minhash", "q_unigram_ppl",
-    "q_domain_cap",
-    "q_asof_join", "q_hypertable_rollup", "q_merge_upsert",
-    # round-4 extraction/web flagships take the last four slots (same
-    # policy as round 3: newest code gets the driver's hard gate); the
-    # displaced q_temperature_resample / q_tfidf_topk / q_semdedup /
-    # q_contamination are unchanged since they went green and stay
+    # Round-5 rotation (standing policy: newest / newest-CHANGED code gets
+    # the driver's hard gate). In: the two round-4 red/latent array-output
+    # contracts now flattened (q_html_tables, q_random_projection), the
+    # ADVICE-fix targets whose semantics changed this round (q_justext_main,
+    # q_c4_clean, q_dehyphenate, q_homoglyph_fold, q_textrank_keywords),
+    # and the round-4-session-3 operators that have never been driver-gated
+    # (extract_html_main, table_markdown, readability, robots/sitemaps
+    # parsers, heaps/hits/lpa). q_fuzzy_dedup_keep stays as the heaviest
+    # compound topology. Displaced veterans (q_dedup_substring, q_pagerank,
+    # q_assign_shards, q_boilerplate_main, q_dedup_exact, q_dedup_minhash,
+    # q_unigram_ppl, q_domain_cap, q_asof_join, q_hypertable_rollup,
+    # q_merge_upsert, q_crawl_frontier) were driver-green in r3/r4 and stay
     # covered by tools/check_contract.py.
-    "q_justext_main", "q_c4_clean", "q_html_tables", "q_crawl_frontier",
+    "q_html_tables", "q_random_projection",
+    "q_justext_main", "q_c4_clean",
+    "q_dehyphenate", "q_homoglyph_fold", "q_textrank_keywords",
+    "q_extract_html_main", "q_table_markdown", "q_readability",
+    "q_parse_robots", "q_parse_sitemaps",
+    "q_heaps_fit", "q_hits_scores", "q_lpa_communities",
+    "q_fuzzy_dedup_keep",
 ]
 
 

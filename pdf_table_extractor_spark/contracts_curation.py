@@ -4750,14 +4750,21 @@ WITH docs AS (
                  THEN chr(10) || 'please enable javascript to view this content.' ELSE '' END
          || CASE WHEN doc_id % 13 = 0
                  THEN chr(10) || 'this site uses cookies for the best experience.' ELSE '' END
+         || CASE WHEN doc_id % 17 = 0
+                 THEN chr(10) || 'see https://' || repeat('x', 1200)
+                      || ' for the full spec of the thing today.' ELSE '' END
          AS page
   FROM docs
 ), cleaned AS (
   SELECT doc_id, page,
          len(string_split(page, chr(10))) AS n_lines,
          list_filter(
-           list_transform(string_split(page, chr(10)), l ->
-             regexp_replace(trim(l), '\[\d*\]|\[edit\]|\[citation needed\]', '', 'g')),
+           list_transform(
+             list_filter(
+               list_transform(string_split(page, chr(10)), l -> trim(l)),
+               l -> len(list_filter(string_split_regex(l, '\s+'),
+                                    w -> length(w) > 1000)) = 0),
+             l -> regexp_replace(l, '\[\d*\]|\[edit\]|\[citation needed\]', '', 'g')),
            l -> regexp_matches(l, '[.?!"]$')
                 AND NOT regexp_matches(l, '\.\.\.$')
                 AND len(string_split_regex(l, '\s+')) >= 5) AS s1
@@ -4778,13 +4785,12 @@ WITH docs AS (
   FROM flags
 ), scored AS (
   SELECT doc_id, n_lines, lorem, curly, s3,
-         len(list_filter(string_split_regex(page, '\s+'), w -> length(w) > 1000)) > 0 AS long_word,
          COALESCE(list_sum(list_transform(s3, l ->
            len(regexp_extract_all(l, '[.?!]')))), 0) AS n_sentences
   FROM flags2
 ), fin AS (
   SELECT doc_id,
-         (NOT lorem AND NOT curly AND NOT long_word AND n_sentences >= 3) AS page_keep,
+         (NOT lorem AND NOT curly AND n_sentences >= 3) AS page_keep,
          n_lines, s3, n_sentences
   FROM scored
 )
@@ -4805,9 +4811,9 @@ WITH docs AS (
     """,
 )
 def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4 cleaning end-to-end: line rule chain in published order plus
-    the lorem/curly/long-word/sentence-count page gates; dropped pages
-    keep an accounting row."""
+    """C4 cleaning end-to-end: line rule chain in published order (incl.
+    the per-LINE too-long-word drop) plus the lorem/curly/sentence-count
+    page gates; dropped pages keep an accounting row."""
     docs = load(spark, sf_dir, "documents").where(F.trim("text") != "")
     doc_id = F.col("doc_id")
     toks = F.split(
@@ -4841,6 +4847,16 @@ def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             doc_id % 13 == 0,
             F.lit("\nthis site uses cookies for the best experience."),
+        ).otherwise(F.lit("")),
+        # exercises the TFDS per-LINE too-long-word drop: the page keeps
+        # its other lines (the old page-drop reading would kill it)
+        F.when(
+            doc_id % 17 == 0,
+            F.concat(
+                F.lit("\nsee https://"),
+                F.repeat(F.lit("x"), 1200),
+                F.lit(" for the full spec of the thing today."),
+            ),
         ).otherwise(F.lit("")),
     )
     frame = docs.select("doc_id", page.alias("text"))
@@ -5964,7 +5980,7 @@ _JTH_PARAMS = dict(
                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS ngo
       FROM jh
     ), j1 AS (
-      SELECT url, block_idx, bt,
+      SELECT url, block_idx, bt, is_heading, cf, length,
              CASE WHEN is_heading AND cf = 'short' AND ngo IS NOT NULL
                        AND ngo - cum <= 200
                   THEN 'neargood' ELSE cf END AS c1
@@ -5985,7 +6001,7 @@ _JTH_PARAMS = dict(
                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 'bad') AS next_gbn
       FROM j1
     ), j2 AS (
-      SELECT url, block_idx, bt,
+      SELECT url, block_idx, bt, is_heading, cf, length,
              CASE WHEN c1 = 'short' THEN
                CASE
                  WHEN prev_gb = 'good' AND next_gb = 'good' THEN 'good'
@@ -6006,25 +6022,43 @@ _JTH_PARAMS = dict(
                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 'bad') AS next2
       FROM j2
     ), jl AS (
-      SELECT url, block_idx, bt,
+      SELECT url, block_idx, bt, is_heading, cf, length,
              CASE WHEN c2 = 'neargood' THEN
                CASE WHEN prev2 = 'bad' AND next2 = 'bad' THEN 'bad' ELSE 'good' END
-             ELSE c2 END AS cls
+             ELSE c2 END AS c3
       FROM jn2
+    ), jf4 AS (
+      SELECT *,
+        SUM(length) OVER (PARTITION BY url ORDER BY block_idx
+                          ROWS UNBOUNDED PRECEDING) AS cum4
+      FROM jl
+    ), jh4 AS (
+      SELECT *,
+        FIRST_VALUE(CASE WHEN c3 = 'good' THEN cum4 - length END IGNORE NULLS)
+          OVER (PARTITION BY url ORDER BY block_idx
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS ngo4
+      FROM jf4
+    ), jfin AS (
+      SELECT url, block_idx, bt,
+             CASE WHEN is_heading AND c3 = 'bad' AND cf <> 'bad'
+                       AND ngo4 IS NOT NULL AND ngo4 - cum4 <= 200
+                  THEN 'good' ELSE c3 END AS cls
+      FROM jh4
     )
     SELECT url,
            COALESCE(string_agg(bt, chr(10) || chr(10) ORDER BY block_idx)
                     FILTER (WHERE cls = 'good'), '') AS main_text,
            COUNT(*) FILTER (WHERE cls = 'good') AS n_good_blocks
-    FROM jl GROUP BY url
+    FROM jfin GROUP BY url
     """,
 )
 def q_extract_html_main(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship web composition: RAW HTML -> DOM blocks (real
-    heading flags) -> full jusText chain INCLUDING heading promotion ->
-    main-content reassembly (justext.extract_main_html). The oracle
+    heading flags) -> full jusText chain INCLUDING both heading passes
+    -> main-content reassembly (justext.extract_main_html). The oracle
     replays everything: constructed block array, features, context-free
-    chain, the heading-distance pass and both neighbour revisions."""
+    chain, the heading-distance pass, both neighbour revisions, and the
+    final "more good headings" re-promotion."""
     from pdf_table_extractor_spark.operators import justext
 
     return justext.extract_main_html(
@@ -6469,15 +6503,16 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
            array_to_string(list_slice(t, 1, 2), ' ')
            || array_to_string(list_slice(t, 3, 4), ' ')
            || ' plain ' || array_to_string(list_slice(t, 5, 6), ' ')
-           || '-' || chr(10) || '  Upper end' AS fixed
+           || '-' || chr(10) || '  Upper state-of-the-art end' AS fixed
     FROM docs
     """,
 )
 def q_dehyphenate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF line-break dehyphenation (functions/textops.dehyphenate):
     letter-hyphen-newline-lowercase joins (indent absorbed); uppercase
-    continuations and numeric ranges stay. The oracle constructs the
-    expected repaired text independently."""
+    continuations and numeric ranges stay; a compound's own break
+    hyphen is kept. The oracle constructs the expected repaired text
+    independently."""
     from pdf_table_extractor_spark.functions import textops
 
     docs = load(spark, sf_dir, "documents")
@@ -6488,7 +6523,7 @@ def q_dehyphenate(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = lambda a: F.array_join(F.slice(toks, F.lit(a), F.lit(2)), " ")  # noqa: E731
     broken = F.concat(
         c(1), F.lit("-\n"), c(3), F.lit(" plain "), c(5),
-        F.lit("-\n  Upper end"),
+        F.lit("-\n  Upper state-of-the-\nart end"),
     )
     return docs.select(
         "doc_id", textops.dehyphenate(broken).alias("fixed")
@@ -6500,15 +6535,17 @@ def q_dehyphenate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id, CAST(2 AS INT) AS n_mixed_words,
            trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
-             || ' password \u043f\u0440\u0438\u0432\u0435\u0442 web cafe' AS folded_text
+             || ' password \u043f\u0440\u0438\u0432\u0435\u0442' || chr(10) || chr(9)
+             || 'web  cafe' AS folded_text
     FROM documents WHERE trim(text) <> ''
     """,
 )
 def q_homoglyph_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cyrillic-homoglyph folding scoped to mixed-script words
     (functions/textops.homoglyph_stats): '\u0440\u0430ssword' and
-    'w\u0435b' fold, genuine Cyrillic stays; expected text constructed
-    independently."""
+    'w\u0435b' fold, genuine Cyrillic stays, and the newline/tab/double
+    space structure round-trips byte-identically (in-place fold);
+    expected text constructed independently."""
     from pdf_table_extractor_spark.functions import textops
 
     docs = load(spark, sf_dir, "documents").where(F.trim("text") != "")
@@ -6516,7 +6553,7 @@ def q_homoglyph_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.concat(
             F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")),
-            F.lit(" \u0440\u0430ssword \u043f\u0440\u0438\u0432\u0435\u0442 w\u0435b cafe"),
+            F.lit(" \u0440\u0430ssword \u043f\u0440\u0438\u0432\u0435\u0442\n\tw\u0435b  cafe"),
         ).alias("text"),
     )
     return textops.homoglyph_stats(frame).select(

@@ -155,13 +155,24 @@ def dehyphenate(col: Column) -> Column:
     'example' (the text-layer artifact every PDF extraction inherits;
     the reference's per-bank parsers never hit it only because bank
     statements avoid justified prose). Conservative rule: join ONLY
-    letter + hyphen + newline(+indent) + lowercase letter, so genuine
-    hyphenated compounds at line ends ('state-of-the-art' broken after
-    'state-') rejoin while 'well-known' mid-line and numeric ranges
-    ('2023-\\n2024') stay untouched. Same \\p{L} semantics in Java
-    regex and RE2."""
+    letter + hyphen + newline(+indent) + lowercase letter, so
+    'well-known' mid-line, uppercase continuations, and numeric ranges
+    ('2023-\\n2024') stay untouched. Compound heuristic (round-4 ADVICE
+    fix): when EITHER fragment shows the token is itself hyphenated
+    ('state-of-the-\\nart', or 'state-\\nof-the-art'), the break hyphen
+    is KEPT — dictionary-free, so a compound broken at a plain segment
+    boundary ('state-\\nof' alone) still joins hyphen-less. Same \\p{L}
+    semantics in Java regex and RE2."""
+    # keep-hyphen passes consume the newline first, so the plain join
+    # below can no longer touch their matches
+    kept = F.regexp_replace(
+        col, r"((?:\p{L}+-)+\p{L}+)-\n[ \t]*(\p{Ll})", r"$1-$2"
+    )
+    kept = F.regexp_replace(
+        kept, r"(\p{L})-\n[ \t]*(\p{Ll}\p{L}*-\p{L})", r"$1-$2"
+    )
     return F.regexp_replace(
-        col, r"(\p{L})-\n[ \t]*(\p{Ll})", r"$1$2"
+        kept, r"(\p{L})-\n[ \t]*(\p{Ll})", r"$1$2"
     )
 
 
@@ -175,17 +186,21 @@ def homoglyph_fold(col: Column) -> Column:
     """Fold Cyrillic homoglyphs to Latin — but ONLY inside mixed-script
     words (a Latin letter AND a Cyrillic look-alike in the same token:
     the blocklist-evasion signature), so genuine Cyrillic text is never
-    mangled. Word-level conditional transform over the whitespace
-    tokenization; pure array expressions."""
-    toks = F.split(col, r"\s+")
+    mangled. In-place (round-4 ADVICE fix): the split keeps whitespace
+    runs as their own array elements (zero-width lookaround
+    boundaries), so newlines, tabs and space runs survive and text with
+    no homoglyphs round-trips byte-identically — the old \\s+
+    split/space-join silently normalized whitespace. Pure array
+    expressions."""
+    pieces = F.split(col, r"(?<=\s)(?=\S)|(?<=\S)(?=\s)")
     folded = F.transform(
-        toks,
+        pieces,
         lambda w: F.when(
             w.rlike("[A-Za-z]") & w.rlike("[" + HOMOGLYPH_CYR + "]"),
             F.translate(w, HOMOGLYPH_CYR, HOMOGLYPH_LAT),
         ).otherwise(w),
     )
-    return F.array_join(folded, " ")
+    return F.array_join(folded, "")
 
 
 def homoglyph_stats(

@@ -177,7 +177,7 @@ def revise_classification(
     max_heading_distance: int = MAX_HEADING_DISTANCE,
 ) -> DataFrame:
     """Context-sensitive revision (revise_paragraph_classification),
-    three snapshot passes:
+    four snapshot passes — the full published chain:
 
     1. short headings within ``max_heading_distance`` chars before a
        good paragraph -> neargood (no-op when no ``is_heading`` flags);
@@ -186,7 +186,14 @@ def revise_classification(
        mixed -> good only when the bad side's nearest
        good/bad-or-neargood neighbour is a neargood;
     3. every neargood -> bad iff both nearest good/bad neighbours are
-       bad, else good.
+       bad, else good;
+    4. "more good headings" (round-4 ADVICE fix — previously omitted):
+       heading paragraphs that ended bad but were NOT context-free bad
+       flip to good when within ``max_heading_distance`` chars of a
+       following good, judged against the post-pass-3 snapshot. The
+       published in-place loop only ever updates indices BEHIND its
+       forward scan (increasing i, scan at j > i), so the window
+       formulation over the snapshot is exactly equivalent.
 
     Adds ``cls`` (final label). Each pass materialises via a chained
     projection so window outputs are never re-inlined (CLAUDE.md
@@ -257,10 +264,36 @@ def revise_classification(
     ng_new = F.when(
         (F.col("__prev2") == "bad") & (F.col("__next2") == "bad"), F.lit("bad")
     ).otherwise(F.lit("good"))
-    final = F.when(c2 == "neargood", ng_new).otherwise(c2)
+    s3 = s3.withColumn(
+        "__c3", F.when(c2 == "neargood", ng_new).otherwise(c2)
+    ).drop("__prev2", "__next2")
+
+    # Pass 4 — "more good headings" against the post-pass-3 snapshot
+    # (same cum-length distance machinery as pass 1).
+    c3 = F.col("__c3")
+    s4 = s3.withColumn(
+        "__cum4",
+        F.sum("length").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).withColumn(
+        "__next_good4",
+        F.first(
+            F.when(c3 == "good", F.col("__cum4") - F.col("length")),
+            ignorenulls=True,
+        ).over(w.rowsBetween(1, Window.unboundedFollowing)),
+    )
+    final = F.when(
+        F.col("is_heading")
+        & (c3 == "bad")
+        & (F.col("cf_class") != "bad")
+        & F.col("__next_good4").isNotNull()
+        & (F.col("__next_good4") - F.col("__cum4") <= max_heading_distance),
+        F.lit("good"),
+    ).otherwise(c3)
     return (
-        s3.withColumn("cls", final)
-        .drop("__c1", "__c2", "__prev2", "__next2")
+        s4.withColumn("cls", final)
+        .drop("__c1", "__c2", "__c3", "__cum4", "__next_good4")
     )
 
 

@@ -1038,13 +1038,18 @@ def textrank_keywords(
     each iteration is exactly one join + one aggregate over the whole
     corpus' edge table, localCheckpointed so the plan stays flat. No
     per-doc driver loop, no window over the corpus."""
+    if window < 2:
+        # TextRank co-occurrence windows are >= 2 by definition (window
+        # 1 would mean "a token co-occurs with itself"); clamping was a
+        # silent window=2 (round-4 ADVICE fix).
+        raise ValueError(f"textrank window must be >= 2, got {window}")
     toks = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(tokens(F.col(text_col))).alias("pos", "w"),
     ).where((F.col("w") != "") & ~F.col("w").isin(list(stoplist)))
     left = toks.select(
         "id", "pos", F.col("w").alias("u"),
-        F.explode(F.sequence(F.lit(1), F.lit(max(window - 1, 1)))).alias("__o"),
+        F.explode(F.sequence(F.lit(1), F.lit(window - 1))).alias("__o"),
     ).select("id", (F.col("pos") + F.col("__o")).alias("pos2"), "u")
     pairs = left.join(
         toks.select("id", F.col("pos").alias("pos2"), F.col("w").alias("v")),

@@ -668,13 +668,17 @@ def c4_clean(
     policy_substrings: tuple[str, ...] = C4_POLICY_SUBSTRINGS,
 ) -> DataFrame:
     """C4's line- and page-level cleaning, per-line rule chain in the
-    published order: strip + citation-marker removal; drop lines not
-    ending in a terminal mark (. ? ! \") or ending in an ellipsis; drop
-    lines under ``min_words_per_line`` words; a surviving line
-    containing "lorem ipsum" drops the PAGE; "javascript" lines are
-    skipped; a surviving line containing "{" drops the PAGE; policy
-    lines (cookie/terms boilerplate) are skipped. Pages also drop when
-    any raw word exceeds ``max_word_length`` chars or fewer than
+    published order: strip; drop lines containing any word over
+    ``max_word_length`` chars (checked BEFORE citation removal, and a
+    LINE drop, not a page drop — TFDS ``clean_page``'s
+    ``line_has_too_long_word`` is a ``continue``, so a page with one
+    long URL/base64 token keeps its other lines; round-4 ADVICE fix);
+    citation-marker removal; drop lines not ending in a terminal mark
+    (. ? ! \") or ending in an ellipsis; drop lines under
+    ``min_words_per_line`` words; a surviving line containing "lorem
+    ipsum" drops the PAGE; "javascript" lines are skipped; a surviving
+    line containing "{" drops the PAGE; policy lines (cookie/terms
+    boilerplate) are skipped. Pages also drop when fewer than
     ``min_num_sentences`` sentences survive. Sentences are counted as
     terminal-mark occurrences in retained lines (a deterministic
     stand-in for the original's English sentence tokenizer — no nltk at
@@ -689,17 +693,19 @@ def c4_clean(
     chained selects (CLAUDE.md multi-reference gotcha)."""
     text = F.col(text_col)
     raw_lines = F.split(text, r"\n")
+    # TFDS order: trim → per-LINE too-long-word drop (pre-citation-removal)
+    # → citation-marker removal on the survivors.
     stripped = F.transform(
-        raw_lines,
-        lambda l: F.regexp_replace(F.trim(l), _C4_CITATION_RE, ""),
+        F.filter(
+            F.transform(raw_lines, F.trim),
+            lambda l: ~l.rlike(r"\S{%d}" % (max_word_length + 1)),
+        ),
+        lambda l: F.regexp_replace(l, _C4_CITATION_RE, ""),
     )
     s0 = df.select(
         F.col(id_col),
         F.size(raw_lines).alias("n_lines"),
         stripped.alias("__l1"),
-        # raw-text word-length page rule (checked on the page, as
-        # published: any whitespace-delimited token over the cap)
-        text.rlike(r"\S{%d}" % (max_word_length + 1)).alias("__long_word"),
     )
     # survive end-mark + ellipsis + min-words
     s1 = F.filter(
@@ -737,7 +743,6 @@ def c4_clean(
     keep = (
         ~F.col("__lorem")
         & ~F.col("__curly")
-        & ~F.col("__long_word")
         & (F.col("n_sentences") >= min_num_sentences)
     )
     return s0.select(

@@ -13,12 +13,16 @@ from pdf_table_extractor_spark.operators import textquality
 
 def _ref_clean(text, *, min_words=5, min_sent=3, max_word_length=1000):
     """Sequential transcription of the published clean_page chain
-    (strip + citation sub; end-mark/ellipsis; min words; lorem -> page;
-    javascript -> line; { -> page; policy -> line; sentence and long-
-    word page gates). Returns (clean_text_or_None, n_kept, n_sent)."""
+    (strip; too-long-word -> LINE drop, pre-citation-sub, per TFDS
+    line_has_too_long_word; citation sub; end-mark/ellipsis; min words;
+    lorem -> page; javascript -> line; { -> page; policy -> line;
+    sentence page gate). Returns (clean_text_or_None, n_kept, n_sent)."""
     kept, n_sent = [], 0
     for line in text.split("\n"):
-        line = re.sub(r"\[\d*\]|\[edit\]|\[citation needed\]", "", line.strip())
+        line = line.strip()
+        if any(len(w) > max_word_length for w in line.split()):
+            continue
+        line = re.sub(r"\[\d*\]|\[edit\]|\[citation needed\]", "", line)
         if not re.search(r'[.?!"]$', line) or line.endswith("..."):
             continue
         if len(line.split()) < min_words:
@@ -35,8 +39,6 @@ def _ref_clean(text, *, min_words=5, min_sent=3, max_word_length=1000):
         n_sent += len(re.findall(r"[.?!]", line))
         kept.append(line)
     if n_sent < min_sent:
-        return None, 0, 0
-    if any(len(w) > max_word_length for w in text.split()):
         return None, 0, 0
     return "\n".join(kept), len(kept), n_sent
 

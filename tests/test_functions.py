@@ -179,8 +179,18 @@ def test_dehyphenate_and_homoglyphs(spark):
     )
     (r,) = df.select(textops.dehyphenate(F.col("text")).alias("d")).collect()
     # joins letter--newline-lowercase (indent absorbed); keeps mid-line
-    # hyphens, numeric ranges, uppercase continuations
+    # hyphens, numeric ranges, uppercase continuations; a lone broken
+    # pair with no compound evidence still joins hyphen-less
     assert r["d"] == "example stays well-known 2023-\n2024 Break-\nUpper stateof"
+
+    # compound heuristic: the break hyphen survives when either fragment
+    # carries the token's own hyphens
+    dfc = spark.createDataFrame(
+        [(1, "state-of-the-\nart and state-\nof-the-art end")],
+        "doc_id long, text string",
+    )
+    (rc,) = dfc.select(textops.dehyphenate(F.col("text")).alias("d")).collect()
+    assert rc["d"] == "state-of-the-art and state-of-the-art end"
 
     df2 = spark.createDataFrame(
         [(1, "\u0440\u0430ssword \u043f\u0440\u0438\u0432\u0435\u0442 ok w\u0435b")],
@@ -189,3 +199,14 @@ def test_dehyphenate_and_homoglyphs(spark):
     (h,) = textops.homoglyph_stats(df2).collect()
     assert h["n_mixed_words"] == 2
     assert h["folded_text"] == "password \u043f\u0440\u0438\u0432\u0435\u0442 ok web"
+
+    # in-place fold: whitespace structure (newlines, tabs, runs) of
+    # untouched AND touched text round-trips byte-identically
+    messy = "clean  text\twith\n\nstructure"
+    df3 = spark.createDataFrame(
+        [(1, messy), (2, "w\u0435b  \n\tr\u0430w")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["folded_text"] for r in textops.homoglyph_stats(df3).collect()}
+    assert got[1] == messy
+    assert got[2] == "web  \n\traw"

@@ -1,6 +1,6 @@
 """jusText classifier: parity with an independent pure-python
 transcription of the published algorithm (context-free chain + all
-three revision passes, including the sequential cursor semantics the
+FOUR revision passes, including the sequential cursor semantics the
 window version must reproduce), plus plan shape (one exchange)."""
 
 from __future__ import annotations
@@ -98,6 +98,17 @@ def _ref_revise(texts, headings, cf, *, max_heading_distance=200):
         prev = _neighbour(i, classes, True, -1, -1)
         nxt = _neighbour(i, classes, True, 1, n)
         classes[i] = "bad" if (prev, nxt) == ("bad", "bad") else "good"
+    # more good headings: in-place forward scan, as published (4th pass)
+    for i in range(n):
+        if not (headings[i] and classes[i] == "bad" and cf[i] != "bad"):
+            continue
+        j, dist = i + 1, 0
+        while j < n and dist <= max_heading_distance:
+            if classes[j] == "good":
+                classes[i] = "good"
+                break
+            dist += len(texts[j])
+            j += 1
     return classes
 
 
@@ -176,6 +187,33 @@ def test_heading_promotion_distance_boundary(spark):
         assert ref[0] == want, (lens, ref)
         for i in range(len(blocks)):
             assert got["u"][i][1] == ref[i], (lens, i, ref, got)
+
+
+def test_more_good_headings_repromotion(spark):
+    # Pass 4 ("more good headings"): a heading that ends BAD after the
+    # first three passes flips to good when a paragraph that BECAME good
+    # during revision sits within max_heading_distance. Setup: heading
+    # short -> bad filler -> neargood -> good. Pass 1 can't promote (the
+    # nearest cf-good is 244 chars away); pass 2 resolves the heading
+    # bad (both decisive neighbours bad); pass 3 promotes the neargood
+    # to good; pass 4 then sees that NEW good at filler-length distance.
+    head = "intro head"
+    neargood = ("the a of and to " * 9).strip()  # 143 ch, stop-dense
+    good = ("the a of and to " * 20).strip()
+    assert _ref_cf(head, True) == "short"
+    assert _ref_cf(neargood, False) == "neargood"
+    assert _ref_cf(good, False) == "good"
+    for fill_len, want in [(100, "good"), (201, "bad")]:
+        filler = ("y " * 110)[:fill_len]
+        assert _ref_cf(filler, False) == "bad"
+        blocks = [(head, True), (filler, False), (neargood, False), (good, False)]
+        texts = [t for t, _ in blocks]
+        heads = [h for _, h in blocks]
+        ref = _ref_revise(texts, heads, [_ref_cf(t, h) for t, h in blocks])
+        assert ref == [want, "bad", "good", "good"], (fill_len, ref)
+        got = _spark_classes(spark, {"u": blocks})
+        for i in range(len(blocks)):
+            assert got["u"][i][1] == ref[i], (fill_len, i, ref, got)
 
 
 def test_all_boilerplate_page_still_emits_row(spark):

@@ -655,3 +655,11 @@ def test_textrank_matches_python_replay(spark):
         for wd in want:
             assert g[wd][0] == want[wd][0], (i, wd, g, want)
             assert abs(g[wd][1] - want[wd][1]) < 2e-6, (i, wd, g, want)
+
+
+def test_textrank_rejects_window_below_2(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="window must be >= 2"):
+        terms.textrank_keywords(df, stoplist=[], window=1)
