@@ -200,3 +200,42 @@ def test_spans_without_table_is_an_error(dry):
     s = dry.createDataFrame([("u", 0.0)], "url string, y double")
     with pytest.raises(ValueError, match="spans_table"):
         cat.commit_bucket(s, bucket=5, lineage={"n_pages": 0}, spans_df=s)
+
+def test_per_bucket_read_pushes_filter_into_v2_scan(dry):
+    """Round-4 verdict ask: pin the RESUME-path read shape one level
+    deeper. A retried/inspected bucket read filters on the partition
+    column; that filter must reach the V2 scan as a pushed predicate
+    with the projection pruned to the requested columns — on a
+    bucket-partitioned Iceberg table this is manifest-level partition
+    pruning, so reading one bucket never scans the other 1023."""
+    cat = IcebergCatalog(dry, "dry.data", "dry.lineage", catalog_name="dry")
+    df = cat.read_data(dry).where("bucket = 0").select("url")
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # filter fully absorbed by the scan: nothing left above the relation
+    assert optimized.strip().startswith("RelationV2[url#"), optimized
+    assert "bucket = 0" in executed, executed
+    assert "ReadSchema: struct<url:string>" in executed, executed
+
+
+def test_lineage_schema_drift_fails_loudly(dry):
+    """Round-4 verdict ask: pin the schema-evolution rejection path. If
+    the deployed lineage table drifts from LINEAGE_SCHEMA (here: a table
+    missing the newer counter columns), the by-name V2 append must fail
+    with the column-arity analyzer error — never silently drop counters.
+    This is the exact exception a jarred first run would surface."""
+    from pyspark.errors import AnalysisException
+
+    dry.sql(
+        "CREATE TABLE IF NOT EXISTS dry.lineage_drift "
+        "(bucket int, attempt int, n_pages bigint)"
+    )
+    cat = IcebergCatalog(dry, "dry.data", "dry.lineage_drift", catalog_name="dry")
+    with pytest.raises(AnalysisException) as ei:
+        cat.commit_bucket(
+            _data_df(dry, [("ud", "p", 1, b"d")]), bucket=11,
+            lineage={"n_pages": 1},
+        )
+    msg = str(ei.value)
+    assert "TOO_MANY_DATA_COLUMNS" in msg, msg
+    assert "lineage_drift" in msg, msg
