@@ -134,3 +134,93 @@ def word_rows(pages):
             )
 
     return pages.select("url", "html").mapInPandas(gen, schema=WORD_ROWS_SCHEMA)
+
+
+WORD_PAGES_SCHEMA = (
+    "url string, page_no int, x0s array<double>, tops array<double>, "
+    "texts array<string>"
+)
+
+
+def word_pages(pages):
+    """pages(url, html, ...) → one row per (url, page) with parallel word
+    arrays (x0s, tops, texts) via mapInPandas.
+
+    The byte-diet shape for the post-UDF exchange (round-4 verdict stretch
+    ask): the layout branch must re-partition AFTER its Python stage
+    (ArrowEvalPython drops outputPartitioning), and with `word_rows` that
+    exchange pays the url string and the per-row shuffle overhead once per
+    WORD. Packing a page's words into parallel primitive arrays pays them
+    once per PAGE (~83 words/page in the bench corpus) while keeping
+    every downstream operation in Catalyst — the consumer explodes
+    arrays_zip AFTER the exchange, on the same partitions (Generate
+    preserves partitioning). Measured vs word_rows at 100k docs:
+    exchange 18.1→13.5 MB and 869k→10.5k records, stage thread-time
+    ~43s→~12s (BENCH/ab_word_pages.json) — the per-record UnsafeRow
+    overhead and repeated url strings were the cost, not payload bytes.
+    Poison docs roll back whole documents, as in word_rows."""
+    import pandas as pd  # noqa: F811 — executor-side import
+
+    acc = parse_failures()
+
+    def gen(batches):
+        for b in batches:
+            urls: list = []
+            pnos: list = []
+            x0ss: list = []
+            topss: list = []
+            textss: list = []
+            for url, raw in zip(b["url"], b["html"]):
+                if raw is None:
+                    continue
+                n0 = len(urls)
+                try:
+                    page_no = 0
+                    x0s: list = []
+                    tops: list = []
+                    texts: list = []
+
+                    def flush(nxt: int) -> None:
+                        nonlocal x0s, tops, texts, page_no
+                        if texts:
+                            urls.append(url)
+                            pnos.append(page_no)
+                            x0ss.append(x0s)
+                            topss.append(tops)
+                            textss.append(texts)
+                            x0s, tops, texts = [], [], []
+                        page_no = nxt
+
+                    for line in bytes(raw).decode("utf-8").splitlines():
+                        if not line:
+                            continue
+                        k = line[0]
+                        if k == "W" and line[1] == " ":
+                            x0, _x1, top, _bottom, text = line[2:].split(" ", 4)
+                            texts.append(text)
+                            x0s.append(float(x0))
+                            tops.append(float(top))
+                        elif k == "P":
+                            flush(int(line.split(" ", 2)[1]))
+                    flush(0)
+                except (MemoryError, KeyboardInterrupt, SystemExit):
+                    raise
+                except Exception:
+                    del urls[n0:], pnos[n0:], x0ss[n0:], topss[n0:], textss[n0:]
+                    if acc is not None:
+                        acc.add(1)
+            # explicit dtypes: a batch with no surviving rows would let
+            # pandas infer float64 for the list columns, which Arrow
+            # cannot convert to list<double> (caught by the parity test's
+            # all-poison partition)
+            yield pd.DataFrame(
+                {
+                    "url": pd.Series(urls, dtype=object),
+                    "page_no": pd.Series(pnos, dtype="int64"),
+                    "x0s": pd.Series(x0ss, dtype=object),
+                    "tops": pd.Series(topss, dtype=object),
+                    "texts": pd.Series(textss, dtype=object),
+                }
+            )
+
+    return pages.select("url", "html").mapInPandas(gen, schema=WORD_PAGES_SCHEMA)

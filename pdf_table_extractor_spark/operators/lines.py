@@ -28,7 +28,7 @@ def text_lines(pages: DataFrame) -> DataFrame:
     )
 
 
-def layout_lines(pages: DataFrame) -> DataFrame:
+def layout_lines(pages: DataFrame, *, packed: bool = True) -> DataFrame:
     """pages(url, html) → one row per visual line with per-zone text.
 
     Default zones mirror conversor_banestes.py:30-32,51-57:
@@ -38,25 +38,46 @@ def layout_lines(pages: DataFrame) -> DataFrame:
     Output: (url, page_no, y, date_txt, desc_txt, value_txt).
     """
     # Parse on scan partitions (input splits balance the UDF work), THEN
-    # salt-repartition the word rows: python eval nodes drop
-    # outputPartitioning, so a pre-UDF repartition would be re-shuffled —
-    # placing the exchange here makes it the branch's ONLY shuffle (the
-    # groupBy/window/serializer keys all contain url → subset rule).
-    # word_rows is the flat-columnar producer (primitive Arrow arrays, no
-    # array<struct> + explode round-trip — ~3× cheaper python stage).
-    from pdf_table_extractor_spark.operators.blocks import word_rows
+    # salt-repartition: python eval nodes drop outputPartitioning, so a
+    # pre-UDF repartition would be re-shuffled — placing the exchange here
+    # makes it the branch's ONLY shuffle (the groupBy/window/serializer
+    # keys all contain url → subset rule).
+    #
+    # packed=True (default, the round-5 byte diet): the exchange carries
+    # one row per PAGE with parallel word arrays, exploded back AFTER the
+    # shuffle on the same partitions (Generate preserves partitioning) —
+    # vs word_rows' one row per WORD, which repeats the url string and the
+    # per-row shuffle overhead ~83×. Measured at 100k docs: branch
+    # exchange 18.1→13.5 MB / 869k→10.5k records, stage thread-time
+    # ~43s→~12s (BENCH/ab_word_pages.json).
+    # packed=False keeps the flat word_rows path for A/B harnesses.
+    from pdf_table_extractor_spark.operators.blocks import word_pages, word_rows
 
     n_part = int(pages.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    words = word_rows(pages).repartition(n_part, F.col("url")).select(
-        "url",
-        "page_no",
-        # Spark round() is HALF_UP while the reference's Python round()
-        # is banker's; fixture tops keep fractional parts away from .5
-        # so both agree (documented divergence).
-        F.round(F.col("top"), 0).alias("y"),
-        "x0",
-        "text",
-    )
+    if packed:
+        pw = word_pages(pages).repartition(n_part, F.col("url"))
+        words = pw.select(
+            "url",
+            "page_no",
+            F.explode(F.arrays_zip("x0s", "tops", "texts")).alias("w"),
+        ).select(
+            "url",
+            "page_no",
+            # Spark round() is HALF_UP while the reference's Python round()
+            # is banker's; fixture tops keep fractional parts away from .5
+            # so both agree (documented divergence).
+            F.round(F.col("w.tops"), 0).alias("y"),
+            F.col("w.x0s").alias("x0"),
+            F.col("w.texts").alias("text"),
+        )
+    else:
+        words = word_rows(pages).repartition(n_part, F.col("url")).select(
+            "url",
+            "page_no",
+            F.round(F.col("top"), 0).alias("y"),
+            "x0",
+            "text",
+        )
     ws = F.array_sort(F.collect_list(F.struct("x0", "text")))
     agg = words.groupBy("url", "page_no", "y").agg(ws.alias("ws"))
 

@@ -210,3 +210,32 @@ def test_dehyphenate_and_homoglyphs(spark):
     got = {r["doc_id"]: r["folded_text"] for r in textops.homoglyph_stats(df3).collect()}
     assert got[1] == messy
     assert got[2] == "web  \n\traw"
+
+
+def test_word_pages_parity_and_poison_rollback(spark):
+    """word_pages (the packed post-UDF exchange shape) must explode to
+    exactly word_rows' rows, and roll back whole poison documents the
+    same way."""
+    from pdf_table_extractor_spark.operators import blocks
+
+    good = b"P 1\nW 10.0 20.0 5.0 6.0 abc\nW 80.0 90.0 5.0 6.0 de f\nP 2\nW 500.0 510.0 7.0 8.0 x"
+    poison = b"P 1\nW NOTANUM 20.0 5.0 6.0 tok"
+    df = spark.createDataFrame(
+        [("u1", bytearray(good)), ("u2", bytearray(poison)), ("u3", None)],
+        "url string, html binary",
+    )
+    flat = {
+        (r["url"], r["page_no"], r["text"], r["x0"], r["top"])
+        for r in blocks.word_rows(df).collect()
+    }
+    packed = blocks.word_pages(df).collect()
+    exploded = {
+        (r["url"], r["page_no"], t, x, y)
+        for r in packed
+        for x, y, t in zip(r["x0s"], r["tops"], r["texts"])
+    }
+    assert exploded == flat
+    assert {r["url"] for r in packed} == {"u1"}
+    assert {(r["url"], r["page_no"]) for r in packed} == {("u1", 1), ("u1", 2)}
+    # word with embedded spaces survives the pack (split-limit semantics)
+    assert ("u1", 1, "de f", 80.0, 5.0) in exploded
