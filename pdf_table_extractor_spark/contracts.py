@@ -79,8 +79,12 @@ _PRIORITY: list[str] = [
     "q_justext_main", "q_c4_clean",
     "q_dehyphenate", "q_homoglyph_fold", "q_textrank_keywords",
     "q_extract_html_main", "q_table_markdown", "q_readability",
-    "q_parse_robots", "q_parse_sitemaps",
+    "q_parse_robots",
     "q_heaps_fit", "q_hits_scores", "q_lpa_communities",
+    # round-5 new operator: the unigram-LM tokenizer trainer (full-
+    # trajectory oracle) takes the slot of q_parse_sitemaps (robots
+    # stays as the parser family's representative)
+    "q_unigram_tokenizer",
     "q_fuzzy_dedup_keep",
 ]
 

@@ -6593,3 +6593,120 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_oov").cast("long").alias("n_oov"),
         "oov_rate",
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer trainer (training.unigram_train — Kudo 2018
+# hard-EM variant). The oracle replays the ENTIRE trajectory: substring
+# seed counts + selection, then per EM round the Viterbi DP (unrolled to
+# the contract's 6-char word cap as chained MATERIALIZED CTEs, the
+# tie-break replayed as ROW_NUMBER ORDER BY cost, s-k-1, piece), the
+# backpointer walk, the char-floored renormalization. Words are capped
+# at 6 chars on BOTH sides (max_word_len) so the unroll is bounded; the
+# engine's expression fold itself handles any length.
+# ---------------------------------------------------------------------------
+
+
+def _unigram_sql(*, max_word_len: int = 6, max_len: int = 3,
+                 seed_size: int = 10, rounds: int = 2) -> str:
+    mw, ml = max_word_len, max_len
+    parts = [f"""
+WITH toks AS ({TOKS}),
+wrds AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(t) AS w FROM toks)
+  WHERE w <> '' AND length(w) <= {mw}
+  GROUP BY w
+),
+occ AS MATERIALIZED (
+  SELECT substr(w, s.s, l.l) AS piece, SUM(freq) AS cnt
+  FROM wrds
+  CROSS JOIN (SELECT unnest(generate_series(1, {mw})) AS s) s
+  CROSS JOIN (SELECT unnest(generate_series(1, {ml})) AS l) l
+  WHERE s.s + l.l - 1 <= length(w)
+  GROUP BY 1
+),
+chars AS MATERIALIZED (SELECT piece, cnt FROM occ WHERE length(piece) = 1),
+sel0 AS (
+  SELECT piece, cnt FROM chars
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rk
+    FROM occ WHERE length(piece) > 1) WHERE rk <= {seed_size}
+),
+p0 AS MATERIALIZED (
+  SELECT piece, cnt,
+         round(ln(CAST(cnt AS DOUBLE) / (SELECT SUM(cnt) FROM sel0)), 6) AS logp
+  FROM sel0
+)"""]
+    for r in range(1, rounds + 1):
+        prev = f"p{r - 1}"
+        parts.append(f""",
+cand{r} AS MATERIALIZED (
+  SELECT wrds.w, wrds.freq, s.s AS s, s.s + l.l - 1 AS e,
+         p.piece AS p, -p.logp AS c
+  FROM wrds
+  CROSS JOIN (SELECT unnest(generate_series(1, {mw})) AS s) s
+  CROSS JOIN (SELECT unnest(generate_series(1, {ml})) AS l) l
+  JOIN {prev} p ON p.piece = substr(wrds.w, s.s, l.l)
+  WHERE s.s + l.l - 1 <= length(wrds.w)
+),
+dall{r}_0 AS (
+  SELECT w, 0 AS pos, CAST(0.0 AS DOUBLE) AS cost,
+         CAST(NULL AS INT) AS prev, CAST(NULL AS VARCHAR) AS piece
+  FROM wrds
+)""")
+        for k in range(1, mw + 1):
+            parts.append(f""",
+d{r}_{k} AS (
+  SELECT w, {k} AS pos, cost, prev, piece FROM (
+    SELECT c.w, d.cost + c.c AS cost, c.s - 1 AS prev, c.p AS piece,
+           ROW_NUMBER() OVER (PARTITION BY c.w
+             ORDER BY d.cost + c.c, c.s - {k} - 1, c.p) AS rk
+    FROM cand{r} c JOIN dall{r}_{k - 1} d ON d.w = c.w AND d.pos = c.s - 1
+    WHERE c.e = {k}) WHERE rk = 1
+),
+dall{r}_{k} AS MATERIALIZED (
+  SELECT * FROM dall{r}_{k - 1} UNION ALL SELECT * FROM d{r}_{k}
+)""")
+        parts.append(f""",
+bt{r}_0 AS (SELECT w, freq, length(w) AS pos FROM wrds)""")
+        for j in range(1, mw + 1):
+            parts.append(f""",
+bt{r}_{j} AS MATERIALIZED (
+  SELECT b.w, b.freq, d.prev AS pos, d.piece
+  FROM bt{r}_{j - 1} b JOIN dall{r}_{mw} d ON d.w = b.w AND d.pos = b.pos
+  WHERE b.pos > 0
+)""")
+        seg_union = " UNION ALL ".join(
+            f"SELECT freq, piece FROM bt{r}_{j}" for j in range(1, mw + 1)
+        )
+        parts.append(f""",
+cnt{r} AS (SELECT piece, SUM(freq) AS cnt FROM ({seg_union}) GROUP BY piece),
+flo{r} AS MATERIALIZED (
+  SELECT COALESCE(v.piece, ch.piece) AS piece,
+         COALESCE(v.cnt, 0) + CASE WHEN ch.piece IS NOT NULL THEN 1 ELSE 0 END AS cnt
+  FROM cnt{r} v FULL JOIN (SELECT piece FROM chars) ch ON ch.piece = v.piece
+),
+p{r} AS MATERIALIZED (
+  SELECT piece, cnt,
+         round(ln(CAST(cnt AS DOUBLE) / (SELECT SUM(cnt) FROM flo{r} WHERE cnt > 0)), 6) AS logp
+  FROM flo{r} WHERE cnt > 0
+)""")
+    parts.append(f"""
+SELECT piece, CAST(cnt AS BIGINT) AS cnt, logp FROM p{rounds}
+""")
+    return "".join(parts)
+
+
+@contract("q_unigram_tokenizer", _unigram_sql())
+def q_unigram_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training end-to-end (seed + 2 hard-EM
+    rounds): the expression-only Viterbi DP's full trajectory — costs,
+    tie-breaks, backpointer walk, char-floored renormalization — is
+    replayed by the oracle's unrolled DP. Word length capped at 6 on
+    both sides (max_word_len) to bound the SQL unroll."""
+    return training.unigram_train(
+        load(spark, sf_dir, "documents"),
+        max_len=3, seed_size=10, rounds=2, max_word_len=6,
+    ).select("piece", F.col("cnt").cast("long").alias("cnt"), "logp")

@@ -566,3 +566,284 @@ def token_fertility(
             F.try_divide(F.sum("__bytes"), F.sum("n_subwords")), 6
         ).alias("bytes_per_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (Kudo, "Subword Regularization", ACL 2018 — the
+# SentencePiece unigram trainer), hard-EM variant: Viterbi segmentation
+# for the E-step (the published inference path), count renormalization
+# for the M-step, count-based pruning. Replaces the reference's
+# fixed-vocabulary assumption the same way bpe_merges does — the second
+# tokenizer family an LLM-data pipeline trains from its own corpus.
+#
+# Deviations from the published trainer, all deliberate + deterministic:
+# soft-EM's forward-backward expected counts become Viterbi (hard) counts;
+# seed scoring is substring-occurrence frequency (not the suffix-array ESA
+# scores); pruning is by final count (not loss-if-removed). Single-char
+# pieces always survive with a +1 count floor so segmentation coverage
+# can never fail mid-training.
+# ---------------------------------------------------------------------------
+
+
+def _all_substring_structs(w: Column, max_len: int) -> Column:
+    """array<struct<s,e,p>> of every substring of ``w`` up to ``max_len``
+    chars: 1-based char positions [s, e] inclusive, piece text ``p``."""
+    m = F.length(w)
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda s: F.transform(
+                F.sequence(s, F.least(s + max_len - 1, m)),
+                lambda e: F.struct(
+                    s.alias("s"), e.alias("e"),
+                    F.substring(w, s, e - s + 1).alias("p"),
+                ),
+            ),
+        )
+    )
+
+
+def unigram_seed(
+    words: DataFrame,
+    *,
+    max_len: int = 4,
+    seed_size: int = 30,
+    round_to: int = 6,
+) -> DataFrame:
+    """(piece, cnt, logp): the seed vocabulary — EVERY single char plus
+    the ``seed_size`` most frequent multi-char substrings (freq-weighted
+    occurrence counts, ties piece ASC), with log-probs normalized over
+    the selected set. Vocabulary-scale work: the substring explode runs
+    over the (w, freq) word table, never the corpus."""
+    occs = words.select(
+        F.explode(_all_substring_structs(F.col("w"), max_len)).alias("o"), "freq"
+    ).select(F.col("o.p").alias("piece"), "freq")
+    cand = occs.groupBy("piece").agg(F.sum("freq").alias("cnt"))
+    chars = cand.where(F.length("piece") == 1)
+    # orderBy+limit plans as a distributed TakeOrdered — a global
+    # row_number window here would single-partition the (potentially
+    # huge) substring candidate table
+    multi = (
+        cand.where(F.length("piece") > 1)
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(seed_size)
+    )
+    sel = chars.unionByName(multi)
+    tot = sel.agg(F.sum("cnt").alias("__tot"))
+    return (
+        sel.crossJoin(F.broadcast(tot))
+        .select(
+            "piece", "cnt",
+            F.round(F.log(F.col("cnt") / F.col("__tot")), round_to).alias("logp"),
+        )
+    )
+
+
+def unigram_viterbi(
+    words: DataFrame,
+    pieces: DataFrame,
+    *,
+    max_len: int = 4,
+    broadcast_pieces: bool = True,
+) -> DataFrame:
+    """(w, freq, seg): per-word Viterbi segmentation under a piece table
+    (piece, logp) — min total cost (cost = -logp), ties broken by longer
+    piece then piece ASC, exactly the order a SQL oracle's
+    ROW_NUMBER(ORDER BY cost, s-e-1, piece) replays.
+
+    Expression-only DP (no UDF): candidates come from ONE equi-join of
+    the word-substring explode against the piece table (broadcast — a
+    tokenizer vocab is model-sized), then an F.aggregate fold builds the
+    dp table (cost, best piece, prev position per position) and a second
+    fold walks the backpointers. Single-char coverage is the caller's
+    invariant (unigram_seed / the EM floor keep all chars), so every
+    position has a candidate and costs stay finite."""
+    if broadcast_pieces:
+        pieces = F.broadcast(pieces)
+    cand = (
+        words.select(
+            "w", "freq",
+            F.explode(_all_substring_structs(F.col("w"), max_len)).alias("o"),
+        )
+        .join(pieces, F.col("o.p") == F.col("piece"))
+        .select(
+            "w", "freq",
+            F.struct(
+                F.col("o.s").alias("s"), F.col("o.e").alias("e"),
+                (-F.col("logp")).alias("c"), F.col("o.p").alias("p"),
+            ).alias("sub"),
+        )
+    )
+    subs = cand.groupBy("w", "freq").agg(F.collect_list("sub").alias("subs"))
+
+    m = F.length("w")
+    empty_best = F.array(
+        F.struct(
+            F.lit(0.0).alias("cost"), F.lit(0).alias("neg_len"),
+            F.lit("").alias("piece"), F.lit(0).alias("prev"),
+        )
+    )
+
+    def fold_dp(subs_col: Column) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(1), m),
+            empty_best,
+            lambda acc, i: F.concat(
+                acc,
+                F.array(
+                    F.element_at(
+                        F.array_sort(
+                            F.transform(
+                                F.filter(subs_col, lambda x: x["e"] == i),
+                                lambda x: F.struct(
+                                    (
+                                        F.element_at(acc, x["s"])["cost"] + x["c"]
+                                    ).alias("cost"),
+                                    (x["s"] - i - 1).alias("neg_len"),
+                                    x["p"].alias("piece"),
+                                    (x["s"] - 1).alias("prev"),
+                                ),
+                            )
+                        ),
+                        1,
+                    )
+                ),
+            ),
+        )
+
+    with_dp = subs.select(
+        "w", "freq", bind(F.col("subs"), fold_dp).alias("best")
+    )
+
+    def walk(best: Column) -> Column:
+        empty_seg = F.slice(F.array(F.lit("")), 1, 0)
+        return F.reverse(
+            F.aggregate(
+                F.sequence(F.lit(1), m),
+                F.struct(m.cast("int").alias("pos"), empty_seg.alias("out")),
+                lambda st, _i: F.when(st["pos"] <= 0, st).otherwise(
+                    F.struct(
+                        F.element_at(best, st["pos"] + 1)["prev"].alias("pos"),
+                        F.concat(
+                            st["out"],
+                            F.array(F.element_at(best, st["pos"] + 1)["piece"]),
+                        ).alias("out"),
+                    )
+                ),
+                lambda st: st["out"],
+            )
+        )
+
+    return with_dp.select("w", "freq", bind(F.col("best"), walk).alias("seg"))
+
+
+def unigram_train(
+    df: DataFrame,
+    *,
+    max_len: int = 4,
+    seed_size: int = 30,
+    rounds: int = 2,
+    vocab_size: int | None = None,
+    max_word_len: int | None = None,
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Train a unigram-LM tokenizer; returns the final piece table
+    (piece, cnt, logp).
+
+    Each EM round: Viterbi-segment the WORD TABLE under the current
+    pieces (freq-weighted counts — the corpus itself is touched exactly
+    once, by the word-frequency aggregate), then renormalize. Unused
+    multi-char pieces die; every single char keeps a +1 floor. The
+    optional final prune keeps all chars + the top multi-char pieces by
+    (cnt DESC, piece ASC) until ``vocab_size``.
+
+    ``max_word_len`` drops longer words from TRAINING (the contract sets
+    it so the DuckDB oracle's DP unroll stays bounded; production leaves
+    it None — the expression fold handles any length).
+
+    Scale: one corpus pass + per-round vocabulary-scale joins, the same
+    envelope as bpe_merges; the piece table localCheckpoints per round
+    (iterative-loop gotcha)."""
+    words = bpe_word_freq(df, text_col)
+    if max_word_len is not None:
+        words = words.where(F.length("w") <= max_word_len)
+    words = words.localCheckpoint()
+    chars = (
+        words.select(F.explode(F.split("w", "")).alias("piece"))
+        .where(F.col("piece") != "")
+        .distinct()
+        .localCheckpoint()
+    )
+    pieces = unigram_seed(
+        words, max_len=max_len, seed_size=seed_size, round_to=round_to
+    ).localCheckpoint()
+    for _ in range(int(rounds)):
+        seg = unigram_viterbi(
+            words, pieces.select("piece", "logp"), max_len=max_len
+        )
+        counts = (
+            seg.select(F.explode("seg").alias("piece"), "freq")
+            .groupBy("piece")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        floored = (
+            counts.join(chars.withColumn("__is_char", F.lit(1)), "piece", "full")
+            .select(
+                "piece",
+                (
+                    F.coalesce(F.col("cnt"), F.lit(0))
+                    + F.when(F.col("__is_char") == 1, F.lit(1)).otherwise(F.lit(0))
+                ).alias("cnt"),
+            )
+            .where(F.col("cnt") > 0)
+        )
+        tot = floored.agg(F.sum("cnt").alias("__tot"))
+        pieces = (
+            floored.crossJoin(F.broadcast(tot))
+            .select(
+                "piece", "cnt",
+                F.round(
+                    F.log(F.col("cnt") / F.col("__tot")), round_to
+                ).alias("logp"),
+            )
+            .localCheckpoint()
+        )
+    if vocab_size is not None:
+        n_chars = pieces.where(F.length("piece") == 1).count()
+        keep_multi = (
+            pieces.where(F.length("piece") > 1)
+            .orderBy(F.desc("cnt"), F.asc("piece"))
+            .limit(max(vocab_size - n_chars, 0))
+        )
+        pieces = pieces.where(F.length("piece") == 1).unionByName(keep_multi)
+    return pieces
+
+
+def unigram_encode_counts(
+    df: DataFrame,
+    pieces: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_len: int = 4,
+) -> DataFrame:
+    """(doc_id, n_words, n_pieces): per-document token counts under a
+    trained unigram vocabulary — bpe_encode_counts' twin for the unigram
+    family (fertility-style accounting for pack_sequences / mix_plan).
+    Segments the VOCABULARY once; the corpus is one broadcast equi-join."""
+    words = bpe_word_freq(df, text_col)
+    vocab = unigram_viterbi(
+        words, pieces.select("piece", "logp"), max_len=max_len
+    ).select("w", F.size("seg").alias("n_pieces_w"))
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w")
+    ).where(F.col("w") != "")
+    return (
+        toks.join(F.broadcast(vocab), "w")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_pieces_w").alias("n_pieces"),
+        )
+    )
