@@ -77,6 +77,11 @@ HEADLINE = [
     # vocabulary-scale full-outer join + 1-row totals broadcast (a join
     # topology no other headliner exercises)
     "q_corpus_divergence",
+    # round-5: the unigram tokenizer trainer — the deepest expression
+    # fold in the engine (nested HOF Viterbi DP) + an iterative
+    # vocabulary-scale EM loop; Janino/codegen regressions on big
+    # aggregate folds show up here first
+    "q_unigram_tokenizer",
 ]
 
 

@@ -80,11 +80,12 @@ _PRIORITY: list[str] = [
     "q_dehyphenate", "q_homoglyph_fold", "q_textrank_keywords",
     "q_extract_html_main", "q_table_markdown", "q_readability",
     "q_parse_robots",
-    "q_heaps_fit", "q_hits_scores", "q_lpa_communities",
-    # round-5 new operator: the unigram-LM tokenizer trainer (full-
-    # trajectory oracle) takes the slot of q_parse_sitemaps (robots
-    # stays as the parser family's representative)
-    "q_unigram_tokenizer",
+    "q_heaps_fit", "q_lpa_communities",
+    # round-5 new operators take the gate (displacing q_parse_sitemaps
+    # and q_hits_scores, both locally green): the unigram-LM tokenizer
+    # trainer (full-trajectory oracle) and the robots Crawl-delay fetch
+    # budget composition
+    "q_unigram_tokenizer", "q_crawl_delay_budget",
     "q_fuzzy_dedup_keep",
 ]
 

@@ -6710,3 +6710,88 @@ def q_unigram_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents"),
         max_len=3, seed_size=10, rounds=2, max_word_len=6,
     ).select("piece", F.col("cnt").cast("long").alias("cnt"), "logp")
+
+
+@contract(
+    "q_crawl_delay_budget",
+    """
+    WITH hosts AS (
+      SELECT DISTINCT doc_id % 13 AS k, 'h' || CAST(doc_id % 13 AS VARCHAR) AS host
+      FROM documents
+    ),
+    dl AS (
+      -- expected winning-group Crawl-delay per host, from the same
+      -- arithmetic that synthesises the bodies (never replaying the
+      -- parser): graftbot group (k%3=0) wins with two delay lines (max
+      -- rule); otherwise the * group's delay, which is invalid noise
+      -- for k%4=2 (no row) and literal k%5 otherwise (0 = stated zero).
+      SELECT k, host,
+             CASE WHEN k % 3 = 0 THEN greatest(k + 0.5, CAST(k * 2 AS DOUBLE))
+                  WHEN k % 4 = 2 THEN NULL
+                  ELSE CAST(k % 5 AS DOUBLE) END AS delay,
+             (k % 3 <> 0 AND k % 4 = 2) AS no_row
+      FROM hosts
+    ),
+    f AS (
+      SELECT DISTINCT h.host, h.k,
+             'http://' || h.host || '/p' || CAST(d.doc_id % 23 AS VARCHAR) AS url,
+             (h.k + d.doc_id % 23) % 11 AS priority
+      FROM documents d JOIN hosts h ON h.k = d.doc_id % 13
+    ),
+    r AS (
+      SELECT f.url, f.host, f.k,
+             ROW_NUMBER() OVER (PARTITION BY f.host
+                                ORDER BY f.priority DESC, f.url) AS slot
+      FROM f
+    ),
+    b AS (
+      SELECT r.*,
+             CASE WHEN dl.no_row OR dl.delay IS NULL OR dl.delay = 0 THEN NULL
+                  ELSE floor(30.0 / dl.delay) END AS budget
+      FROM r JOIN dl ON dl.host = r.host
+    )
+    SELECT url, host,
+           CAST(('0x' || substr(md5(host), 1, 8))::UBIGINT % 4 AS BIGINT) AS worker,
+           CAST(slot AS BIGINT) AS slot
+    FROM b
+    WHERE slot <= 9 AND (budget IS NULL OR slot <= budget)
+    """,
+)
+def q_crawl_delay_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots Crawl-delay → per-cycle fetch budgets
+    (urls.parse_robots_delays + crawl_frontier's delays path): the
+    winning group's largest valid delay caps each host at
+    floor(cycle/delay) slots, invalid/absent delays fall back to the
+    plain max_per_host cap, stated 0 means unconstrained. The oracle
+    constructs the expected budgets from the synthesis arithmetic."""
+    from pdf_table_extractor_spark.operators import urls as _u
+
+    d = load(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 13).cast("long")
+    host = F.concat(F.lit("h"), k.cast("string"))
+    star = F.concat(
+        F.lit("User-agent: *\n"),
+        F.when(k % 4 == 2, F.lit("Crawl-delay: soon\n")).otherwise(
+            F.concat(F.lit("Crawl-delay: "), (k % 5).cast("string"), F.lit("\n"))
+        ),
+    )
+    graft = F.when(
+        k % 3 == 0,
+        F.concat(
+            F.lit("\nUser-agent: graftbot\nCrawl-delay: "), k.cast("string"),
+            F.lit(".5\nCrawl-delay: "), (k * 2).cast("string"), F.lit("\n"),
+        ),
+    ).otherwise(F.lit(""))
+    bodies = d.select(
+        host.alias("host"), F.concat(star, graft).alias("robots_txt")
+    ).distinct()
+    frontier = d.select(
+        F.concat(
+            F.lit("http://"), host, F.lit("/p"), (F.col("doc_id") % 23).cast("string")
+        ).alias("url"),
+        ((k + F.col("doc_id") % 23) % 11).alias("priority"),
+    ).distinct()
+    delays = _u.parse_robots_delays(bodies, "graftbot/2.0")
+    return _u.crawl_frontier(
+        frontier, n_workers=4, max_per_host=9, delays=delays, cycle_seconds=30
+    )

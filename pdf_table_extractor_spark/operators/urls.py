@@ -496,6 +496,8 @@ def crawl_frontier(
     url_col: str = "url",
     priority_col: str = "priority",
     max_per_host: int | None = None,
+    delays=None,
+    cycle_seconds: float | None = None,
 ):
     """Politeness-aware fetch scheduling for a crawl frontier: every URL
     of a host maps to ONE worker (md5 hash shard), so per-host
@@ -509,17 +511,27 @@ def crawl_frontier(
 
     Returns (url, host, worker, slot).
 
+    ``delays`` (from `parse_robots_delays`: (host, crawl_delay)) +
+    ``cycle_seconds`` turn the per-host truncation into a robots-aware
+    fetch budget: a host stating Crawl-delay d gets at most
+    floor(cycle_seconds / d) slots per cycle (0 when d exceeds the
+    cycle — it waits), combined with ``max_per_host`` when both are
+    given; hosts without a stated delay keep the plain cap.
+
     Scale: ONE shuffle, hash-partitioned on host. The per-host
     row_number window is not a skew accident — per-host sequencing IS
     the politeness contract — and ``max_per_host`` bounds what a
     mega-host can pin on one task; the worker id is derived from the
     host hash, never from a global ordering, so no stage sees the whole
     frontier. The md5 shard is dyadic-exact cross-engine (CLAUDE.md
-    uniform-variate rule), which the contract exploits."""
+    uniform-variate rule), which the contract exploits; the delay table
+    is host-bounded, so its join broadcasts."""
     from pyspark.sql import Window
 
     if n_workers <= 0:
         raise ValueError("n_workers must be positive")
+    if (delays is None) != (cycle_seconds is None):
+        raise ValueError("delays and cycle_seconds must be given together")
     host = host_of(F.col(url_col))
     w = Window.partitionBy("host").orderBy(F.desc("__prio"), F.col("url"))
     out = (
@@ -532,6 +544,23 @@ def crawl_frontier(
     )
     if max_per_host is not None:
         out = out.where(F.col("slot") <= int(max_per_host))
+    if delays is not None:
+        d = delays.select(
+            F.col("host").alias("__dh"), F.col("crawl_delay").alias("__cd")
+        )
+        budget = F.when(
+            F.col("__cd") > 0,
+            F.floor(F.lit(float(cycle_seconds)) / F.col("__cd")),
+        )  # delay 0 -> no stated constraint -> NULL budget
+        out = (
+            out.join(F.broadcast(d), out["host"] == F.col("__dh"), "left")
+            .where(
+                F.col("__cd").isNull()
+                | budget.isNull()
+                | (F.col("slot") <= budget)
+            )
+            .drop("__dh", "__cd")
+        )
     worker = (
         F.conv(F.substring(F.md5(F.col("host")), 1, 8), 16, 10).cast("long")
         % n_workers
@@ -648,6 +677,20 @@ def parse_robots(
     window passes (group numbering + winning-score fill) — robots
     bodies are KB-sized per host, so the host partition is tiny by
     construction; the output is the broadcast-sized rule table."""
+    rules = _robots_winning_rules(bodies, agent, host_col, body_col)
+    return (
+        rules.where(F.col("directive").isin("allow", "disallow"))
+        .select("host", "directive", F.col("value").alias("path_prefix"))
+        .distinct()
+    )
+
+
+def _robots_winning_rules(bodies, agent: str, host_col: str, body_col: str):
+    """Shared RFC 9309 group resolution: (host, directive, value) rows of
+    the winning user-agent group(s), directives allow / disallow /
+    crawl-delay. The grouping pass must SEE every recognized directive —
+    filtering kinds first would make two User-agent lines separated only
+    by (say) allow rules look like one UA run and merge their groups."""
     from pyspark.sql import Window
 
     lines = bodies.select(
@@ -661,7 +704,9 @@ def parse_robots(
         F.trim(F.regexp_replace(F.col("__raw"), r"#.*$", "")).alias("__l"),
     )
     kind = F.lower(
-        F.regexp_extract(F.col("__l"), r"(?i)^(user-agent|allow|disallow)\s*:", 1)
+        F.regexp_extract(
+            F.col("__l"), r"(?i)^(user-agent|allow|disallow|crawl-delay)\s*:", 1
+        )
     )
     value = F.trim(F.regexp_extract(F.col("__l"), r"^[A-Za-z-]+\s*:\s*(.*)$", 1))
     w = Window.partitionBy("host").orderBy("line_no")
@@ -691,12 +736,37 @@ def parse_robots(
         .select("host", "gid")
         .distinct()
     )
-    rules = g.where(~is_ua).join(win_gids, ["host", "gid"]).select(
+    return g.where(~is_ua).join(win_gids, ["host", "gid"]).select(
         "host",
         F.col("kind").alias("directive"),
-        F.col("value").alias("path_prefix"),
+        "value",
     )
-    return rules.distinct()
+
+
+def parse_robots_delays(
+    bodies,
+    agent: str,
+    *,
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+):
+    """(host, crawl_delay): the winning user-agent group's Crawl-delay in
+    seconds. The directive is non-standard (RFC 9309 leaves it out;
+    Bing/Yandex honor it) so semantics are pinned here: non-numeric or
+    negative values drop (try_cast — crawl noise must never throw under
+    ANSI), and when the winning group states several delays the LARGEST
+    wins (conservative politeness). Hosts with no delay emit no row —
+    the frontier's default applies. Same group resolution (and the same
+    scale shape) as `parse_robots`."""
+    rules = _robots_winning_rules(bodies, agent, host_col, body_col)
+    delay = F.col("value").try_cast("double")
+    return (
+        rules.where(F.col("directive") == "crawl-delay")
+        .select("host", delay.alias("__d"))
+        .where(F.col("__d").isNotNull() & (F.col("__d") >= 0))
+        .groupBy("host")
+        .agg(F.max("__d").alias("crawl_delay"))
+    )
 
 
 def parse_sitemaps(

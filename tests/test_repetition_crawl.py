@@ -267,3 +267,66 @@ def test_recrawl_priority_tiers(spark):
     assert got["u2"] == (3, 182)   # lastmod older than capture -> age revisit
     assert got["u3"] == (3, 31)    # no lastmod -> age revisit
     assert got["u4"] == (1, 10000) # never captured -> discovery
+
+
+def test_parse_robots_delays_group_and_max_rule(spark):
+    body = (
+        "# robots\n"
+        "User-agent: *\n"
+        "Crawl-delay: 10\n"
+        "Disallow: /x\n"
+        "User-agent: graftbot\n"
+        "Crawl-delay: 2\n"
+        "Crawl-delay: 4.5\n"   # max of the winning group wins
+        "Allow: /\n"
+    )
+    noisy = "User-agent: *\nCrawl-delay: soon\n"    # invalid -> no row
+    nodelay = "User-agent: *\nDisallow: /private\n"
+    bodies = spark.createDataFrame(
+        [("h1", body), ("h2", noisy), ("h3", nodelay)],
+        "host string, robots_txt string",
+    )
+    got = {r["host"]: r["crawl_delay"]
+           for r in urls.parse_robots_delays(bodies, "graftbot/2.0").collect()}
+    assert got == {"h1": 4.5}
+    # the * group still applies to an agent with no specific group
+    got2 = {r["host"]: r["crawl_delay"]
+            for r in urls.parse_robots_delays(bodies, "otherbot").collect()}
+    assert got2 == {"h1": 10.0}
+    # group boundaries survive interleaved allow/disallow lines: the *
+    # group's delay must NOT leak into graftbot's (and vice versa)
+    two = (
+        "User-agent: alpha\nDisallow: /x\nUser-agent: beta\nCrawl-delay: 7\n"
+    )
+    bodies2 = spark.createDataFrame([("h9", two)], "host string, robots_txt string")
+    assert urls.parse_robots_delays(bodies2, "alpha-bot").count() == 0
+    got3 = {r["host"]: r["crawl_delay"]
+            for r in urls.parse_robots_delays(bodies2, "beta-bot").collect()}
+    assert got3 == {"h9": 7.0}
+
+
+def test_crawl_frontier_delay_budget(spark):
+    import pytest
+
+    frontier = spark.createDataFrame(
+        [(f"http://h{h}/p{i}", 10 - i) for h in (1, 2, 3, 4) for i in range(6)],
+        "url string, priority int",
+    )
+    delays = spark.createDataFrame(
+        [("h1", 10.0),   # floor(30/10) = 3 slots
+         ("h2", 45.0),   # delay > cycle -> 0 slots this cycle
+         ("h3", 0.0)],   # stated zero -> unconstrained
+        "host string, crawl_delay double",
+    )
+    got = {}
+    rows = urls.crawl_frontier(
+        frontier, n_workers=2, max_per_host=5, delays=delays, cycle_seconds=30
+    ).collect()
+    for r in rows:
+        got.setdefault(r["host"], []).append(r["slot"])
+    assert sorted(got["h1"]) == [1, 2, 3]          # budget 3 < cap 5
+    assert "h2" not in got                          # waits out the cycle
+    assert sorted(got["h3"]) == [1, 2, 3, 4, 5]     # cap 5 only
+    assert sorted(got["h4"]) == [1, 2, 3, 4, 5]     # no delay row -> cap only
+    with pytest.raises(ValueError, match="together"):
+        urls.crawl_frontier(frontier, n_workers=2, delays=delays)
