@@ -645,6 +645,7 @@ def unigram_viterbi(
     *,
     max_len: int = 4,
     broadcast_pieces: bool = True,
+    unk_logp: float | None = None,
 ) -> DataFrame:
     """(w, freq, seg): per-word Viterbi segmentation under a piece table
     (piece, logp) — min total cost (cost = -logp), ties broken by longer
@@ -655,26 +656,49 @@ def unigram_viterbi(
     the word-substring explode against the piece table (broadcast — a
     tokenizer vocab is model-sized), then an F.aggregate fold builds the
     dp table (cost, best piece, prev position per position) and a second
-    fold walks the backpointers. Single-char coverage is the caller's
-    invariant (unigram_seed / the EM floor keep all chars), so every
-    position has a candidate and costs stay finite."""
+    fold walks the backpointers.
+
+    Coverage: with ``unk_logp=None`` (training path) single-char coverage
+    is the caller's invariant — unigram_seed / the EM floor keep every
+    char of the TRAINING corpus, so each position has a candidate. For
+    encoding NEW text (chars the training corpus never saw — the
+    SentencePiece <unk> case) pass a finite ``unk_logp``: a position with
+    no vocabulary candidate falls back to its single character at that
+    cost, so segmentation always completes instead of silently dropping
+    the word."""
     if broadcast_pieces:
         pieces = F.broadcast(pieces)
     cand = (
         words.select(
-            "w", "freq",
+            "w",
             F.explode(_all_substring_structs(F.col("w"), max_len)).alias("o"),
         )
         .join(pieces, F.col("o.p") == F.col("piece"))
         .select(
-            "w", "freq",
+            "w",
             F.struct(
                 F.col("o.s").alias("s"), F.col("o.e").alias("e"),
                 (-F.col("logp")).alias("c"), F.col("o.p").alias("p"),
             ).alias("sub"),
         )
     )
-    subs = cand.groupBy("w", "freq").agg(F.collect_list("sub").alias("subs"))
+    agg = cand.groupBy("w").agg(F.collect_list("sub").alias("subs"))
+    # left join back to the word table: a word with NO vocabulary
+    # candidate at all (every char unknown) must still reach the DP so
+    # the unk fallback can segment it — an inner groupBy would silently
+    # drop it from encode accounting
+    empty_subs = F.filter(
+        F.array(
+            F.struct(
+                F.lit(1).alias("s"), F.lit(1).alias("e"),
+                F.lit(0.0).alias("c"), F.lit("").alias("p"),
+            )
+        ),
+        lambda _x: F.lit(False),
+    )
+    subs = words.join(agg, "w", "left").select(
+        "w", "freq", F.coalesce(F.col("subs"), empty_subs).alias("subs")
+    )
 
     m = F.length("w")
     empty_best = F.array(
@@ -685,30 +709,39 @@ def unigram_viterbi(
     )
 
     def fold_dp(subs_col: Column) -> Column:
+        def best_at(acc: Column, i: Column) -> Column:
+            picked = F.try_element_at(
+                F.array_sort(
+                    F.transform(
+                        F.filter(subs_col, lambda x: x["e"] == i),
+                        lambda x: F.struct(
+                            (
+                                F.element_at(acc, x["s"])["cost"] + x["c"]
+                            ).alias("cost"),
+                            (x["s"] - i - 1).alias("neg_len"),
+                            x["p"].alias("piece"),
+                            (x["s"] - 1).alias("prev"),
+                        ),
+                    )
+                ),
+                F.lit(1),
+            )
+            if unk_logp is None:
+                return picked
+            fallback = F.struct(
+                (
+                    F.element_at(acc, i)["cost"] + F.lit(-float(unk_logp))
+                ).alias("cost"),
+                F.lit(-1).alias("neg_len"),
+                F.substring(F.col("w"), i, F.lit(1)).alias("piece"),
+                (i - 1).alias("prev"),
+            )
+            return F.coalesce(picked, fallback)
+
         return F.aggregate(
             F.sequence(F.lit(1), m),
             empty_best,
-            lambda acc, i: F.concat(
-                acc,
-                F.array(
-                    F.element_at(
-                        F.array_sort(
-                            F.transform(
-                                F.filter(subs_col, lambda x: x["e"] == i),
-                                lambda x: F.struct(
-                                    (
-                                        F.element_at(acc, x["s"])["cost"] + x["c"]
-                                    ).alias("cost"),
-                                    (x["s"] - i - 1).alias("neg_len"),
-                                    x["p"].alias("piece"),
-                                    (x["s"] - 1).alias("prev"),
-                                ),
-                            )
-                        ),
-                        1,
-                    )
-                ),
-            ),
+            lambda acc, i: F.concat(acc, F.array(best_at(acc, i))),
         )
 
     with_dp = subs.select(
@@ -827,14 +860,19 @@ def unigram_encode_counts(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_len: int = 4,
+    unk_logp: float = -20.0,
 ) -> DataFrame:
     """(doc_id, n_words, n_pieces): per-document token counts under a
     trained unigram vocabulary — bpe_encode_counts' twin for the unigram
     family (fertility-style accounting for pack_sequences / mix_plan).
-    Segments the VOCABULARY once; the corpus is one broadcast equi-join."""
+    Segments the VOCABULARY once; the corpus is one broadcast equi-join.
+    ``unk_logp`` covers characters the training corpus never saw (the
+    encode corpus is NEW text): they segment as single-char unknowns
+    instead of dropping the whole word from the accounting."""
     words = bpe_word_freq(df, text_col)
     vocab = unigram_viterbi(
-        words, pieces.select("piece", "logp"), max_len=max_len
+        words, pieces.select("piece", "logp"), max_len=max_len,
+        unk_logp=unk_logp,
     ).select("w", F.size("seg").alias("n_pieces_w"))
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w")

@@ -167,3 +167,28 @@ def test_trainer_touches_corpus_once(spark):
     # original corpus scan at all
     plan = pieces._jdf.queryExecution().optimizedPlan().toString()
     assert "LogicalRDD" in plan or "Scan" not in plan, plan
+
+
+def test_encode_unknown_chars_fall_back_to_unk(spark):
+    """Encoding NEW text with characters the training corpus never saw:
+    every word still segments (single-char unk fallback) and keeps its
+    row in the accounting — the strict no-unk path would silently drop
+    words with uncovered positions."""
+    train = spark.createDataFrame([(1, "banana ban")], "doc_id long, text string")
+    pieces = training.unigram_train(train, max_len=3, seed_size=4, rounds=1)
+    new = spark.createDataFrame(
+        [(7, "banana zzq bxn")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_pieces"])
+        for r in training.unigram_encode_counts(new, pieces, max_len=3).collect()
+    }
+    # all 3 words counted; zzq segments as 3 unks, bxn as b + 2 unks
+    assert got[7][0] == 3
+    assert got[7][1] >= 2 + 3 + 3
+    # direct viterbi check: unk pieces are the unknown single chars
+    wdf = spark.createDataFrame([("zq", 1)], "w string, freq long")
+    (row,) = training.unigram_viterbi(
+        wdf, pieces.select("piece", "logp"), max_len=3, unk_logp=-20.0
+    ).collect()
+    assert list(row["seg"]) == ["z", "q"]
