@@ -236,6 +236,10 @@ def main() -> None:
         # bus state measured DURING its legs; assembly conditions on
         # per-leg-type floors (BENCH/BASELINE.md round-4 section)
         "scaling_1_to_4_r4_probed": "scaling_r4q_14.json",
+        # round-5 probe-gated pinned campaign (3 reps, every rep bracketed
+        # AND in-flight-probed; bus_clean_* conditions on per-leg bus
+        # floors — BENCH/BASELINE.md round-5 section)
+        "scaling_1_to_4_r5_probed": "scaling_r5_14.json",
     }
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -268,6 +272,7 @@ def main() -> None:
         "scaling",
         "scaling_1_to_4_r4",
         "scaling_1_to_4_r4_probed",
+        "scaling_1_to_4_r5_probed",
     ]
     while len(line) > 3800 and drop_order:
         payload.pop(drop_order.pop(0), None)
