@@ -6795,3 +6795,112 @@ def q_crawl_delay_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _u.crawl_frontier(
         frontier, n_workers=4, max_per_host=9, delays=delays, cycle_seconds=30
     )
+
+
+# ---------------------------------------------------------------------------
+# Classifier evaluation (operators/metrics.py): ROC-AUC + PR curve over a
+# dyadic synthetic score/label frame — score = md5 uniform variate,
+# label ~ Bernoulli(score) via a second independent variate, so the
+# metrics are non-trivial and both engines replay the exact integers.
+# ---------------------------------------------------------------------------
+
+_EVAL_FRAME_SQL = """
+WITH ev AS (
+  SELECT doc_id,
+         round(('0x' || substr(md5('auc:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+               / 4294967296.0, 4) AS score,
+         CASE WHEN ('0x' || substr(md5('lab:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                   / 4294967296.0
+                < ('0x' || substr(md5('auc:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                  / 4294967296.0
+              THEN 1 ELSE 0 END AS label
+  FROM documents
+)
+"""
+
+
+def _eval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_table_extractor_spark.operators.sampling import uniform_hash
+
+    d = load(spark, sf_dir, "documents")
+    u = uniform_hash(F.col("doc_id"), "auc:")
+    u2 = uniform_hash(F.col("doc_id"), "lab:")
+    return d.select(
+        "doc_id",
+        F.round(u, 4).alias("score"),
+        F.when(u2 < u, 1).otherwise(0).alias("label"),
+    )
+
+
+@contract(
+    "q_auc_roc",
+    _EVAL_FRAME_SQL
+    + """
+    , b AS (
+      SELECT score, SUM(label) AS n_pos, SUM(1 - label) AS n_neg
+      FROM ev GROUP BY score
+    ),
+    c AS (
+      SELECT *,
+             COALESCE(SUM(n_neg) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
+      FROM b
+    )
+    SELECT round(SUM(n_pos * (2 * cnb + n_neg))
+                 / (2.0 * SUM(n_pos) * SUM(n_neg)), 6) AS auc,
+           CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+           CAST(SUM(n_neg) AS BIGINT) AS n_neg,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets
+    FROM c
+    """,
+)
+def q_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-aware Mann-Whitney ROC-AUC over score buckets
+    (metrics.auc_roc): 2U stays integer until the one division, so the
+    oracle's window replay matches bit-for-bit."""
+    from pdf_table_extractor_spark.operators import metrics
+
+    return metrics.auc_roc(_eval_frame(spark, sf_dir), round_to=4)
+
+
+@contract(
+    "q_pr_curve",
+    _EVAL_FRAME_SQL
+    + """
+    , b AS (
+      SELECT score AS threshold,
+             SUM(label) AS n_pos, SUM(1 - label) AS n_neg
+      FROM ev GROUP BY 1
+    ),
+    c AS (
+      SELECT *,
+             COALESCE(SUM(n_neg) OVER (ORDER BY threshold
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb,
+             COALESCE(SUM(n_pos) OVER (ORDER BY threshold
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cpb,
+             SUM(n_pos) OVER () AS P, SUM(n_neg) OVER () AS N
+      FROM b
+    )
+    SELECT threshold,
+           CAST(P - cpb AS BIGINT) AS tp,
+           CAST(N - cnb AS BIGINT) AS fp,
+           CAST(cpb AS BIGINT) AS fn,
+           CASE WHEN (P - cpb) + (N - cnb) > 0
+                THEN round((P - cpb) / CAST((P - cpb) + (N - cnb) AS DOUBLE), 6) END AS precision,
+           CASE WHEN P > 0 THEN round((P - cpb) / CAST(P AS DOUBLE), 6) END AS recall,
+           CASE WHEN 2 * (P - cpb) + (N - cnb) + cpb > 0
+                THEN round(2 * (P - cpb)
+                           / CAST(2 * (P - cpb) + (N - cnb) + cpb AS DOUBLE), 6) END AS f1
+    FROM c
+    """,
+)
+def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-threshold operating points (metrics.pr_curve, predictions =
+    score >= t): exact integer confusion counts from two bucket prefix
+    scans; the oracle replays them with plain windows. Buckets at the
+    frame's own 4-decimal resolution — re-rounding an inexact double to
+    a coarser grid diverges across engines at .xx5 boundaries (HALF_UP
+    vs the value's true binary expansion), the CLAUDE.md round gotcha."""
+    from pdf_table_extractor_spark.operators import metrics
+
+    return metrics.pr_curve(_eval_frame(spark, sf_dir), round_to=4)
