@@ -79,14 +79,15 @@ _PRIORITY: list[str] = [
     "q_justext_main", "q_c4_clean",
     "q_dehyphenate", "q_homoglyph_fold", "q_textrank_keywords",
     "q_extract_html_main", "q_table_markdown", "q_readability",
-    "q_parse_robots",
     # round-5 new operators take the gate (displacing q_parse_sitemaps,
-    # q_hits_scores, q_heaps_fit, q_lpa_communities — all locally green):
-    # the unigram-LM tokenizer trainer (full-trajectory oracle), the
-    # robots Crawl-delay fetch budget composition, and the classifier
-    # evaluation pair (bucketed Mann-Whitney AUC + PR operating points)
+    # q_hits_scores, q_heaps_fit, q_lpa_communities, q_parse_robots — all
+    # locally green; the crawl-delay composition exercises the robots
+    # group resolution transitively): the unigram-LM tokenizer trainer
+    # (full-trajectory oracle), the robots Crawl-delay fetch budget
+    # composition, and the classifier-evaluation family (bucketed
+    # Mann-Whitney AUC, PR operating points, reliability bins)
     "q_unigram_tokenizer", "q_crawl_delay_budget",
-    "q_auc_roc", "q_pr_curve",
+    "q_auc_roc", "q_pr_curve", "q_calibration",
     "q_fuzzy_dedup_keep",
 ]
 

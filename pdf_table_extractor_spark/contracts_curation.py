@@ -6904,3 +6904,47 @@ def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf_table_extractor_spark.operators import metrics
 
     return metrics.pr_curve(_eval_frame(spark, sf_dir), round_to=4)
+
+
+@contract(
+    "q_calibration",
+    """
+    WITH ev AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('auc:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+               / 4294967296.0 AS score,
+             CASE WHEN ('0x' || substr(md5('lab:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                       / 4294967296.0
+                    < ('0x' || substr(md5('auc:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                      / 4294967296.0
+                  THEN 1 ELSE 0 END AS label
+      FROM documents
+    ),
+    b AS (
+      SELECT LEAST(CAST(floor(score * 10) AS INT), 9) AS bin,
+             COUNT(*) AS n, SUM(score) AS ssum, SUM(label) AS pos
+      FROM ev GROUP BY 1
+    )
+    SELECT bin, CAST(n AS BIGINT) AS n,
+           round(ssum / n, 6) AS mean_score,
+           round(pos / CAST(n AS DOUBLE), 6) AS frac_pos,
+           round(abs(round(ssum / n, 6) - round(pos / CAST(n AS DOUBLE), 6)), 6) AS gap
+    FROM b
+    """,
+)
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability bins (metrics.calibration_bins) over the RAW dyadic
+    score (never re-rounded: sums of exact binary fractions stay exact
+    for <= 2^20 rows, so both engines' partial-aggregation orders agree
+    bit-for-bit before the one division; label ~ Bernoulli(score), so
+    the bins read as calibrated by construction)."""
+    from pdf_table_extractor_spark.operators import metrics
+    from pdf_table_extractor_spark.operators.sampling import uniform_hash
+
+    d = load(spark, sf_dir, "documents")
+    u = uniform_hash(F.col("doc_id"), "auc:")
+    u2 = uniform_hash(F.col("doc_id"), "lab:")
+    frame = d.select(
+        u.alias("score"), F.when(u2 < u, 1).otherwise(0).alias("label")
+    )
+    return metrics.calibration_bins(frame, n_bins=10)

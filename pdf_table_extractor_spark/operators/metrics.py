@@ -145,3 +145,68 @@ def pr_curve(
         recall.alias("recall"),
         f1.alias("f1"),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    *,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins for a probabilistic classifier: scores in
+    [0, 1] bucket to ``n_bins`` equal-width bins (score 1.0 clamps into
+    the last), each row = (bin, n, mean_score, frac_pos, gap). A
+    well-calibrated quality model has frac_pos ≈ mean_score per bin —
+    the check that decides whether its scores can be used as sampling
+    WEIGHTS (temperature mixing) rather than just a threshold rank.
+    One hash aggregate; integer counts + round-6 ratios (cross-engine
+    float rule); sums of raw scores stay exact when scores are dyadic
+    (the repo's md5 variates) and round-6 otherwise."""
+    if n_bins <= 0:
+        raise ValueError("n_bins must be positive")
+    s = F.col(score_col).cast("double")
+    lab = F.col(label_col).cast("int")
+    b = F.least(F.floor(s * n_bins).cast("int"), F.lit(n_bins - 1))
+    agg = (
+        df.select(b.alias("bin"), s.alias("__s"), lab.alias("__y"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("__s").alias("__ssum"),
+            F.sum("__y").cast("long").alias("__pos"),
+        )
+    )
+    mean_score = F.round(F.col("__ssum") / F.col("n"), 6)
+    frac_pos = F.round(F.col("__pos") / F.col("n"), 6)
+    return agg.select(
+        "bin",
+        "n",
+        mean_score.alias("mean_score"),
+        frac_pos.alias("frac_pos"),
+        F.round(F.abs(mean_score - frac_pos), 6).alias("gap"),
+    )
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    *,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """One row (ece, n, n_bins_used): the n-weighted mean of per-bin
+    |mean_score − frac_pos| (Naeini et al., AAAI 2015). Composes on
+    `calibration_bins`' single aggregate; the weighted sum runs over the
+    ≤ n_bins bin rows."""
+    bins = calibration_bins(
+        df, score_col=score_col, label_col=label_col, n_bins=n_bins
+    )
+    tot = bins.agg(
+        F.round(
+            F.sum(F.col("gap") * F.col("n")) / F.sum("n"), 6
+        ).alias("ece"),
+        F.sum("n").alias("n"),
+        F.count("*").cast("long").alias("n_bins_used"),
+    )
+    return tot

@@ -66,3 +66,22 @@ def test_no_corpus_window(spark):
     # the tree bottom-up; cheap proxy: every Window in the plan sits
     # above at least one aggregate of the bucket table
     assert plan.index("Window") < plan.rindex("HashAggregate"), plan
+
+
+def test_calibration_bins_and_ece(spark):
+    import pytest
+
+    rows = [(0.05, 0), (0.08, 0), (0.45, 1), (0.48, 0), (0.95, 1), (1.0, 1)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    got = {r["bin"]: r for r in metrics.calibration_bins(df, n_bins=10).collect()}
+    assert set(got) == {0, 4, 9}
+    assert got[0]["n"] == 2 and got[0]["frac_pos"] == 0.0
+    assert got[4]["n"] == 2 and abs(got[4]["frac_pos"] - 0.5) < 1e-9
+    assert got[9]["n"] == 2 and got[9]["frac_pos"] == 1.0  # 1.0 clamps in
+    assert abs(got[0]["mean_score"] - 0.065) < 1e-6
+    (e,) = metrics.expected_calibration_error(df, n_bins=10).collect()
+    want = (got[0]["gap"] * 2 + got[4]["gap"] * 2 + got[9]["gap"] * 2) / 6
+    assert abs(e["ece"] - round(want, 6)) < 1e-6
+    assert e["n"] == 6 and e["n_bins_used"] == 3
+    with pytest.raises(ValueError, match="n_bins"):
+        metrics.calibration_bins(df, n_bins=0)
