@@ -6500,9 +6500,10 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents WHERE len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) >= 12
     )
     SELECT doc_id,
-           array_to_string(list_slice(t, 1, 2), ' ')
-           || array_to_string(list_slice(t, 3, 4), ' ')
-           || ' plain ' || array_to_string(list_slice(t, 5, 6), ' ')
+           'w' || regexp_replace(array_to_string(list_slice(t, 1, 2), ''), '[^a-z]', '', 'g')
+           || 'w' || regexp_replace(array_to_string(list_slice(t, 3, 4), ''), '[^a-z]', '', 'g')
+           || ' plain '
+           || 'w' || regexp_replace(array_to_string(list_slice(t, 5, 6), ''), '[^a-z]', '', 'g')
            || '-' || chr(10) || '  Upper state-of-the-art end' AS fixed
     FROM docs
     """,
@@ -6512,7 +6513,10 @@ def q_dehyphenate(spark: SparkSession, sf_dir: str) -> DataFrame:
     letter-hyphen-newline-lowercase joins (indent absorbed); uppercase
     continuations and numeric ranges stay; a compound's own break
     hyphen is kept. The oracle constructs the expected repaired text
-    independently."""
+    independently. Fragments are sanitized ('w' + letters-only, review
+    finding): the oracle's unconditional-join expectation must hold by
+    CONSTRUCTION, not by the current corpus happening to contain no
+    hyphens or non-letter token boundaries."""
     from pdf_table_extractor_spark.functions import textops
 
     docs = load(spark, sf_dir, "documents")
@@ -6520,7 +6524,12 @@ def q_dehyphenate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
     )
     docs = docs.where(F.size(toks) >= 12)
-    c = lambda a: F.array_join(F.slice(toks, F.lit(a), F.lit(2)), " ")  # noqa: E731
+    c = lambda a: F.concat(  # noqa: E731
+        F.lit("w"),
+        F.regexp_replace(
+            F.array_join(F.slice(toks, F.lit(a), F.lit(2)), ""), "[^a-z]", ""
+        ),
+    )
     broken = F.concat(
         c(1), F.lit("-\n"), c(3), F.lit(" plain "), c(5),
         F.lit("-\n  Upper state-of-the-\nart end"),

@@ -9,6 +9,15 @@ parser init is amortized per batch.
 
 The binary column should be dropped immediately after this projection so
 column pruning keeps `html` out of every downstream exchange.
+
+MARKUP GRAMMAR NOTE: the W/P/R line format ("W x0 x1 top bottom text",
+"P n", "R x0 x1 top bottom") is parsed by THREE deliberately-inlined hot
+loops in this module — `_parse_to_tuples` (array<struct>, rulings
+included), `word_rows` (flat per-word), `word_pages` (packed per-page)
+— plus the readable reference parser in `markup.py`. Inlining is a
+measured ~2-3× python-stage win, but any grammar change MUST touch all
+four; `tests/test_functions.py::test_word_pages_parity_and_poison_rollback`
+pins word_rows==word_pages, and the goldens catch the rest.
 """
 
 from __future__ import annotations

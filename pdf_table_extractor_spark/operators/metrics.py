@@ -82,11 +82,17 @@ def auc_roc(
     b = _with_cum_below(
         _score_buckets(df, score_col, label_col, round_to), "n_neg", "__cnb"
     )
-    # U as an exact dyadic: 2·U = Σ n_pos·(2·cum_neg_below + n_neg) stays
-    # integer, so both engines agree bit-for-bit before the one division.
+    # U as an exact integer: 2·U = Σ n_pos·(2·cum_neg_below + n_neg) — but
+    # accumulated as decimal(38,0), NOT long: at the 100-TB envelope 2·P·N
+    # passes int64 once each class exceeds ~2.1e9 rows, and ANSI mode
+    # would throw ARITHMETIC_OVERFLOW exactly where this module promises
+    # scale (review finding; DuckDB's SUM(BIGINT) widens to HUGEINT on
+    # its own, so both engines still agree bit-for-bit).
     agg = b.agg(
         F.sum(
-            F.col("n_pos") * (2 * F.col("__cnb") + F.col("n_neg"))
+            (F.col("n_pos") * (2 * F.col("__cnb") + F.col("n_neg"))).cast(
+                "decimal(38,0)"
+            )
         ).alias("__u2"),
         F.sum("n_pos").alias("n_pos"),
         F.sum("n_neg").alias("n_neg"),
@@ -95,7 +101,7 @@ def auc_roc(
     auc = F.when(
         (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
         F.round(
-            F.col("__u2")
+            F.col("__u2").cast("double")
             / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")),
             6,
         ),
@@ -120,13 +126,16 @@ def pr_curve(
 
     Same bucket table as `auc_roc`: tp(t) = P − cum_pos_below(t),
     fp(t) = N − cum_neg_below(t) — two prefix scans, no corpus window."""
-    b = _with_cum_below(
-        _score_buckets(df, score_col, label_col, round_to), "n_neg", "__cnb"
-    )
-    b = _with_cum_below(b, "n_pos", "__cpb")
-    tot = b.agg(
+    buckets = _score_buckets(df, score_col, label_col, round_to)
+    # totals from the RAW bucket frame, not the post-window one: the
+    # 1-row broadcast agg duplicates only the scan→bucket-aggregate
+    # subtree (house precedent, sampling.weighted_topk), never the
+    # window+join stages on top (review finding)
+    tot = buckets.agg(
         F.sum("n_pos").alias("__P"), F.sum("n_neg").alias("__N")
     )
+    b = _with_cum_below(buckets, "n_neg", "__cnb")
+    b = _with_cum_below(b, "n_pos", "__cpb")
     j = b.crossJoin(F.broadcast(tot))
     tp = F.col("__P") - F.col("__cpb")
     fp = F.col("__N") - F.col("__cnb")

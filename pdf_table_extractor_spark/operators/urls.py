@@ -532,6 +532,9 @@ def crawl_frontier(
         raise ValueError("n_workers must be positive")
     if (delays is None) != (cycle_seconds is None):
         raise ValueError("delays and cycle_seconds must be given together")
+    if cycle_seconds is not None and not cycle_seconds > 0:
+        # floor(0/delay) = 0 would silently drop every delayed host
+        raise ValueError("cycle_seconds must be positive")
     host = host_of(F.col(url_col))
     w = Window.partitionBy("host").orderBy(F.desc("__prio"), F.col("url"))
     out = (

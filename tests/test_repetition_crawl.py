@@ -330,3 +330,7 @@ def test_crawl_frontier_delay_budget(spark):
     assert sorted(got["h4"]) == [1, 2, 3, 4, 5]     # no delay row -> cap only
     with pytest.raises(ValueError, match="together"):
         urls.crawl_frontier(frontier, n_workers=2, delays=delays)
+    with pytest.raises(ValueError, match="positive"):
+        urls.crawl_frontier(
+            frontier, n_workers=2, delays=delays, cycle_seconds=0
+        )

@@ -31,15 +31,24 @@ def main() -> None:
         p = host_copy_probe()
         print(f"[hunter] probe={p}", flush=True)
         if p <= gate:
-            r = subprocess.run(
-                [sys.executable, "bench.py"], cwd="/root/repo",
-                capture_output=True, text=True, timeout=900,
-            )
+            try:
+                r = subprocess.run(
+                    [sys.executable, "bench.py"], cwd="/root/repo",
+                    capture_output=True, text=True, timeout=900,
+                )
+            except subprocess.TimeoutExpired:
+                # the window closed mid-bench (the exact regime this tool
+                # exists for) — skip the capture, keep hunting
+                print("[hunter] bench timed out, window closed", flush=True)
+                time.sleep(180)
+                continue
             line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
             try:
                 payload = json.loads(line)
             except Exception:
                 print(f"[hunter] bench failed rc={r.returncode}", flush=True)
+                # never hot-loop Spark startups on a deterministic failure
+                time.sleep(180)
                 continue
             payload["hunter_probe_before"] = p
             with open(out_path, "a") as f:
