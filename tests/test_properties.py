@@ -599,3 +599,77 @@ def test_cdc_chunks_match_python_gear_on_random_texts(spark, texts):
         exp = _py_cdc(t)
         have = [(m, ln) for _, m, ln in sorted(got.get(i, []))]
         assert have == exp, f"doc {i!r} {t!r}"
+
+
+# ---------------------------------------------------------------------------
+# Round-5 text repairs: structure-preservation + idempotence properties
+# ---------------------------------------------------------------------------
+
+_plain_word = st.text(
+    alphabet="abcdefgxyz", min_size=1, max_size=8
+)
+_ws_run = st.text(alphabet=" \t\n", min_size=1, max_size=3)
+
+
+@given(st.lists(st.tuples(_plain_word, _ws_run), min_size=1, max_size=25))
+@SET
+def test_homoglyph_fold_roundtrips_clean_text(spark, parts):
+    """Text with no homoglyphs must survive BYTE-IDENTICALLY, whatever
+    its whitespace structure (the round-4 ADVICE regression: the old
+    split/join silently normalized newlines/tabs/space runs)."""
+    from pdf_table_extractor_spark.functions import textops
+
+    text = "".join(w + ws for w, ws in parts)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    (r,) = textops.homoglyph_stats(df).collect()
+    assert r["folded_text"] == text
+    assert r["n_mixed_words"] == 0
+
+
+@given(st.lists(st.tuples(_plain_word, _ws_run), min_size=1, max_size=20),
+       st.integers(min_value=0, max_value=5))
+@SET
+def test_homoglyph_fold_idempotent_with_mixed_words(spark, parts, n_mixed):
+    """Folding twice equals folding once, and the fold only rewrites
+    mixed-script tokens."""
+    from pdf_table_extractor_spark.functions import textops
+
+    pieces = [w + ws for w, ws in parts]
+    for i in range(min(n_mixed, len(pieces))):
+        pieces[i] = "wеb" + str(i) + " "  # Cyrillic е inside Latin
+    text = "".join(pieces)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    (once,) = textops.homoglyph_stats(df).collect()
+    df2 = spark.createDataFrame(
+        [(1, once["folded_text"])], "doc_id long, text string"
+    )
+    (twice,) = textops.homoglyph_stats(df2).collect()
+    assert twice["folded_text"] == once["folded_text"]
+    assert twice["n_mixed_words"] == 0
+
+
+@given(st.lists(st.tuples(_plain_word, _plain_word), min_size=1, max_size=12),
+       st.booleans())
+@SET
+def test_dehyphenate_idempotent_and_join_correct(spark, pairs, compound):
+    """dehyphenate(dehyphenate(x)) == dehyphenate(x), and each broken
+    pair repairs to the expected join (plain pairs lose the hyphen,
+    compound-marked fragments keep it)."""
+    from pdf_table_extractor_spark.functions import textops
+
+    frags = []
+    expected = []
+    for a, b in pairs:
+        if compound:
+            frags.append(f"{a}-of-{b}-\nend")
+            expected.append(f"{a}-of-{b}-end")
+        else:
+            frags.append(f"{a}-\n{b}")
+            expected.append(f"{a}{b}")
+    text = " ".join(frags)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    (r1,) = df.select(textops.dehyphenate(F.col("text")).alias("d")).collect()
+    assert r1["d"] == " ".join(expected)
+    df2 = spark.createDataFrame([(1, r1["d"])], "doc_id long, text string")
+    (r2,) = df2.select(textops.dehyphenate(F.col("text")).alias("d")).collect()
+    assert r2["d"] == r1["d"]
